@@ -1,13 +1,396 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.GeomFunctions._
+import graft.model.Synth
+import graft.ops._
+
+/** Driver contract (SURVEY.md §7; builder prompt).
+  *
+  * Each `queries` entry is one operator family from SURVEY.md §2 or a
+  * training-pipeline op; SQL-expressible ones carry a DuckDB oracle in
+  * `oracleSql` (names and column aliases MUST match — the driver sorts
+  * columns by name and hashes values).
+  *
+  * Determinism discipline for oracle-checked float aggregates: sums go
+  * through an exact DECIMAL cast in BOTH engines (order-independent), then
+  * back to double — bit-identical regardless of partitioning.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def p(dir: String, t: String) = s"$dir/$t.parquet"
+
+  /** Parse scale factor from ".../sfX.Y" for the synth geometry tables. */
+  def sfOf(dir: String): Double = {
+    val m = "sf([0-9.]+)".r.findFirstMatchIn(dir)
+    m.map(_.group(1).toDouble).getOrElse(0.001)
+  }
+
+  def nBuildings(sf: Double): Long = math.max(16L, (4000 * sf).toLong)
+  def nImages(sf: Double): Long = math.max(256L, (400000 * sf).toLong)
+
+  private def synthSurfaces(s: SparkSession, dir: String): DataFrame =
+    Synth.surfaces(s, nBuildings(sfOf(dir))).toDF
+
+  private def synthImages(s: SparkSession, dir: String): DataFrame = {
+    val sf = sfOf(dir)
+    Synth.withAnchors(Synth.images(s, nImages(sf), nBuildings(sf)).toDF, nBuildings(sf))
+  }
+
+  /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
+    * captioned images against triangulated LoD2 surfaces, counted per cell.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val (ok, _) = ObjPipeline.validated(synthSurfaces(spark, dir))
+    val triCells = SpatialOps.triangleCells(
+      SpatialOps.triangles(ObjPipeline.withoutOpenings(ok)))
+    val imgCells = SpatialOps.imageCells(synthImages(spark, dir))
+    SpatialOps.cellCounts(SpatialOps.spatialJoin(imgCells, triCells))
+  }
+
+  // exact decimal-sum helper: deterministic across engines and partitionings
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(28,6)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (oracle-checked) ----
+    "q01_pricing_agg" -> ((s, d) => {
+      s.read.parquet(p(d, "lineitem"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_join_topn" -> ((s, d) => {
+      val o = s.read.parquet(p(d, "orders"))
+      val c = s.read.parquet(p(d, "customer"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    "q03_revenue_by_nation" -> ((s, d) => {
+      val li = s.read.parquet(p(d, "lineitem"))
+      val o = s.read.parquet(p(d, "orders"))
+      val c = s.read.parquet(p(d, "customer"))
+      val n = s.read.parquet(p(d, "nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+    "q04_anti_join" -> ((s, d) => {
+      // customers with no large order — anti-join with a residual predicate
+      val c = s.read.parquet(p(d, "customer"))
+      val o = s.read.parquet(p(d, "orders"))
+      c.join(o, c("c_custkey") === o("o_custkey") && o("o_totalprice") > 450000.0,
+          "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    "q05_semi_join" -> ((s, d) => {
+      val pt = s.read.parquet(p(d, "part"))
+      val li = s.read.parquet(p(d, "lineitem"))
+      pt.join(li, pt("p_partkey") === li("l_partkey"), "left_semi")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")
+    }),
+    "q06_window_topk" -> ((s, d) => {
+      val o = s.read.parquet(p(d, "orders"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rk")
+    }),
+    "q07_rollup" -> ((s, d) => {
+      s.read.parquet(p(d, "lineitem"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+    "q08_events_daily" -> ((s, d) => {
+      s.read.parquet(p(d, "events"))
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type", "day")
+    }),
+    "q09_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      s.read.parquet(p(d, "events"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 3600, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+    // ---- dedup / text analysis (training-pipeline ops; oracle-checked) ----
+    "q10_dedup_exact" -> ((s, d) => {
+      s.read.parquet(p(d, "documents"))
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+        .orderBy("keep_doc_id")
+    }),
+    "q11_token_count" -> ((s, d) => {
+      s.read.parquet(p(d, "documents")).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id")
+    }),
+    "q12_quality" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val stop = size(filter(toks, t => t.isin("the", "a", "of", "and", "to"))).cast("double")
+      s.read.parquet(p(d, "documents")).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(length(col("text")).cast("double") / nTok, 4).as("mean_word_len"),
+        round(stop / nTok, 4).as("stopword_ratio"),
+        round(size(array_distinct(toks)).cast("double") / nTok, 4).as("distinct_ratio"))
+        .orderBy("doc_id")
+    }),
+    "q13_langid" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val hits = size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in")))
+      val score = round(hits.cast("double") / size(toks).cast("double"), 4)
+      s.read.parquet(p(d, "documents")).select(
+        col("doc_id"), col("lang"), score.as("en_score"),
+        when(score >= 0.05, "en-like").otherwise("unk").as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+    "q14_source_stats" -> ((s, d) => {
+      s.read.parquet(p(d, "documents"))
+        .where(col("text").contains("spark"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), dsum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+    // ---- similarity search (oracle-checked via list_cosine_similarity) ----
+    "q15_ann_bruteforce" -> ((s, d) => {
+      val e = s.read.parquet(p(d, "embeddings"))
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+      val dot = aggregate(zip_with(col("emb"), col("q_emb"), (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v)
+      val na = sqrt(aggregate(transform(col("emb"), x => x * x), lit(0.0d), (a, v) => a + v))
+      val nb = sqrt(aggregate(transform(col("q_emb"), x => x * x), lit(0.0d), (a, v) => a + v))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cos_raw", dot / (na * nb))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          round(col("cos_raw"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    }),
+    // ---- geometry / spatial engine (not SQL-expressible → rows-only) ----
+    "q16_spatial_join_cells" -> ((s, d) => {
+      val (ok, _) = ObjPipeline.validated(synthSurfaces(s, d))
+      val triCells = SpatialOps.triangleCells(
+        SpatialOps.triangles(ObjPipeline.withoutOpenings(ok)))
+      val imgCells = SpatialOps.imageCells(synthImages(s, d))
+      SpatialOps.cellCounts(SpatialOps.spatialJoin(imgCells, triCells))
+        .orderBy("cell_id")
+    }),
+    "q17_knn" -> ((s, d) => {
+      SpatialOps.knnAssign(synthImages(s, d), synthSurfaces(s, d), k = 3)
+        .orderBy("image_id", "rk")
+    }),
+    "q18_triangulate" -> ((s, d) => {
+      val (ok, _) = ObjPipeline.validated(synthSurfaces(s, d))
+      SpatialOps.triangles(ObjPipeline.withoutOpenings(ok))
+        .groupBy("surface_class").agg(
+          count(lit(1)).as("n_triangles"),
+          countDistinct(col("surface_id")).as("n_surfaces"))
+        .orderBy("surface_class")
+    }),
+    "q19_obj_encode" -> ((s, d) => {
+      val (v, f, _) = ObjPipeline.run(s, synthSurfaces(s, d), semantics = true)
+      v.groupBy("cls").agg(
+        max("ordinal").as("n_vertices"),
+        dsum(col("x") + col("y") + col("z")).as("coord_checksum"))
+        .join(f.groupBy("cls").agg(count(lit(1)).as("n_faces")), "cls")
+        .orderBy("cls")
+    }),
+    "q20_tiles" -> ((s, d) => {
+      val imgCells = SpatialOps.imageCells(synthImages(s, d))
+      ImageOps.tileMetrics(ImageOps.materializeTiles(s, imgCells))
+        .orderBy("cell_id")
+    }),
+    "q21_minhash_neardups" -> ((s, d) => {
+      TextOps.minhashNearDups(s.read.parquet(p(d, "documents")),
+        k = 3, bands = 16, rows = 2, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+    "q22_simhash" -> ((s, d) => {
+      TextOps.simhashNearDups(s.read.parquet(p(d, "documents")), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+    "q23_fingerprints" -> ((s, d) => {
+      TextOps.fingerprints(s.read.parquet(p(d, "documents"))).orderBy("doc_id")
+    }),
+    "q24_bbox_join" -> ((s, d) => {
+      val boxes = SpatialOps.buildingBBoxes(synthSurfaces(s, d))
+      SpatialOps.bboxJoin(synthImages(s, d), boxes)
+        .groupBy("building_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("building_id")
+    }),
+    "q25_translate" -> ((s, d) => {
+      val params = Translate.translationParams(Synth.envelopes(s, 16L)).head()
+      val t = Translate.applySurfaces(synthSurfaces(s, d),
+        params.getDecimal(1).doubleValue(), params.getDecimal(0).doubleValue(), 0.0)
+      t.select(col("surface_id"), area_gml(col("ext"), col("holes")).as("area"))
+        .orderBy("surface_id")
+    }),
+    "q26_classify_angles" -> ((s, d) => {
+      val (ok, _) = ObjPipeline.validated(synthSurfaces(s, d))
+      ok.select(col("surface_id"), col("surface_class"),
+        poly_angles(col("ext")).as("ang"))
+        .select(col("surface_id"), col("surface_class"),
+          col("ang.azimuth").as("azimuth"), col("ang.tilt").as("tilt"),
+          when(abs(col("ang.tilt")) < 10, "horizontal")
+            .when(abs(col("ang.tilt") - 90) < 10, "wall")
+            .otherwise("sloped").as("pred_class"))
+        .orderBy("surface_id")
+    }),
+    "q27_lsh_ann" -> ((s, d) => {
+      AnnOps.lshTopK(s.read.parquet(p(d, "embeddings")), Seq(0L, 1L, 2L),
+        dim = 64, bits = 10, tables = 4, k = 5)
+        .orderBy("query_id", "rk")
+    }),
+    "q28_cosine_neardups" -> ((s, d) => {
+      AnnOps.cosineNearDups(s.read.parquet(p(d, "embeddings")),
+        dim = 64, bits = 8, threshold = 0.35)
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_join_topn" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q03_revenue_by_nation" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+         ORDER BY c_custkey""",
+    "q05_semi_join" ->
+      """SELECT p_brand, COUNT(*) AS n_parts FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q06_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders) t
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q07_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q08_events_daily" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+         ORDER BY event_type, day""",
+    "q09_sessionize" ->
+      """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+         FROM (
+           SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END AS new_session
+           FROM (SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                 FROM events) a) b
+         GROUP BY user_id ORDER BY user_id""",
+    "q10_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
+    "q11_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_calc
+         FROM documents ORDER BY doc_id""",
+    "q12_quality" ->
+      """SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_word_len,
+           round(CAST(len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS distinct_ratio
+         FROM documents ORDER BY doc_id""",
+    "q13_langid" ->
+      """SELECT doc_id, lang,
+           round(CAST(len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS en_score,
+           CASE WHEN round(CAST(len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) >= 0.05
+             THEN 'en-like' ELSE 'unk' END AS pred_lang
+         FROM documents ORDER BY doc_id""",
+    "q14_source_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS sum_chars
+         FROM documents WHERE contains(text, 'spark')
+         GROUP BY source ORDER BY source""",
+    "q15_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.q_emb AS DOUBLE[])) AS cos_raw
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id)
+         SELECT query_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, vec_id ASC) AS rk,
+           vec_id, round(cos_raw, 4) AS cos
+         FROM scored QUALIFY rk <= 3 ORDER BY query_id, rk"""
+  )
 }

@@ -1,0 +1,113 @@
+package graft.model
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Minimal from-scratch PNG codec (RGB8, non-interlaced, filter 0 rows,
+  * single IDAT). Spec: RFC 2083 / W3C PNG. Replaces javax.imageio in the hot
+  * tiling path: ImageIO's service-registry lookups and default disk cache
+  * serialize under many threads, which capped tiling scaling at ~1× from 8→32
+  * cores. This codec is lock-free and allocation-local, so per-partition
+  * decode/encode scales with cores. Lossless ⇒ the input_hint PSNR gate is
+  * exact.
+  */
+object PngCodec {
+  private val SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n')
+
+  def encode(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(px.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${px.length}")
+    // raw scanlines with filter byte 0
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var y = 0
+    while (y < h) {
+      raw(y * (1 + w * 3)) = 0
+      System.arraycopy(px, y * w * 3, raw, y * (1 + w * 3) + 1, w * 3)
+      y += 1
+    }
+    val deflater = new Deflater(Deflater.BEST_SPEED)
+    deflater.setInput(raw)
+    deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new ByteArrayOutputStream(raw.length / 2 + 128)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    deflater.end()
+    val idat = out.toByteArray
+
+    val bos = new ByteArrayOutputStream(idat.length + 128)
+    bos.write(SIG)
+    val ihdr = new Array[Byte](13)
+    putInt(ihdr, 0, w); putInt(ihdr, 4, h)
+    ihdr(8) = 8          // bit depth
+    ihdr(9) = 2          // color type: truecolor RGB
+    chunk(bos, "IHDR", ihdr)
+    chunk(bos, "IDAT", idat)
+    chunk(bos, "IEND", Array.empty)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG produced by [[encode]] (RGB8, filter 0). Returns
+    * (rgbBytes, w, h). Filters 1–4 are not needed for our own output and are
+    * rejected explicitly.
+    */
+  def decode(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    require(bytes.length > 8 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G',
+      "not a PNG")
+    var pos = 8
+    var w = 0; var h = 0
+    val idat = new ByteArrayOutputStream()
+    var done = false
+    while (!done && pos + 8 <= bytes.length) {
+      val len = getInt(bytes, pos)
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          w = getInt(bytes, pos + 8); h = getInt(bytes, pos + 12)
+          require(bytes(pos + 16) == 8 && bytes(pos + 17) == 2,
+            "only RGB8 supported")
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    val inflater = new Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var off = 0
+    while (!inflater.finished() && off < raw.length) {
+      off += inflater.inflate(raw, off, raw.length - off)
+    }
+    inflater.end()
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      require(raw(y * (1 + w * 3)) == 0, "only filter 0 supported")
+      System.arraycopy(raw, y * (1 + w * 3) + 1, px, y * w * 3, w * 3)
+      y += 1
+    }
+    (px, w, h)
+  }
+
+  private def chunk(bos: ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    val lenB = new Array[Byte](4); putInt(lenB, 0, data.length)
+    bos.write(lenB)
+    val typB = typ.getBytes("US-ASCII")
+    bos.write(typB)
+    bos.write(data)
+    val crc = new CRC32()
+    crc.update(typB); crc.update(data)
+    val crcB = new Array[Byte](4); putInt(crcB, 0, crc.getValue.toInt)
+    bos.write(crcB)
+  }
+
+  private def putInt(a: Array[Byte], o: Int, v: Int): Unit = {
+    a(o) = (v >>> 24).toByte; a(o + 1) = (v >>> 16).toByte
+    a(o + 2) = (v >>> 8).toByte; a(o + 3) = v.toByte
+  }
+  private def getInt(a: Array[Byte], o: Int): Int =
+    ((a(o) & 0xFF) << 24) | ((a(o + 1) & 0xFF) << 16) |
+      ((a(o + 2) & 0xFF) << 8) | (a(o + 3) & 0xFF)
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.GeomFunctions._
+
+/** Spark-first spatial operators (SURVEY.md §2.6/§2.9): triangulate → cell
+  * cover → salted equi-join on cell_id → exact PIP refinement; kNN via
+  * neighbor-ring cells + window top-k. All DataFrame/Dataset API; shuffles
+  * only at the declared joins/windows; joins key on `cell_id` so Catalyst
+  * plans hash joins and AQE can split residual skew.
+  */
+object SpatialOps {
+
+  /** Join/tiling cell level: 64 m cells (Cells.World / 2^14). House blocks
+    * are 50 m pitch, so a triangle AABB touches ≤ 4 cells and an anchor point
+    * exactly 1 — bounded fan-out at any scale.
+    */
+  final val JoinLevel = 14
+
+  /** kNN candidate level: 64 m cells. The 3×3 neighbor ring reaches ≥ 128 m
+    * from any anchor — more than the synth city's worst anchor-to-building
+    * gap (~90 m) — while keeping the candidate set ~10 buildings instead of
+    * hundreds (coarser levels bloat the per-probe candidate list, which is
+    * what dominates kNN cost at scale).
+    */
+  final val KnnLevel = 14
+
+  /** surfaces → one row per triangle (O-36 + explode). Keeps lineage columns
+    * for the OBJ emission-order contract.
+    */
+  def triangles(surfaces: DataFrame): DataFrame =
+    surfaces
+      .withColumn("tris", ear_clip(col("ext"), col("holes")))
+      .select(col("building_id"), col("surface_id"), col("surface_class"),
+        col("building_ord"), col("poly_ord"),
+        posexplode(col("tris")).as(Seq("tri_idx", "tri")))
+
+  /** Triangle rows → (cell_id, triangle) pairs at `level` via AABB cover
+    * (O-56). Exact refinement happens in the join predicate, so cover
+    * looseness costs probe work only, never correctness.
+    */
+  def triangleCells(tris: DataFrame, level: Int = JoinLevel): DataFrame = {
+    val xs = array(col("tri.a.x"), col("tri.b.x"), col("tri.c.x"))
+    val ys = array(col("tri.a.y"), col("tri.b.y"), col("tri.c.y"))
+    tris
+      .withColumn("cells", cell_cover(
+        array_min(xs), array_min(ys), array_max(xs), array_max(ys), lit(level)))
+      .withColumn("cell_id", explode(col("cells")))
+      .drop("cells")
+  }
+
+  /** images (+anchor_x/anchor_y) → cell_id at `level` (O-55, codegen'd). */
+  def imageCells(images: DataFrame, level: Int = JoinLevel): DataFrame =
+    images.withColumn("cell_id",
+      cell_encode(col("anchor_x"), col("anchor_y"), lit(level)))
+
+  /** Point-in-polygon spatial join (O-38): images × triangulated surfaces.
+    *
+    * Stage 1 — equi-join on cell_id. Stage 2 — exact PIP refinement.
+    * Salting (O-58): the triangle side (small) is replicated `salt` ways and
+    * the image side (huge, skewed: hot downtown cells) is split by
+    * `pmod(xxhash64(image_id), salt)`, so one hot cell fans across `salt`
+    * reducers. salt = 1 disables. Row counts are invariant in `salt`
+    * (asserted in tests).
+    */
+  def spatialJoin(imagesWithCells: DataFrame, triCells: DataFrame,
+                  salt: Int = 8): DataFrame = {
+    val probe = imagesWithCells
+      .withColumn("salt", pmod(xxhash64(col("image_id")), lit(salt.toLong)).cast("int"))
+    val build = triCells
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    probe.join(build, Seq("cell_id", "salt"))
+      .where(pip_contains(col("anchor_x"), col("anchor_y"), col("tri")))
+      .drop("salt")
+  }
+
+  /** Per-cell join-output materialization counts (O-47) — the north rule's
+    * acceptance metric table.
+    */
+  def cellCounts(joined: DataFrame): DataFrame =
+    joined.groupBy("cell_id").agg(
+      count(lit(1)).as("n_matches"),
+      countDistinct(col("image_id")).as("n_images"),
+      countDistinct(col("surface_id")).as("n_surfaces"))
+
+  /** kNN nearest-surface assignment (O-39): surface centroids are indexed at
+    * a coarse cell level; each image probes its 3×3 neighbor ring (explode of
+    * ≤ 9 cells — bounded fan-out), distances are computed exactly, and a
+    * window top-k keeps the k nearest. One shuffle for the join, one for the
+    * window.
+    */
+  def knnAssign(imagesWithAnchors: DataFrame, surfaces: DataFrame,
+                k: Int = 3, level: Int = KnnLevel): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = surfaces.select(
+      col("surface_id"), col("building_id"), col("surface_class"),
+      (aggregate(col("ext"), lit(0.0), (acc, p) => acc + p.getField("x")) /
+        size(col("ext"))).as("cx"),
+      (aggregate(col("ext"), lit(0.0), (acc, p) => acc + p.getField("y")) /
+        size(col("ext"))).as("cy"))
+      .withColumn("knn_cell", cell_encode(col("cx"), col("cy"), lit(level)))
+    val probes = imagesWithAnchors
+      .withColumn("knn_cell",
+        explode(cell_neighbors(cell_encode(col("anchor_x"), col("anchor_y"), lit(level)))))
+    val w = Window.partitionBy(col("image_id"))
+      .orderBy(col("dist").asc, col("surface_id").asc)
+    probes.join(cents, Seq("knn_cell"))
+      .withColumn("dist",
+        sqrt(pow(col("anchor_x") - col("cx"), 2) + pow(col("anchor_y") - col("cy"), 2)))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("image_id"), col("rk"), col("surface_id"), col("building_id"),
+        col("surface_class"), round(col("dist"), 6).as("dist"))
+  }
+
+  /** Bounding box + buffer (O-43): per-building AABB over exterior points of
+    * the five structural classes, buffered ±3 m (code wins over README's 2 m,
+    * componentseparationmodule.py:103-109).
+    */
+  def buildingBBoxes(surfaces: DataFrame, buffer: Double = 3.0): DataFrame = {
+    val pts = surfaces
+      .where(col("surface_class").isin(
+        "GroundSurface", "WallSurface", "RoofSurface", "ClosureSurface", "CeilingSurface"))
+      .select(col("building_id"), explode(col("ext")).as("p"))
+    pts.groupBy("building_id").agg(
+      (min(col("p.x")) - buffer).as("xmin"), (max(col("p.x")) + buffer).as("xmax"),
+      (min(col("p.y")) - buffer).as("ymin"), (max(col("p.y")) + buffer).as("ymax"),
+      (min(col("p.z")) - buffer).as("zmin"), (max(col("p.z")) + buffer).as("zmax"))
+  }
+
+  /** Range/interval membership join (O-40): anchors × buffered bboxes.
+    * Pre-filtered by a coarse cell equi-join so the theta residual never
+    * degenerates to a cross product at scale.
+    */
+  def bboxJoin(imagesWithAnchors: DataFrame, bboxes: DataFrame,
+               level: Int = KnnLevel): DataFrame = {
+    val b = bboxes.withColumn("cells", cell_cover(
+        col("xmin"), col("ymin"), col("xmax"), col("ymax"), lit(level)))
+      .withColumn("bb_cell", explode(col("cells"))).drop("cells")
+    val p = imagesWithAnchors.withColumn("bb_cell",
+      cell_encode(col("anchor_x"), col("anchor_y"), lit(level)))
+    p.join(b, Seq("bb_cell"))
+      .where(col("anchor_x").between(col("xmin"), col("xmax")) &&
+             col("anchor_y").between(col("ymin"), col("ymax")))
+      .drop("bb_cell")
+  }
+}

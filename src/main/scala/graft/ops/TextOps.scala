@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline text operators over the `documents` table
+  * (doc_id, text, lang, source, n_chars) — deduplication, quality scoring,
+  * language ID, token counting, fingerprinting. All built from codegen'd
+  * `functions._` column math (no UDFs in the hot path); the only shuffles
+  * are the declared groupBys/joins.
+  */
+object TextOps {
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  /** Exact dedup (hash-groupBy): canonical doc per distinct text = min
+    * doc_id; group key is md5(text) so the shuffle carries a 32-char key,
+    * not the document body.
+    */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+
+  /** Token count: whitespace tokens + a BPE-ish sub-token estimate
+    * (ceil(chars/4) per word, the common 4-chars-per-token heuristic).
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      length(col("text")).as("n_chars2"),
+      aggregate(tokens(col("text")), lit(0L),
+        (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+        .as("n_subtokens"))
+
+  /** Quality scoring: length, stopword ratio, mean word length, distinct
+    * ratio — the classic cheap pre-filter features.
+    */
+  def qualityScores(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stop = size(filter(toks, t => t.isin("the", "a", "of", "and", "to"))).cast("double")
+    documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      round(length(col("text")).cast("double") / nTok, 4).as("mean_word_len"),
+      round(stop / nTok, 4).as("stopword_ratio"),
+      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("distinct_ratio"))
+  }
+
+  /** Language-ID heuristic: score = stopword-hit ratio; below threshold →
+    * "unk", else "en-like". (The synth corpus is English-ish word soup; the
+    * operator's value is the *shape* — per-row scoring from n-gram/stopword
+    * evidence — which is what scales.)
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val hits = size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in")))
+    val score = round(hits.cast("double") / size(toks).cast("double"), 4)
+    documents.select(col("doc_id"), col("lang"),
+      score.as("en_score"),
+      when(score >= 0.05, "en-like").otherwise("unk").as("pred_lang"))
+  }
+
+  /** Document fingerprint: 64-bit rolling hash over whitespace tokens —
+    * xxhash64 chained left-fold (order-sensitive, overflow-free under ANSI
+    * mode). Portable column math, deterministic.
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      aggregate(tokens(col("text")), lit(1469598103934665603L),
+        (acc, t) => xxhash64(acc, t)).as("fingerprint"))
+
+  /** Word-k-shingles of a document as an array column. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    filter(
+      transform(sequence(lit(0), greatest(n - k, lit(0))),
+        i => when(i + k <= n, concat_ws(" ", slice(toks, i + 1, lit(k))))),
+      s => s.isNotNull)
+  }
+
+  /** MinHash + LSH near-duplicate pairs (shingle → minhash → band →
+    * bucket-join): single-pass MinHashBandsExpr per doc (see
+    * graft.expr.TextExprs for why this is an expression, not column math);
+    * docs sharing any band bucket are candidates; candidates are verified by
+    * exact shingle-set Jaccard ≥ threshold. The bucket join keys on
+    * (band_idx, band_hash) — a short key, shuffle-friendly; full text never
+    * enters a shuffle. Self-join deduped by doc_a < doc_b.
+    */
+  def minhashNearDups(documents: DataFrame, k: Int = 3, bands: Int = 8,
+                      rows: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val banded = documents.select(col("doc_id"),
+      posexplode(graft.expr.TextFunctions.minhash_bands(col("text"), k, bands, rows))
+        .as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verification: join candidate ids back to per-doc shingle sets
+    val sh = documents.select(col("doc_id"),
+      array_distinct(shingles(col("text"), k)).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash (64-bit): per bit, sign of Σ over tokens of ±1 weighted by the
+    * token hash's bit (single-pass SimHashExpr). Near-dups = signatures
+    * within `maxHamming`.
+    */
+  def simhash(text: Column): Column = graft.expr.TextFunctions.simhash64(text)
+
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = documents.select(col("doc_id"), simhash(col("text")).as("sim"))
+    // block on 4 16-bit chunks: within hamming ≤ 3, at least one chunk equal
+    val chunked = sigs.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sim"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs from a cheap
+    * same-length-bucket blocking (demonstration-scale; the LSH variant above
+    * is the scale path).
+    */
+  def ngramJaccardPairs(documents: DataFrame, k: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val d = documents.select(col("doc_id"), col("text"),
+      (size(tokens(col("text"))) / 8).as("len_bucket"))
+    val a = d.select(col("len_bucket"), col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = d.select(col("len_bucket"), col("doc_id").as("doc_b"), col("text").as("text_b"))
+    a.join(b, Seq("len_bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("sh_a", array_distinct(shingles(col("text_a"), k)))
+      .withColumn("sh_b", array_distinct(shingles(col("text_b"), k)))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}
