@@ -283,6 +283,38 @@ object SparkEntry {
       AnnOps.cosineNearDups(s.read.parquet(p(d, "embeddings")),
         dim = 64, bits = 8, threshold = 0.35)
         .orderBy("vec_a", "vec_b")
+    }),
+    "q29_window_hulls" -> ((s, d) => {
+      SpatialOps.windowHulls(synthSurfaces(s, d))
+        .groupBy("building_id").agg(count(lit(1)).as("n_hull_tris"))
+        .orderBy("building_id")
+    }),
+    "q30_corner_triangles" -> ((s, d) => {
+      SpatialOps.cornerTriangles(SpatialOps.buildingBBoxes(synthSurfaces(s, d)))
+        .select(col("building_id"), col("tri_idx"),
+          col("tri.a.x").as("ax"), col("tri.a.y").as("ay"), col("tri.a.z").as("az"))
+        .orderBy("building_id", "tri_idx")
+    }),
+    "q31_obj_lines" -> ((s, d) => {
+      // OBJ text render (O-4): per-class line counts + a content checksum
+      val (v, f, _) = ObjPipeline.run(s, synthSurfaces(s, d), semantics = true)
+      ObjPipeline.objLines(v, f)
+        .groupBy("cls").agg(count(lit(1)).as("n_lines"),
+          sum(crc32(col("line"))).as("content_checksum"))
+        .orderBy("cls")
+    }),
+    "q32_trisoup" -> ((s, d) => {
+      // component-path writer (O-5): tri-soup per building, no vertex dedup
+      val (ok, _) = ObjPipeline.validated(synthSurfaces(s, d))
+      graft.sink.ObjWriter.triSoup(
+        SpatialOps.triangles(ObjPipeline.withoutOpenings(ok)))
+        .select(col("building_id"), length(col("obj_text")).cast("long").as("obj_len"))
+        .orderBy("building_id")
+    }),
+    "q33_simhash_sigs" -> ((s, d) => {
+      s.read.parquet(p(d, "documents"))
+        .select(col("doc_id"), TextOps.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
     })
   )
 

@@ -256,6 +256,7 @@ object GeomFunctions {
   def cell_cover(xmin: Column, ymin: Column, xmax: Column, ymax: Column, level: Column): Column =
     col(CellCoverExpr(Seq(x(xmin), x(ymin), x(xmax), x(ymax), x(level))))
   def cell_neighbors(cell: Column): Column = col(CellNeighborsExpr(x(cell)))
+  def hull_3d(points: Column): Column = col(Hull3DExpr(x(points)))
 
   /** Register every expression for SQL use (`SELECT ear_clip(ext, holes)…`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -271,5 +272,23 @@ object GeomFunctions {
     reg.createOrReplaceTempFunction("cell_encode", es => CellEncodeExpr(es(0), es(1), es(2)), "internal")
     reg.createOrReplaceTempFunction("cell_cover", es => CellCoverExpr(es), "internal")
     reg.createOrReplaceTempFunction("cell_neighbors", es => CellNeighborsExpr(es.head), "internal")
+    reg.createOrReplaceTempFunction("hull_3d", es => Hull3DExpr(es.head), "internal")
   }
+}
+
+/** O-46 convex-hull window approximation: ring points → hull triangle
+  * faces (componentseparationmodule.py:420-450; RNG perturbation replaced
+  * by a deterministic hash-salted epsilon, SURVEY.md §7.5.3).
+  */
+case class Hull3DExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback with org.apache.spark.sql.graft.GraftExpectsInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(ringType)
+  override def dataType: DataType = trisType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val tris = graft.geom.Hull3D.hull(toRing(v.asInstanceOf[ArrayData]))
+    new GenericArrayData(tris.map(t =>
+      new GenericInternalRow(Array[Any](vecRow(t.a), vecRow(t.b), vecRow(t.c)))).toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpointed, resumable stage runner with per-partition lineage +
+  * metrics sidecar tables (north rule: "checkpoints per-partition lineage
+  * and metrics … for resumable restarts"; SURVEY.md O-6).
+  *
+  * No Iceberg jar ships in this sandbox (SURVEY.md §7.6), so "Iceberg
+  * tables" are realized as partitioned Parquet with explicit sidecars and
+  * atomic-rename commit semantics (_SUCCESS marker written by Spark's
+  * committer). Swapping real Iceberg in is a packaging change: same
+  * stage/commit/resume structure.
+  *
+  * Layout under a run root:
+  *   <root>/stages/<stage>/          stage output parquet (+_SUCCESS)
+  *   <root>/lineage/                 one row per (stage, partition): rows,
+  *                                   committed_at_stage_seq
+  *   <root>/metrics/                 one row per stage: rows, n_partitions
+  */
+object Lineage {
+
+  /** Run `stage` resumably: if a committed output exists, read it back
+    * (resume path — upstream is NOT recomputed); otherwise compute, write,
+    * and record lineage + metrics. Returns the stage output as a DataFrame
+    * reading from the committed files, so downstream stages always consume
+    * the checkpoint, never the live plan.
+    */
+  def stage(spark: SparkSession, root: String, name: String)
+           (compute: => DataFrame): DataFrame = {
+    val dir = s"$root/stages/$name"
+    if (committed(dir)) return spark.read.parquet(dir)
+    val df = compute
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    val out = spark.read.parquet(dir)
+    val partStats = out.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"))
+      .withColumn("stage", lit(name))
+    partStats.write.mode(SaveMode.Append).parquet(s"$root/lineage")
+    partStats.agg(
+      lit(name).as("stage"),
+      sum("rows").as("rows"),
+      count(lit(1)).as("n_partitions"))
+      .write.mode(SaveMode.Append).parquet(s"$root/metrics")
+    out
+  }
+
+  def committed(dir: String): Boolean =
+    new java.io.File(s"$dir/_SUCCESS").exists()
+
+  /** Invalidate a stage (and force downstream recompute on next run). */
+  def invalidate(root: String, name: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(s"$root/stages/$name"))
+  }
+
+  /** The full spatial pipeline as named, resumable stages — kill it after
+    * any stage and a rerun picks up from the last committed checkpoint.
+    */
+  def runPipeline(spark: SparkSession, root: String,
+                  surfaces: DataFrame, images: DataFrame): DataFrame = {
+    val tri = stage(spark, root, "triangles") {
+      val (ok, rejects) = ObjPipeline.validated(surfaces)
+      rejects.write.mode(SaveMode.Overwrite).parquet(s"$root/rejects")
+      SpatialOps.triangleCells(SpatialOps.triangles(ObjPipeline.withoutOpenings(ok)))
+    }
+    val img = stage(spark, root, "image_cells") {
+      SpatialOps.imageCells(images)
+    }
+    val joined = stage(spark, root, "spatial_join") {
+      SpatialOps.spatialJoin(img, tri)
+        .select("image_id", "cell_id", "surface_id", "surface_class", "building_id")
+    }
+    stage(spark, root, "cell_counts") {
+      joined.groupBy("cell_id").agg(
+        count(lit(1)).as("n_matches"),
+        countDistinct(col("image_id")).as("n_images"),
+        countDistinct(col("surface_id")).as("n_surfaces"))
+    }
+  }
+}

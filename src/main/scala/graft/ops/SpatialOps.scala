@@ -146,4 +146,43 @@ object SpatialOps {
              col("anchor_y").between(col("ymin"), col("ymax")))
       .drop("bb_cell")
   }
+
+  /** O-43 corner triangles: 8 unit-edge triangles at the buffered bbox
+    * corners (componentseparationmodule.py:13-33, 225-241) — emitted as
+    * triangle rows compatible with the OBJ writers.
+    */
+  def cornerTriangles(bboxes: DataFrame): DataFrame = {
+    def corner(cx: org.apache.spark.sql.Column, cy: org.apache.spark.sql.Column,
+               cz: org.apache.spark.sql.Column,
+               sx: Int, sy: Int) = struct(
+      struct(cx.as("x"), cy.as("y"), cz.as("z")).as("a"),
+      struct((cx + sx).as("x"), cy.as("y"), cz.as("z")).as("b"),
+      struct(cx.as("x"), (cy + sy).as("y"), cz.as("z")).as("c"))
+    val tris = array(
+      corner(col("xmin"), col("ymin"), col("zmin"), 1, 1),
+      corner(col("xmax"), col("ymin"), col("zmin"), -1, 1),
+      corner(col("xmin"), col("ymax"), col("zmin"), 1, -1),
+      corner(col("xmax"), col("ymax"), col("zmin"), -1, -1),
+      corner(col("xmin"), col("ymin"), col("zmax"), 1, 1),
+      corner(col("xmax"), col("ymin"), col("zmax"), -1, 1),
+      corner(col("xmin"), col("ymax"), col("zmax"), 1, -1),
+      corner(col("xmax"), col("ymax"), col("zmax"), -1, -1))
+    bboxes.select(col("building_id"), posexplode(tris).as(Seq("tri_idx", "tri")))
+  }
+
+  /** O-46 window-approximation hulls (`-appW`): per-building convex hull of
+    * all opening (Window/Door) exterior points → triangle rows. The flatten
+    * + per-row hull keeps the heavy geometry in one expression evaluation
+    * per building (no cross-row shuffle besides the building groupBy).
+    */
+  def windowHulls(surfaces: DataFrame): DataFrame = {
+    import graft.expr.GeomFunctions._
+    surfaces
+      .where(col("surface_class").isin("Window", "Door"))
+      .select(col("building_id"), explode(col("ext")).as("p"))
+      .groupBy("building_id")
+      .agg(collect_list(col("p")).as("pts"))
+      .withColumn("tris", hull_3d(col("pts")))
+      .select(col("building_id"), posexplode(col("tris")).as(Seq("tri_idx", "tri")))
+  }
 }

@@ -1,0 +1,109 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** OBJ-equivalent sinks (SURVEY.md O-4/O-5/O-7/O-35).
+  *
+  * Two writer modes, matching the reference's two emission paths:
+  *  - indexed (O-4, CityGML2OBJs.py:807-822): `v x y z` in dictionary
+  *    ordinal order, then `f ia ib ic` in document order, one file per
+  *    class — `FILENAME[-Class].obj`;
+  *  - tri-soup (O-5, componentseparationmodule.py:295-306): every face
+  *    emits 3 fresh vertices `f n n+1 n+2`, NO vertex dedup.
+  *
+  * At test scale the files are written via a single ordered partition (the
+  * golden contract needs byte order); at production scale the same
+  * DataFrames go to `write.partitionBy("cls")` parquet and the text render
+  * happens per partition on the way out.
+  */
+object ObjWriter {
+
+  /** Indexed mode: write `<outDir>/<prefix>-<cls>.obj` per class. */
+  def writeIndexed(lines: DataFrame, outDir: String, prefix: String): Seq[String] = {
+    val classes = lines.select("cls").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    classes.map { cls =>
+      val path = s"$outDir/$prefix${if (cls == "All") "" else s"-$cls"}.obj"
+      val content = lines.where(col("cls") === cls)
+        .orderBy("line_no").select("line")
+        .collect().map(_.getString(0)).mkString("", "\n", "\n")
+      val p = java.nio.file.Paths.get(path)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, content)
+      path
+    }
+  }
+
+  /** Tri-soup mode (O-5): faces only, 3 fresh vertices per triangle,
+    * 1-based running index, no dedup — per building component. Returns a
+    * DataFrame of (building_id, obj_text) so components can be written in
+    * parallel (`write.partitionBy`) or collected for goldens.
+    */
+  def triSoup(tris: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("building_id"))
+      .orderBy(col("poly_ord"), col("tri_idx"))
+    tris
+      .withColumn("face_idx", row_number().over(w).cast("long"))
+      .withColumn("obj_block", concat_ws("\n",
+        format_string("v %s %s %s", fmt(col("tri.a.x")), fmt(col("tri.a.y")), fmt(col("tri.a.z"))),
+        format_string("v %s %s %s", fmt(col("tri.b.x")), fmt(col("tri.b.y")), fmt(col("tri.b.z"))),
+        format_string("v %s %s %s", fmt(col("tri.c.x")), fmt(col("tri.c.y")), fmt(col("tri.c.z"))),
+        format_string("f %d %d %d",
+          (col("face_idx") - 1) * 3 + 1,
+          (col("face_idx") - 1) * 3 + 2,
+          (col("face_idx") - 1) * 3 + 3)))
+      .groupBy("building_id")
+      .agg(concat_ws("\n", collect_list(struct(col("face_idx"), col("obj_block")))
+        .getField("obj_block")).as("obj_text"))
+  }
+
+  private def fmt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c === c.cast("long").cast("double"), format_string("%.1f", c))
+      .otherwise(c.cast("string"))
+}
+
+/** MTL colormap sink (O-7, generateMTL.py:34-52) + attribute→material
+  * binning (O-35, CityGML2OBJs.py:401-411).
+  *
+  * The reference snaps a normalized attribute to the nearest of
+  * `linspace(0, 1, 101)` rounded to 4 dp and emits one material per bin
+  * colored by matplotlib's `afmhot` colormap. afmhot is piecewise linear
+  * (public formula): r = clip(2x), g = clip(2x − 0.5), b = clip(2x − 1).
+  */
+object MtlSink {
+
+  def afmhot(x: Double): (Double, Double, Double) = {
+    def clip(v: Double) = math.max(0.0, math.min(1.0, v))
+    (clip(2 * x), clip(2 * x - 0.5), clip(2 * x - 1.0))
+  }
+
+  /** The 101 bin values of linspace(0,1,101) rounded 4dp (reference grid). */
+  val bins: IndexedSeq[Double] =
+    (0 to 100).map(i => math.rint(i / 100.0 * 10000) / 10000)
+
+  /** O-35: normalized value → nearest-bin material label column. */
+  def materialFor(att: org.apache.spark.sql.Column,
+                  minV: Double, maxV: Double): org.apache.spark.sql.Column = {
+    val norm = (att - minV) / (maxV - minV)
+    // nearest bin of linspace(0,1,101) = round(norm*100)/100, rounded 4dp
+    val snapped = round(round(norm * 100) / 100.0, 4)
+    format_string("mat%s", snapped.cast("string"))
+  }
+
+  /** colormap.mtl content — 101 materials (generateMTL.py contract). */
+  def colormapMtl(): String = {
+    bins.map { b =>
+      val (r, g, bl) = afmhot(b)
+      f"newmtl mat$b%s%nKd $r%.4f $g%.4f $bl%.4f%n"
+    }.mkString
+  }
+
+  def write(outDir: String): String = {
+    val p = java.nio.file.Paths.get(s"$outDir/colormap.mtl")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, colormapMtl())
+    p.toString
+  }
+}
