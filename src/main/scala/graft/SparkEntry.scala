@@ -315,6 +315,28 @@ object SparkEntry {
       s.read.parquet(p(d, "documents"))
         .select(col("doc_id"), TextOps.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")
+    }),
+    "q34_gml_ingest" -> ((s, d) => {
+      // text-line ingest round-trip (O-2/O-11): surfaces → posList lines →
+      // parse back; per-class geometry checksums prove lossless parsing
+      val surf = synthSurfaces(s, d)
+      val (ok, _) = graft.sources.GmlIngest.ingest(graft.sources.GmlIngest.render(surf))
+      ok.select(col("surface_class"), explode(col("ext")).as("p"))
+        .groupBy("surface_class")
+        .agg(count(lit(1)).as("n_points"),
+          dsum(col("p.x") + col("p.y") + col("p.z")).as("coord_checksum"))
+        .orderBy("surface_class")
+    }),
+    "q35_attr_stats" -> ((s, d) => {
+      // O-45 attribute range stats over the attrs map column
+      synthSurfaces(s, d)
+        .select(col("surface_class"), element_at(col("attrs"), "irradiation").as("irr"))
+        .where(col("irr").isNotNull)
+        .groupBy("surface_class")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("irr")), 4).as("min_irr"),
+          round(max(col("irr")), 4).as("max_irr"))
+        .orderBy("surface_class")
     })
   )
 

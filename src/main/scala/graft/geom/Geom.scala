@@ -141,6 +141,41 @@ object Geom {
   private def lexLt(a: Vec3, b: Vec3): Boolean =
     a.x < b.x || (a.x == b.x && (a.y < b.y || (a.y == b.y && a.z < b.z)))
 
+  /** Lexicographic (x, y, z) maximum; optional skip-equal-z variant used by
+    * the reference for the "highest point" heuristic
+    * (polygon3dmodule.py:317-335).
+    */
+  def highestPoint(pts: Iterator[Vec3], skipZ: Option[Double] = None): Vec3 = {
+    val it = skipZ.map(z => pts.filter(_.z != z)).getOrElse(pts)
+    var best = it.next()
+    while (it.hasNext) {
+      val p = it.next()
+      if (lexLt(best, p)) best = p
+    }
+    best
+  }
+
+  /** Area-weighted centroid with cross-norm weights
+    * (polygon3dmodule.py:449-471; defined in the reference but not on the
+    * live path — kept for API completeness).
+    */
+  def weightedCentroid(ring: IndexedSeq[Vec3]): Vec3 = {
+    val pts = if (ring.length > 1 && ring.head == ring.last) ring.dropRight(1) else ring
+    if (pts.length < 3) return centroid(pts)
+    var wsum = 0.0
+    var acc = Vec3(0, 0, 0)
+    var i = 1
+    while (i + 1 < pts.length) {
+      val a = pts(0); val b = pts(i); val c = pts(i + 1)
+      val w = (b - a).cross(c - a).norm / 2.0
+      val tc = Vec3((a.x + b.x + c.x) / 3, (a.y + b.y + c.y) / 3, (a.z + b.z + c.z) / 3)
+      acc = acc + tc * w
+      wsum += w
+      i += 1
+    }
+    if (wsum == 0.0) centroid(pts) else acc * (1.0 / wsum)
+  }
+
   /** Order-preserving de-dup of ring vertices excluding the final point,
     * which is re-appended verbatim (CityGML2OBJs.py:87-96 `remove_reccuring`).
     * A closed ring stays closed; interior duplicates are dropped keeping the

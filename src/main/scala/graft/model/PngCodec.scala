@@ -14,6 +14,12 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 object PngCodec {
   private val SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n')
 
+  // zlib codec construction does native-buffer setup — at millions of tiny
+  // images per task that's the dominant cost. Reuse per thread via reset().
+  private val deflaters = ThreadLocal.withInitial[Deflater](
+    () => new Deflater(Deflater.BEST_SPEED))
+  private val inflaters = ThreadLocal.withInitial[Inflater](() => new Inflater())
+
   def encode(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
     require(px.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${px.length}")
     // raw scanlines with filter byte 0
@@ -24,7 +30,8 @@ object PngCodec {
       System.arraycopy(px, y * w * 3, raw, y * (1 + w * 3) + 1, w * 3)
       y += 1
     }
-    val deflater = new Deflater(Deflater.BEST_SPEED)
+    val deflater = deflaters.get()
+    deflater.reset()
     deflater.setInput(raw)
     deflater.finish()
     val buf = new Array[Byte](raw.length + 64)
@@ -33,7 +40,6 @@ object PngCodec {
       val n = deflater.deflate(buf)
       out.write(buf, 0, n)
     }
-    deflater.end()
     val idat = out.toByteArray
 
     val bos = new ByteArrayOutputStream(idat.length + 128)
@@ -73,14 +79,14 @@ object PngCodec {
       }
       pos += 12 + len
     }
-    val inflater = new Inflater()
+    val inflater = inflaters.get()
+    inflater.reset()
     inflater.setInput(idat.toByteArray)
     val raw = new Array[Byte](h * (1 + w * 3))
     var off = 0
     while (!inflater.finished() && off < raw.length) {
       off += inflater.inflate(raw, off, raw.length - off)
     }
-    inflater.end()
     val px = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

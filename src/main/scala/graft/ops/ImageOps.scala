@@ -34,10 +34,13 @@ object ImageOps {
     */
   def materializeTiles(spark: SparkSession, imagesWithCells: DataFrame): Dataset[TileRow] = {
     import spark.implicits._
-    // range-partition by (cell_id, salt): keeps tiles cell-clustered for the
-    // writer while splitting hot cells (the downtown cell holds ~20% of all
-    // rows — unsalted, one straggler task pins the whole stage at high
-    // parallelism; SURVEY.md O-58/O-59)
+    // ORDER MATTERS at scale: range-partition the INPUT, decode after.
+    // RangePartitioner's sampling pass re-executes its child plan — put the
+    // codec-heavy map below it and the whole decode runs twice (measured
+    // 13.2 s vs 2.9 s un-shuffled at 32 cores); above it, sampling only
+    // re-runs the parquet scan. The shuffle keys on (cell_id, salt):
+    // cell-clustered for the writer, salted so the hot downtown cell (20% of
+    // rows) can't pin the stage on one task (SURVEY.md O-57/O-58/O-59).
     imagesWithCells
       .select(col("image_id"), col("cell_id"), col("bytes"), col("w"), col("h"),
         col("fmt"), col("caption"))
