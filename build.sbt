@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+// ZGC: measured 1.5× faster and far better 8→32-thread scaling than G1 on
+// the allocation-heavy codec/shuffle paths (TileScale A/B; G1 collapsed at
+// 40g heaps). Override with SPARK_GC=G1 etc.
+) :+ s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "Z")}GC"
