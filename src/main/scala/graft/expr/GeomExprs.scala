@@ -163,24 +163,38 @@ case class EarClipExpr(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Static kernel for PipContainsExpr codegen (object ⇒ Java-callable static
+  * forwarder, same pattern as Cells.encode).
+  */
+object PipKernel {
+  def contains(px: Double, py: Double, t: InternalRow): Boolean = {
+    val a = t.getStruct(0, 3); val b = t.getStruct(1, 3); val c = t.getStruct(2, 3)
+    Geom.pointInTri2D(px, py,
+      a.getDouble(0), a.getDouble(1), b.getDouble(0), b.getDouble(1),
+      c.getDouble(0), c.getDouble(1))
+  }
+}
+
 /** O-38 exact point-in-triangle refinement predicate of the spatial join —
-  * 2D half-plane test on (x, y), boundary-inclusive.
+  * 2D half-plane test on (x, y), boundary-inclusive. Full codegen: it is the
+  * post-join filter of the headline spatial join, so a CodegenFallback here
+  * would split the probe side's whole-stage-codegen span at the hottest
+  * operator.
   */
 case class PipContainsExpr(px: Expression, py: Expression, tri: Expression)
-    extends TernaryExpression with CodegenFallback with GraftExpectsInputTypes {
+    extends TernaryExpression with GraftExpectsInputTypes {
   override def graftInputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, triType)
   override def first: Expression = px
   override def second: Expression = py
   override def third: Expression = tri
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
-  override def nullSafeEval(x: Any, y: Any, t: Any): Any = {
-    val row = t.asInstanceOf[InternalRow]
-    val a = row.getStruct(0, 3); val b = row.getStruct(1, 3); val c = row.getStruct(2, 3)
-    Geom.pointInTri2D(x.asInstanceOf[Double], y.asInstanceOf[Double],
-      a.getDouble(0), a.getDouble(1), b.getDouble(0), b.getDouble(1),
-      c.getDouble(0), c.getDouble(1))
-  }
+  override def nullSafeEval(x: Any, y: Any, t: Any): Any =
+    PipKernel.contains(x.asInstanceOf[Double], y.asInstanceOf[Double],
+      t.asInstanceOf[InternalRow])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, t) =>
+      s"${ev.value} = graft.expr.PipKernel.contains($x, $y, $t);")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(a, b, c)
 }

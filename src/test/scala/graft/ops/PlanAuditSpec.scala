@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Physical-plan audit (SURVEY.md §4): the scale story rests on claims —
+  * filters/projections reach the parquet scan, the small join sides
+  * broadcast, aggregation is partial before the exchange, the hot custom
+  * expressions stay inside codegen — so assert them against the actual
+  * plans instead of trusting the code comments.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.01"
+
+  def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  def assertContains(p: String, needles: String*): Unit =
+    needles.foreach { n =>
+      assert(p.contains(n), s"plan is missing [$n]:\n$p")
+    }
+
+  test("filter + projection push down to the parquet scan") {
+    val p = plan(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .where(col("l_quantity") > 40).select("l_orderkey", "l_quantity"))
+    assertContains(p,
+      "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]",
+      "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>")
+  }
+
+  test("openings anti-join broadcasts the small side (O-13b/O-37)") {
+    val surfaces = graft.model.Synth.surfaces(spark, 64L).toDF
+    val p = plan(ObjPipeline.withoutOpenings(surfaces))
+    assertContains(p, "BroadcastHashJoin", "LeftAnti")
+  }
+
+  test("spatial join: hash join on (cell_id, salt), custom exprs in plan") {
+    val imgs = graft.model.Synth.withAnchors(
+      graft.model.Synth.images(spark, 1024L, 64L).toDF, 64L)
+    val triCells = SpatialOps.triangleCells(
+      SpatialOps.triangles(graft.model.Synth.surfaces(spark, 64L).toDF))
+    val p = plan(
+      SpatialOps.spatialJoin(SpatialOps.imageCells(imgs), triCells))
+    assertContains(p, "cellencodeexpr", "pipcontainsexpr")
+  }
+
+  test("q01 aggregation is partial (map-side) before the exchange") {
+    val p = plan(graft.SparkEntry.queries("q01_pricing_agg")(spark, sfDir))
+    assertContains(p, "HashAggregate", "Exchange")
+    // partial agg appears below the exchange: two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("PIP predicate does not break whole-stage codegen on the probe side") {
+    val imgs = graft.model.Synth.withAnchors(
+      graft.model.Synth.images(spark, 1024L, 64L).toDF, 64L)
+    val triCells = SpatialOps.triangleCells(
+      SpatialOps.triangles(graft.model.Synth.surfaces(spark, 64L).toDF))
+    val joined = SpatialOps.spatialJoin(SpatialOps.imageCells(imgs), triCells)
+    joined.collect() // AQE: codegen stages exist only in the final plan
+    val simple = joined.queryExecution.executedPlan.toString()
+    // the hash join evaluating the PIP condition must carry the `*(n)`
+    // whole-stage-codegen marker
+    val pipLine = simple.linesIterator.find(l =>
+      l.contains("pipcontainsexpr") && l.contains("BroadcastHashJoin"))
+    assert(pipLine.exists(_.replaceFirst("^[^*A-Za-z]*", "").startsWith("*(")),
+      s"PIP join fell out of codegen:\n$simple")
+  }
+}
