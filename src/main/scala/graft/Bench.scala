@@ -78,15 +78,36 @@ object Bench {
       }
     }
 
+    // pure-CPU scaling control: embarrassingly parallel codegen'd hash math,
+    // no shuffle, no I/O. This measures the BOX (co-tenant steal, SMT,
+    // thermal), not the engine — the denominator for machine-relative
+    // scaling efficiency in BENCH/BASELINE.md.
+    bench("cpu_control") {
+      spark.range(0, 4L << 30, 1, cpus.toInt)
+        .select(max(xxhash64(xxhash64(xxhash64(col("id")))))) // max: sum overflows under ANSI
+        .head().getLong(0).abs.min(1L)
+    }
+
     // ---- headline: spatial join (cell equi-join + PIP refine, salted) ----
     val (ok, _) = ObjPipeline.validated(surfaces)
     val triCells = SpatialOps.triangleCells(
       SpatialOps.triangles(ObjPipeline.withoutOpenings(ok))).cache()
     triCells.count() // build side cached outside the timed probe
 
+    // salt = 1: the build side broadcasts here (AQE), and salting only
+    // helps SHUFFLE joins — replicating a broadcast build 8× just inflates
+    // the driver-built hashed relation (measured 2.1 s vs 1.7 s at 32c).
     bench("spatial_join") {
       SpatialOps.cellCounts(
-        SpatialOps.spatialJoin(SpatialOps.imageCells(images), triCells))
+        SpatialOps.spatialJoin(SpatialOps.imageCells(images), triCells, salt = 1))
+        .agg(sum("n_matches")).head().getLong(0)
+    }
+    // the at-scale skew path (north rule): forced shuffle-hash join with the
+    // hot downtown cells salted 8 ways — same row counts (salt-invariant)
+    bench("spatial_join_shuffle_salted") {
+      SpatialOps.cellCounts(
+        SpatialOps.spatialJoin(SpatialOps.imageCells(images),
+          triCells.hint("shuffle_hash"), salt = 8))
         .agg(sum("n_matches")).head().getLong(0)
     }
     bench("tiling") {

@@ -26,26 +26,56 @@ object ImageOps {
       psnr: Double,
       caption_ok: Boolean)
 
+  /** Equi-depth cell range boundaries — the explicit skew-histogram pre-pass
+    * (SURVEY.md §7.2, O-58/O-59). Reads ONLY `cell_id` (column-pruned scan:
+    * no payload bytes touch this pass) and collects one (cell, count) row per
+    * distinct cell — bounded by the city's cell grid, not by the row count,
+    * so the driver-side collect stays tiny even at 10^12 images.
+    */
+  def cellRangeBoundaries(imagesWithCells: DataFrame, buckets: Int): Array[Long] = {
+    val hist = imagesWithCells.groupBy("cell_id").count()
+      .orderBy("cell_id").collect()
+    val total = hist.iterator.map(_.getLong(1)).sum.toDouble
+    val bounds = Array.newBuilder[Long]
+    var n = 0
+    var cum = 0.0
+    var nextCut = total / buckets
+    hist.foreach { r =>
+      if (cum >= nextCut && n < buckets - 1) {
+        bounds += r.getLong(0) // first cell of the next bucket
+        n += 1
+        nextCut += total / buckets
+      }
+      cum += r.getLong(1)
+    }
+    bounds.result()
+  }
+
   /** Materialize per-cell raster tiles: decode payload → crop the cell's
     * quadrant (deterministic from cell_id parity — a stand-in for a real
-    * geo-crop, keeping the Spark-side shape real: schema,
-    * range-partitioning, per-partition batch decode) → re-encode losslessly →
-    * assert PSNR + caption equality per row (input_hint contract).
+    * geo-crop, keeping the Spark-side shape real: schema, partitioning,
+    * per-partition batch decode) → re-encode losslessly → assert PSNR +
+    * caption equality per row (input_hint contract).
+    *
+    * Shuffle design for 100 TB (SURVEY.md O-57/O-58/O-59): the codec map
+    * runs BEFORE the cell-clustering shuffle, so the exchange moves ¼-size
+    * tiles instead of source images. `repartitionByRange` can't express
+    * this order — RangePartitioner sampling re-executes its child, which
+    * would run the whole decode twice — so the range partitioning is
+    * explicit: an equi-depth histogram pre-pass over the pruned cell_id
+    * column derives boundaries, a codegen'd binary-search expression assigns
+    * the bucket, and a hash exchange on (bucket, salt) delivers
+    * cell-clustered, skew-salted output partitions with no re-execution.
     */
-  def materializeTiles(spark: SparkSession, imagesWithCells: DataFrame): Dataset[TileRow] = {
+  def materializeTiles(spark: SparkSession, imagesWithCells: DataFrame,
+                       salt: Int = 4): Dataset[TileRow] = {
     import spark.implicits._
-    // ORDER MATTERS at scale: range-partition the INPUT, decode after.
-    // RangePartitioner's sampling pass re-executes its child plan — put the
-    // codec-heavy map below it and the whole decode runs twice (measured
-    // 13.2 s vs 2.9 s un-shuffled at 32 cores); above it, sampling only
-    // re-runs the parquet scan. The shuffle keys on (cell_id, salt):
-    // cell-clustered for the writer, salted so the hot downtown cell (20% of
-    // rows) can't pin the stage on one task (SURVEY.md O-57/O-58/O-59).
+    import graft.expr.GeomFunctions.range_bucket
+    val buckets = math.max(spark.sessionState.conf.numShufflePartitions, 2)
+    val bounds = cellRangeBoundaries(imagesWithCells, buckets)
     imagesWithCells
       .select(col("image_id"), col("cell_id"), col("bytes"), col("w"), col("h"),
         col("fmt"), col("caption"))
-      .repartitionByRange(col("cell_id"), pmod(xxhash64(col("image_id")), lit(64L)))
-      .select("image_id", "cell_id", "bytes", "w", "h", "fmt", "caption")
       .as[(String, Long, Array[Byte], Int, Int, String, String)]
       .mapPartitions { rows =>
         rows.map { case (id, cell, bytes, w, h, fmt, caption) =>
@@ -62,6 +92,10 @@ object ImageOps {
           TileRow(id, cell, enc, cw, ch, fmt, caption, p, caption != null)
         }
       }
+      .repartition(
+        range_bucket(col("cell_id"), bounds.toSeq) * salt +
+          pmod(xxhash64(col("image_id")), lit(salt.toLong)).cast("int"))
+      .as[TileRow]
   }
 
   /** Per-cell tile metrics (north-rule metrics sidecar): counts + PSNR

