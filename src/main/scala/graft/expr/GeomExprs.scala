@@ -296,21 +296,31 @@ object GeomFunctions {
     col(RangeBucketExpr(x(cell), bounds))
   def hull_3d(points: Column): Column = col(Hull3DExpr(x(points)))
 
+  /** (name → builder) for every SQL-exposed expression — shared between
+    * per-session registration (`register`) and the library-level
+    * `graft.GraftExtensions` SparkSessionExtensions injection.
+    */
+  val injections: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "clean_ring" -> (es => CleanRingExpr(es.head)),
+    "is_poly_valid" -> (es => IsPolyValidExpr(es.head)),
+    "poly_normal" -> (es => PolyNormalExpr(es.head)),
+    "poly_angles" -> (es => AnglesExpr(es.head)),
+    "area_3d" -> (es => Area3DExpr(es.head)),
+    "area_gml" -> (es => AreaGMLExpr(es(0), es(1))),
+    "ear_clip" -> (es => EarClipExpr(es(0), es(1))),
+    "pip_contains" -> (es => PipContainsExpr(es(0), es(1), es(2))),
+    "cell_encode" -> (es => CellEncodeExpr(es(0), es(1), es(2))),
+    "cell_cover" -> (es => CellCoverExpr(es)),
+    "cell_neighbors" -> (es => CellNeighborsExpr(es.head)),
+    "hull_3d" -> (es => Hull3DExpr(es.head)),
+    "simhash64" -> (es => SimHashExpr(es.head)))
+
   /** Register every expression for SQL use (`SELECT ear_clip(ext, holes)…`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("clean_ring", es => CleanRingExpr(es.head), "internal")
-    reg.createOrReplaceTempFunction("is_poly_valid", es => IsPolyValidExpr(es.head), "internal")
-    reg.createOrReplaceTempFunction("poly_normal", es => PolyNormalExpr(es.head), "internal")
-    reg.createOrReplaceTempFunction("poly_angles", es => AnglesExpr(es.head), "internal")
-    reg.createOrReplaceTempFunction("area_3d", es => Area3DExpr(es.head), "internal")
-    reg.createOrReplaceTempFunction("area_gml", es => AreaGMLExpr(es(0), es(1)), "internal")
-    reg.createOrReplaceTempFunction("ear_clip", es => EarClipExpr(es(0), es(1)), "internal")
-    reg.createOrReplaceTempFunction("pip_contains", es => PipContainsExpr(es(0), es(1), es(2)), "internal")
-    reg.createOrReplaceTempFunction("cell_encode", es => CellEncodeExpr(es(0), es(1), es(2)), "internal")
-    reg.createOrReplaceTempFunction("cell_cover", es => CellCoverExpr(es), "internal")
-    reg.createOrReplaceTempFunction("cell_neighbors", es => CellNeighborsExpr(es.head), "internal")
-    reg.createOrReplaceTempFunction("hull_3d", es => Hull3DExpr(es.head), "internal")
+    injections.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "internal")
+    }
   }
 }
 

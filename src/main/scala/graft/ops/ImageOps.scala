@@ -9,9 +9,12 @@ import graft.model.ImageCodec
   * multimodal decode/feature plumbing of the training pipeline.
   *
   * The payload stays an opaque `binary` column through every relational
-  * stage; decode/re-encode happens ONLY inside the tiling map, per partition,
-  * after a `repartitionByRange(cell_id)` (O-59) so tile writes are
-  * cell-clustered. Codec = JDK javax.imageio (offline-safe, deterministic).
+  * stage; decode/re-encode happens ONLY inside the tiling map, per
+  * partition, and the cell-clustering exchange (explicit histogram range
+  * bucketing, O-58/O-59) moves encoded TILES, never source bytes — see
+  * `materializeTiles`. Codec = graft.model.PngCodec (from scratch:
+  * javax.imageio serializes under concurrent threads — measured; see
+  * ImageCodec).
   */
 object ImageOps {
 

@@ -8,12 +8,14 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the whole suite goes through the library's deployment surface: if
+      // GraftExtensions fails to inject, every SQL-function test fails
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    graft.expr.GeomFunctions.register(s)
     s
   }
 }
