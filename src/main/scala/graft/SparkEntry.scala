@@ -327,6 +327,13 @@ object SparkEntry {
           dsum(col("p.x") + col("p.y") + col("p.z")).as("coord_checksum"))
         .orderBy("surface_class")
     }),
+    "q36_thumbnails" -> ((s, d) => {
+      // multimodal resize op: per-fmt thumbnail counts + byte checksum
+      ImageOps.thumbnails(s, synthImages(s, d), tw = 4, th = 4)
+        .groupBy("fmt").agg(count(lit(1)).as("n_thumbs"),
+          sum(crc32(col("thumb_bytes"))).as("bytes_checksum"))
+        .orderBy("fmt")
+    }),
     "q35_attr_stats" -> ((s, d) => {
       // O-45 attribute range stats over the attrs map column
       synthSurfaces(s, d)

@@ -62,6 +62,39 @@ object ImageCodec {
     }
   }
 
+  /** Box-average resize of a w×h RGB buffer to tw×th (training-pipeline
+    * thumbnail op). Integer accumulation over the source box per target
+    * pixel — deterministic, no float rounding drift across platforms.
+    */
+  def resize(px: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th * 3)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * h / th; val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * w / tw; val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+        var r = 0L; var g = 0L; var b = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = (y * w + x) * 3
+            r += px(i) & 0xFF; g += px(i + 1) & 0xFF; b += px(i + 2) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        val o = (ty * tw + tx) * 3
+        out(o) = (r / n).toByte; out(o + 1) = (g / n).toByte; out(o + 2) = (b / n).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
   /** Crop a w×h RGB buffer. Used by raster-tile materialization (O-57). */
   def crop(px: Array[Byte], w: Int, h: Int,
            x0: Int, y0: Int, cw: Int, ch: Int): Array[Byte] = {

@@ -101,6 +101,28 @@ object ImageOps {
       .as[TileRow]
   }
 
+  /** Thumbnail/resize over the binary column (training-pipeline multimodal
+    * op): decode → deterministic box-average resize → lossless re-encode.
+    * Same plumbing contract as tiling: per-partition batch decode, payloads
+    * never in shuffle keys, schema stays columnar.
+    */
+  def thumbnails(spark: SparkSession, images: DataFrame,
+                 tw: Int, th: Int): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, w, h, fmt) =>
+          val px = ImageCodec.decode(bytes, fmt, w, h)
+          val t = ImageCodec.resize(px, w, h, tw, th)
+          val enc = if (fmt == "png") ImageCodec.encodePng(t, tw, th)
+                    else ImageCodec.encodeRaw(t)
+          (id, enc, tw, th, fmt)
+        }
+      }
+      .toDF("image_id", "thumb_bytes", "tw", "th", "fmt")
+  }
+
   /** Per-cell tile metrics (north-rule metrics sidecar): counts + PSNR
     * floor + caption integrity, written per run to the metrics table.
     */

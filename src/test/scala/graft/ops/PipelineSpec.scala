@@ -199,6 +199,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.getInt(2) === 1)
   }
 
+  test("thumbnails: box-average resize is mean-preserving and deterministic") {
+    import graft.model.ImageCodec
+    // flat-color buffer resizes to the same flat color
+    val flat = Array.fill(16 * 16 * 3)(77.toByte)
+    assert(ImageCodec.resize(flat, 16, 16, 4, 4).forall(_ == 77.toByte))
+    // global mean is preserved by box averaging (within integer truncation)
+    val px = ImageCodec.seededPixels(16, 16, 42L)
+    val small = ImageCodec.resize(px, 16, 16, 4, 4)
+    def mean(a: Array[Byte]) = a.iterator.map(_ & 0xFF).sum.toDouble / a.length
+    assert(math.abs(mean(px) - mean(small)) < 4.0)
+    // operator: one thumb per image, deterministic bytes
+    val t1 = ImageOps.thumbnails(spark, images.limit(64), 4, 4)
+      .select("image_id", "thumb_bytes").collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val t2 = ImageOps.thumbnails(spark, images.limit(64).repartition(7), 4, 4)
+      .select("image_id", "thumb_bytes").collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(t1 === t2 && t1.size === 64)
+  }
+
   test("image features: deterministic channel means") {
     val f = ImageOps.extractFeatures(spark, images.limit(16)).collect()
     assert(f.length === 16)
