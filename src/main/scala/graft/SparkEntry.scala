@@ -327,6 +327,18 @@ object SparkEntry {
           dsum(col("p.x") + col("p.y") + col("p.z")).as("coord_checksum"))
         .orderBy("surface_class")
     }),
+    "q37_range_join" -> ((s, d) => {
+      // O-40's relational twin, oracle-checked: equi prefilter (orderkey) +
+      // interval-membership residual — the same plan shape as bboxJoin
+      val li = s.read.parquet(p(d, "lineitem"))
+      val o = s.read.parquet(p(d, "orders"))
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "q36_thumbnails" -> ((s, d) => {
       // multimodal resize op: per-fmt thumbnail counts + byte checksum
       ImageOps.thumbnails(s, synthImages(s, d), tw = 4, th = 4)
@@ -348,6 +360,13 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q37_range_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           AND l_shipdate >= o_orderdate
+           AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
