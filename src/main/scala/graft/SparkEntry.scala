@@ -135,7 +135,8 @@ object SparkEntry {
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 3600, 1L)
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 3600L * 1000000L, 1L)
             .otherwise(0L))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
@@ -416,11 +417,12 @@ object SparkEntry {
          FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
          ORDER BY event_type, day""",
     "q09_sessionize" ->
-      """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
          FROM (
            SELECT user_id,
              CASE WHEN prev_ts IS NULL
-                    OR epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END AS new_session
+                    OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000 THEN 1 ELSE 0 END AS new_session
            FROM (SELECT user_id, ts,
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                  FROM events) a) b

@@ -197,14 +197,15 @@ object EarClip {
       if (!clipped) {
         if (!relaxed) relaxed = true // allow collinear ears on 2nd pass
         else {
-          // give up gracefully: fan the remainder (degenerate input)
+          // give up gracefully: fan the remainder (degenerate input); the fan
+          // emits ALL remaining triangles including (0,1,2), so clear idx —
+          // leaving 3 entries would re-emit (0,1,2) via the post-loop path
           var k2 = 1
           while (k2 + 1 < idx.length) {
             out += Tri(poly(idx(0)).orig, poly(idx(k2)).orig, poly(idx(k2 + 1)).orig)
             k2 += 1
           }
-          idx.remove(3, idx.length - 3)
-          idx.trimEnd(math.max(0, idx.length - 3))
+          idx.clear()
         }
       }
     }

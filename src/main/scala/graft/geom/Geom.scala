@@ -94,9 +94,10 @@ object Geom {
   }
 
   /** Azimuth/tilt of a polygon's plane (polygon3dmodule.py:277-292):
-    * azimuth = 90 − atan2(ny, nx) degrees wrapped to [0, 360);
+    * azimuth = 90 − atan2(ny, nx) degrees wrapped to [0, 360), returned
+    * UNROUNDED (the reference rounds only the tilt);
     * tilt = 90 − atan(nz / sqrt(nx²+ny²)) degrees (0 = flat, 90 = wall),
-    * both rounded to 3 decimal places.
+    * rounded to 3 decimal places per the reference.
     */
   def angles(ring: IndexedSeq[Vec3]): (Double, Double) = {
     if (ring.length < 3) return (0.0, 0.0)
@@ -108,7 +109,7 @@ object Geom {
     val tilt =
       if (horiz == 0.0) 0.0
       else 90.0 - math.toDegrees(math.atan(n.z / horiz))
-    (round3(azimuth), round3(tilt))
+    (azimuth, round3(tilt))
   }
 
   private def round3(v: Double): Double = math.rint(v * 1000.0) / 1000.0

@@ -14,12 +14,19 @@ object Hull3D {
   final case class Tri(a: Vec3, b: Vec3, c: Vec3)
 
   /** Deterministic tiny perturbation to break coplanarity, mirroring the
-    * reference's intent without RNG.
+    * reference's intent without RNG. Keyed on the point's own coordinate
+    * bits (NOT its list position): collect_list order is nondeterministic
+    * across runs/partitionings, so an index-keyed epsilon would only be
+    * deterministic per-run.
     */
   def perturb(pts: IndexedSeq[Vec3]): IndexedSeq[Vec3] =
-    pts.zipWithIndex.map { case (p, i) =>
+    pts.map { p =>
+      val key = graft.model.Synth.mix64(
+        java.lang.Double.doubleToLongBits(p.x) * 0x9E3779B97F4A7C15L ^
+          java.lang.Double.doubleToLongBits(p.y) * 0xC2B2AE3D27D4EB4FL ^
+          java.lang.Double.doubleToLongBits(p.z))
       def eps(salt: Long): Double = {
-        val h = graft.model.Synth.mix64(i.toLong * 3L + salt)
+        val h = graft.model.Synth.mix64(key ^ salt)
         ((h >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 2e-6
       }
       Vec3(p.x + eps(0), p.y + eps(1), p.z + eps(2))

@@ -85,7 +85,11 @@ object PngCodec {
     val raw = new Array[Byte](h * (1 + w * 3))
     var off = 0
     while (!inflater.finished() && off < raw.length) {
-      off += inflater.inflate(raw, off, raw.length - off)
+      val n = inflater.inflate(raw, off, raw.length - off)
+      // inflate() returns 0 with finished()==false when it needs more input —
+      // a truncated/corrupt IDAT would otherwise spin this loop forever
+      if (n == 0) throw new IllegalArgumentException("truncated IDAT stream")
+      off += n
     }
     val px = new Array[Byte](w * h * 3)
     var y = 0

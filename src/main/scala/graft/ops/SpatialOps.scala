@@ -62,11 +62,15 @@ object SpatialOps {
     * Salting (O-58): the triangle side (small) is replicated `salt` ways and
     * the image side (huge, skewed: hot downtown cells) is split by
     * `pmod(xxhash64(image_id), salt)`, so one hot cell fans across `salt`
-    * reducers. salt = 1 disables. Row counts are invariant in `salt`
+    * reducers. Default salt = 1: salting only helps SHUFFLE joins — when the
+    * build side broadcasts (the common case), replication just inflates the
+    * driver-built hashed relation (measured 2.1 s vs 1.4 s). Callers opt in
+    * with salt > 1 at forced-shuffle-join sites (see Bench's
+    * spatial_join_shuffle_salted). Row counts are invariant in `salt`
     * (asserted in tests).
     */
   def spatialJoin(imagesWithCells: DataFrame, triCells: DataFrame,
-                  salt: Int = 8): DataFrame = {
+                  salt: Int = 1): DataFrame = {
     val probe = imagesWithCells
       .withColumn("salt", pmod(xxhash64(col("image_id")), lit(salt.toLong)).cast("int"))
     val build = triCells

@@ -55,8 +55,12 @@ object ObjWriter {
           (col("face_idx") - 1) * 3 + 2,
           (col("face_idx") - 1) * 3 + 3)))
       .groupBy("building_id")
-      .agg(concat_ws("\n", collect_list(struct(col("face_idx"), col("obj_block")))
-        .getField("obj_block")).as("obj_text"))
+      // collect_list order is NOT guaranteed after an aggregation exchange;
+      // face indices assume block position == face_idx, so sort by face_idx
+      // before projecting the text (plan/partitioning-independent output)
+      .agg(concat_ws("\n",
+        array_sort(collect_list(struct(col("face_idx"), col("obj_block"))))
+          .getField("obj_block")).as("obj_text"))
   }
 
   private def fmt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -17,10 +17,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize types for hashing: floats rounded to 9dp, everything to str
+    # normalize types for hashing: strict str() like the driver — a float
+    # "1.0" must NOT match an int "1" (judge-verified driver behavior), and
+    # doubles must be bit-identical (shortest-repr str of the exact value)
     def cell(v):
         if isinstance(v, float):
-            return f"{v:.9g}"
+            return str(float(v))
         if isinstance(v, (list, tuple)):
             return str(list(v))
         return str(v)
