@@ -19,11 +19,11 @@ object SpatialOps {
     */
   final val JoinLevel = 14
 
-  /** kNN candidate level: 64 m cells. The 3×3 neighbor ring reaches ≥ 128 m
-    * from any anchor — more than the synth city's worst anchor-to-building
-    * gap (~90 m) — while keeping the candidate set ~10 buildings instead of
-    * hundreds (coarser levels bloat the per-probe candidate list, which is
-    * what dominates kNN cost at scale).
+  /** kNN candidate level: 64 m cells. Round 1 of the exact expansion loop
+    * probes the cover of [anchor ± 64 m] (≤ 3×3 cells, ~10 buildings in the
+    * synth city); probes whose k-th candidate isn't provably final expand —
+    * see [[knnAssignExact]]. Coarser levels bloat the per-probe candidate
+    * list, which is what dominates kNN cost at scale.
     */
   final val KnnLevel = 14
 
@@ -89,67 +89,154 @@ object SpatialOps {
       countDistinct(col("image_id")).as("n_images"),
       countDistinct(col("surface_id")).as("n_surfaces"))
 
-  /** kNN candidate set: each image probes its 3×3 neighbor-ring cells
-    * (bounded fan-out) against surface-centroid cells; exact distances.
+  /** Surface centroids (anchor of the kNN metric), with their cell at
+    * `level`. Centroid = arithmetic mean over ALL exterior ring points (the
+    * stored ring including closure), matching the reference's centroid
+    * contract (polygon3dmodule.py:338-348).
     */
-  private def knnCandidates(imagesWithAnchors: DataFrame, surfaces: DataFrame,
-                            level: Int): DataFrame = {
-    val cents = surfaces.select(
+  private def surfaceCentroids(surfaces: DataFrame, level: Int): DataFrame =
+    surfaces.select(
       col("surface_id"), col("building_id"), col("surface_class"),
       (aggregate(col("ext"), lit(0.0), (acc, p) => acc + p.getField("x")) /
         size(col("ext"))).as("cx"),
       (aggregate(col("ext"), lit(0.0), (acc, p) => acc + p.getField("y")) /
         size(col("ext"))).as("cy"))
       .withColumn("knn_cell", cell_encode(col("cx"), col("cy"), lit(level)))
-    val probes = imagesWithAnchors
-      .withColumn("knn_cell",
-        explode(cell_neighbors(cell_encode(col("anchor_x"), col("anchor_y"), lit(level)))))
-    probes.join(cents, Seq("knn_cell"))
-      .withColumn("dist",
-        sqrt(pow(col("anchor_x") - col("cx"), 2) + pow(col("anchor_y") - col("cy"), 2)))
-  }
 
-  /** kNN nearest-surface assignment via bounded-buffer top-k Aggregator
-    * (O-39/O-53): the PARTIAL aggregate reduces each image's ~9-cell
-    * candidate fan-out to ≤ k rows map-side, so the exchange moves
-    * k·|images| rows instead of every candidate — the winning plan when the
-    * shuffle crosses a real network. On local[n] (no network) the window
-    * formulation measures faster (4.6 s vs 5.4 s at 32 cores, sf0.1) because
-    * the Aggregator pays per-row typed deserialization, so `knnAssign`
-    * defaults to the window plan and this stays the documented cluster-scale
-    * alternative. Output is identical (asserted in PipelineSpec).
+  /** Candidate rows for one expansion round: probe the cell cover of the
+    * square [anchor ± reach] and carry `safe` — the exact distance from the
+    * anchor to the border of the EXPLORED region (domain borders count as
+    * explored: no cell, hence no centroid, lies outside the domain).
+    * A probe's top-k is provably exact once its k-th candidate distance is
+    * strictly below `safe`: every unexplored centroid is ≥ `safe` away.
     */
-  def knnAssignAgg(imagesWithAnchors: DataFrame, surfaces: DataFrame,
-                   k: Int = 3, level: Int = KnnLevel): DataFrame = {
-    val topk = udaf(new graft.ops.TopKCandAgg(k),
-      org.apache.spark.sql.Encoders.product[KnnCand])
-    knnCandidates(imagesWithAnchors, surfaces, level)
-      .groupBy(col("image_id"))
-      .agg(topk(col("dist"), col("surface_id"), col("building_id"),
-        col("surface_class")).as("cands"))
-      .select(col("image_id"), posexplode(col("cands")).as(Seq("pos", "cand")))
-      .select(col("image_id"), (col("pos") + 1).as("rk"),
-        col("cand.surface_id").as("surface_id"),
-        col("cand.building_id").as("building_id"),
-        col("cand.surface_class").as("surface_class"),
-        round(col("cand.dist"), 6).as("dist"))
+  private def knnRoundCandidates(probes: DataFrame, cents: DataFrame,
+                                 reach: Double, level: Int): DataFrame = {
+    val size = graft.geom.Cells.sizeAt(level)
+    val world = graft.geom.Cells.World.toDouble
+    val big = lit(Double.MaxValue)
+    val xlo = floor((col("anchor_x") - reach) / size) * size
+    val xhi = (floor((col("anchor_x") + reach) / size) + 1) * size
+    val ylo = floor((col("anchor_y") - reach) / size) * size
+    val yhi = (floor((col("anchor_y") + reach) / size) + 1) * size
+    val safe = least(
+      when(xlo <= 0.0, big).otherwise(col("anchor_x") - xlo),
+      when(xhi >= world, big).otherwise(xhi - col("anchor_x")),
+      when(ylo <= 0.0, big).otherwise(col("anchor_y") - ylo),
+      when(yhi >= world, big).otherwise(yhi - col("anchor_y")))
+    val dx = col("anchor_x") - col("cx")
+    val dy = col("anchor_y") - col("cy")
+    probes
+      .withColumn("safe", safe)
+      .withColumn("knn_cell", explode(cell_cover(
+        col("anchor_x") - reach, col("anchor_y") - reach,
+        col("anchor_x") + reach, col("anchor_y") + reach, lit(level))))
+      .join(cents, Seq("knn_cell"))
+      .withColumn("dist", sqrt(dx * dx + dy * dy))
   }
 
-  /** kNN nearest-surface assignment (O-39): window top-k over the exact
-    * candidate distances — one shuffle for the (broadcast) join, one for the
-    * window. See `knnAssignAgg` for the map-side-reduced variant.
+  /** Top-k per probe over candidate rows. Window variant (fastest on
+    * local[n]); `useAgg` switches to the bounded-buffer Aggregator that
+    * reduces each probe's candidate fan-out to ≤ k rows MAP-side, so the
+    * exchange moves k·|probes| rows — the winning plan when the shuffle
+    * crosses a real network (documented cluster path; output equality
+    * asserted in PipelineSpec).
+    */
+  private def knnTopK(cands: DataFrame, k: Int, useAgg: Boolean): DataFrame =
+    if (useAgg) {
+      val topk = udaf(new graft.ops.TopKCandAgg(k),
+        org.apache.spark.sql.Encoders.product[KnnCand])
+      cands.groupBy(col("image_id"))
+        .agg(topk(col("dist"), col("surface_id"), col("building_id"),
+          col("surface_class")).as("cands"),
+          min(col("safe")).as("safe"))
+        .select(col("image_id"), col("safe"),
+          posexplode(col("cands")).as(Seq("pos", "cand")))
+        .select(col("image_id"), (col("pos") + 1).as("rk"),
+          col("cand.surface_id").as("surface_id"),
+          col("cand.building_id").as("building_id"),
+          col("cand.surface_class").as("surface_class"),
+          col("cand.dist").as("dist"), col("safe"))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("image_id"))
+        .orderBy(col("dist").asc, col("surface_id").asc)
+      cands.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k)
+        .select(col("image_id"), col("rk"), col("surface_id"),
+          col("building_id"), col("surface_class"), col("dist"), col("safe"))
+    }
+
+  /** kNN nearest-surface assignment (O-39/O-53), EXACT by construction.
+    *
+    * A fixed neighbor ring silently returns wrong answers once the true
+    * k-th neighbor lies past the ring (a 3×3 ring at 64 m cells guarantees
+    * only ~64 m reach from an edge anchor, not 128 m). Instead: iterative
+    * ring expansion — probe the cell cover of [anchor ± reach], keep a
+    * probe's top-k only when its k-th candidate distance is strictly below
+    * the distance to the unexplored boundary (`safe`), quadruple `reach`
+    * for the unresolved probes, and brute-force the (tiny) tail after
+    * `maxRounds`. Cost at scale: round 1 is the old bounded 3×3 fan-out and
+    * resolves ~all probes; later rounds touch only the stragglers, so the
+    * exchange volume stays ~k·|images|. The per-round driver actions are
+    * O(1) aggregates (an isEmpty per round), never data collects.
+    */
+  def knnAssignExact(imagesWithAnchors: DataFrame, surfaces: DataFrame,
+                     k: Int, level: Int, useAgg: Boolean,
+                     maxRounds: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cellSize = graft.geom.Cells.sizeAt(level)
+    val cents = surfaceCentroids(surfaces, level)
+    val out = col("image_id") :: col("rk") :: col("surface_id") ::
+      col("building_id") :: col("surface_class") ::
+      round(col("dist"), 6).as("dist") :: Nil
+    var remaining = imagesWithAnchors
+      .select(col("image_id"), col("anchor_x"), col("anchor_y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var reach = cellSize
+    var roundNo = 0
+    while (roundNo < maxRounds && !remaining.isEmpty) {
+      val ranked = knnTopK(knnRoundCandidates(remaining, cents, reach, level),
+        k, useAgg).persist(StorageLevel.MEMORY_AND_DISK)
+      val doneIds = ranked.groupBy(col("image_id"))
+        .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"),
+          min(col("safe")).as("safe_min"))
+        .where(col("n") >= k && col("kth") < col("safe_min"))
+        .select(col("image_id"))
+      results += ranked.join(doneIds, Seq("image_id"), "left_semi").select(out: _*)
+      remaining = remaining.join(doneIds, Seq("image_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      reach *= 4
+      roundNo += 1
+    }
+    if (!remaining.isEmpty) {
+      // exhaustive tail: unresolved probes (empty regions / pathological
+      // skew) × ALL centroids — distributed, bounded by the straggler count
+      val brute = remaining
+        .withColumn("safe", lit(Double.MaxValue))
+        .crossJoin(cents.drop("knn_cell"))
+        .withColumn("dist", sqrt(
+          (col("anchor_x") - col("cx")) * (col("anchor_x") - col("cx")) +
+            (col("anchor_y") - col("cy")) * (col("anchor_y") - col("cy"))))
+      results += knnTopK(brute, k, useAgg).select(out: _*)
+    }
+    results.reduce(_.unionByName(_))
+  }
+
+  /** kNN via the window top-k plan (default on local[n]). Exact — see
+    * [[knnAssignExact]].
     */
   def knnAssign(imagesWithAnchors: DataFrame, surfaces: DataFrame,
-                k: Int = 3, level: Int = KnnLevel): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("image_id"))
-      .orderBy(col("dist").asc, col("surface_id").asc)
-    knnCandidates(imagesWithAnchors, surfaces, level)
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("image_id"), col("rk"), col("surface_id"), col("building_id"),
-        col("surface_class"), round(col("dist"), 6).as("dist"))
-  }
+                k: Int = 3, level: Int = KnnLevel): DataFrame =
+    knnAssignExact(imagesWithAnchors, surfaces, k, level, useAgg = false)
+
+  /** kNN via the map-side bounded-buffer Aggregator (documented cluster
+    * path — see [[knnTopK]]). Exact; output equals [[knnAssign]].
+    */
+  def knnAssignAgg(imagesWithAnchors: DataFrame, surfaces: DataFrame,
+                   k: Int = 3, level: Int = KnnLevel): DataFrame =
+    knnAssignExact(imagesWithAnchors, surfaces, k, level, useAgg = true)
 
   /** Bounding box + buffer (O-43): per-building AABB over exterior points of
     * the five structural classes, buffered ±3 m (code wins over README's 2 m,
