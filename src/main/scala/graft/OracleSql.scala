@@ -1,0 +1,147 @@
+package graft
+
+import graft.geom.Cells
+
+/** DuckDB SQL fragment generators for the correctness oracles.
+  *
+  * The driver's gate re-executes `SparkEntry.oracleSql` in DuckDB and
+  * hash-compares against the engine's parquet output. The geometry/engine
+  * queries aren't expressible over the star-schema tables alone, so
+  * `graft.Verify` dumps the SYNTH INPUTS (surfaces, anchored images,
+  * triangles, signatures) as parquet under `<outDir>/inputs/`, and these
+  * helpers generate plain-SQL recomputations — Morton cell encoding as bit
+  * math, point-in-triangle as sign-of-cross tests, ring validity/area per
+  * the reference formulas (polygon3dmodule.py:70-123, 245-261) — over
+  * `read_parquet('<outDir>/inputs/…')`. The [[Out]] token is substituted
+  * with the absolute outDir by Verify when it writes oracle_sql.json.
+  *
+  * Float discipline: every fragment mirrors the Spark expression tree
+  * operation-for-operation (same literals, same association order), so
+  * IEEE-754 doubles come out bit-identical; transcendentals (atan2, sqrt of
+  * irrationals) are shielded by explicit round() on BOTH sides.
+  */
+object OracleSql {
+
+  /** Token Verify replaces with the absolute output directory. */
+  final val Out = "__OUT__"
+
+  /** read_parquet reference to a dumped input table (Spark writes a
+    * directory of part files — glob inside it).
+    */
+  def inp(name: String): String =
+    s"read_parquet('$Out/inputs/$name.parquet/*.parquet')"
+
+  // ---- Morton cell encoding (graft.geom.Cells, O-55) ----
+
+  /** Bit-spread of the low 24 bits of `e` into even positions — the 5
+    * shift-or-mask steps of Cells.spread, decimal masks (DuckDB has no hex
+    * literals). Expression doubles per step: ~32 copies of `e`, fine for
+    * machine-generated SQL.
+    */
+  def spread(e: String): String = {
+    var v = s"(($e) & 16777215)"
+    for ((sh, m) <- Seq((16, 281470681808895L), (8, 71777214294589695L),
+      (4, 1085102592571150095L), (2, 3689348814741910323L),
+      (1, 6148914691236517205L)))
+      v = s"(($v | ($v << $sh)) & $m)"
+    v
+  }
+
+  /** cell_id of point (x, y) at `level` — (level << 48) | morton(ix, iy),
+    * identical to Cells.encode (clamp omitted: synth city is deep inside the
+    * domain).
+    */
+  def cell(x: String, y: String, level: Int): String = {
+    val size = Cells.sizeAt(level)
+    val ix = s"CAST(floor(($x) / $size) AS BIGINT)"
+    val iy = s"CAST(floor(($y) / $size) AS BIGINT)"
+    s"((CAST($level AS BIGINT) << ${2 * Cells.MaxLevel}) | ${spread(ix)} | (${spread(iy)} << 1))"
+  }
+
+  // ---- point-in-triangle (Geom.pointInTri2D, O-38 refinement) ----
+
+  /** Boundary-inclusive half-plane PIP over flattened triangle corner
+    * columns (prefix e.g. "t."), replicating pointInTri2D's exact operand
+    * order.
+    */
+  def pip(px: String, py: String, t: String): String = {
+    val d1 = s"(($px - ${t}bx) * (${t}ay - ${t}by) - (${t}ax - ${t}bx) * ($py - ${t}by))"
+    val d2 = s"(($px - ${t}cx) * (${t}by - ${t}cy) - (${t}bx - ${t}cx) * ($py - ${t}cy))"
+    val d3 = s"(($px - ${t}ax) * (${t}cy - ${t}ay) - (${t}cx - ${t}ax) * ($py - ${t}ay))"
+    s"NOT (($d1 < 0 OR $d2 < 0 OR $d3 < 0) AND ($d1 > 0 OR $d2 > 0 OR $d3 > 0))"
+  }
+
+  // ---- ring helpers (rings are LIST<STRUCT(x,y,z)>) ----
+
+  /** Geom.cleanRing: first-occurrence dedup of the body (all points except
+    * the last), closure re-appended verbatim.
+    */
+  def clean(r: String): String =
+    s"list_append(list_filter(($r)[1:len($r)-1], (p,i) -> NOT list_contains(($r)[1:i-1], p)), ($r)[-1])"
+
+  /** Ring with the closing point dropped when present (EarClip.open). */
+  def open(r: String): String =
+    s"(CASE WHEN len($r) > 1 AND ($r)[1] = ($r)[-1] THEN ($r)[1:len($r)-1] ELSE ($r) END)"
+
+  /** unitNormal numerator components from the first three points of ring
+    * column `r` — the three det3 Laplace expansions of Geom.unitNormal,
+    * exact operand order. Emits "… AS <p>nx, … AS <p>ny, … AS <p>nz".
+    */
+  def normalCols(r: String, p: String = ""): String = {
+    val (a, b, c) = (s"($r)[1]", s"($r)[2]", s"($r)[3]")
+    val nx = s"(1*(($b).y*($c).z - ($b).z*($c).y) - ($a).y*(1*($c).z - ($b).z*1) + ($a).z*(1*($c).y - ($b).y*1))"
+    val ny = s"(($a).x*(1*($c).z - ($b).z*1) - 1*(($b).x*($c).z - ($b).z*($c).x) + ($a).z*(($b).x*1 - 1*($c).x))"
+    val nz = s"(($a).x*(($b).y*1 - 1*($c).y) - ($a).y*(($b).x*1 - 1*($c).x) + 1*(($b).x*($c).y - ($b).y*($c).x))"
+    s"$nx AS ${p}nx, $ny AS ${p}ny, $nz AS ${p}nz"
+  }
+
+  /** isPolyValid over ring column `r` given its normal component columns
+    * nx/ny/nz (prefix `p`) already in scope: closed, ≥4 points, no
+    * consecutive duplicates, planar within eps=0.01 against the first-3
+    * unit normal (Geom.isPolyValid / isPolyPlanar).
+    */
+  def isValid(r: String, p: String = ""): String = {
+    val mag = s"sqrt(${p}nx*${p}nx + ${p}ny*${p}ny + ${p}nz*${p}nz)"
+    val noDup =
+      s"len(list_filter(range(2, len($r)+1), i -> ($r)[i] = ($r)[i-1])) = 0"
+    val planar =
+      s"""($mag <> 0.0 AND len(list_filter(range(4, len($r)+1),
+          i -> abs((($r)[i].x - ($r)[1].x) * (${p}nx/$mag)
+             + (($r)[i].y - ($r)[1].y) * (${p}ny/$mag)
+             + (($r)[i].z - ($r)[1].z) * (${p}nz/$mag)) > 0.01)) = 0)"""
+    s"(len($r) >= 4 AND ($r)[1] = ($r)[-1] AND $noDup AND $planar)"
+  }
+
+  /** 3D shoelace area of ring column `r` (Geom.area3D): |Σ cross(v_i,
+    * v_{i+1}) · unitNormal(first 3)| / 2 over the opened ring. Callers
+    * guarantee validity, so the first-3 normal exists (mag ≠ 0).
+    * `p` = prefix of the normal component columns in scope.
+    */
+  def area(r: String, p: String = ""): String = {
+    val b = open(r)
+    def comp(f: String) = // f ∈ {x,y,z} cross component via cyclic pairs
+      f match {
+        case "x" => s"list_aggregate(list_transform(range(1, len($b)+1), i -> ($b)[i].y * ($b)[CASE WHEN i = len($b) THEN 1 ELSE i+1 END].z - ($b)[i].z * ($b)[CASE WHEN i = len($b) THEN 1 ELSE i+1 END].y), 'sum')"
+        case "y" => s"list_aggregate(list_transform(range(1, len($b)+1), i -> ($b)[i].z * ($b)[CASE WHEN i = len($b) THEN 1 ELSE i+1 END].x - ($b)[i].x * ($b)[CASE WHEN i = len($b) THEN 1 ELSE i+1 END].z), 'sum')"
+        case _   => s"list_aggregate(list_transform(range(1, len($b)+1), i -> ($b)[i].x * ($b)[CASE WHEN i = len($b) THEN 1 ELSE i+1 END].y - ($b)[i].y * ($b)[CASE WHEN i = len($b) THEN 1 ELSE i+1 END].x), 'sum')"
+      }
+    val mag = s"sqrt(${p}nx*${p}nx + ${p}ny*${p}ny + ${p}nz*${p}nz)"
+    s"abs((${comp("x")} * (${p}nx/$mag) + ${comp("y")} * (${p}ny/$mag) + ${comp("z")} * (${p}nz/$mag)) / 2.0)"
+  }
+
+  // ---- 60-bit md5-derived hash (cross-engine text hashing) ----
+
+  /** First 15 hex chars of md5(e) as a BIGINT — equals Spark
+    * `conv(substring(md5(e), 1, 15), 16, 10).cast("long")` (60 bits, no
+    * overflow under ANSI).
+    */
+  def md5n(e: String): String =
+    s"list_reduce(list_transform(range(1,16), i -> strpos('0123456789abcdef', substr(md5($e), i, 1))::BIGINT - 1), (acc,d) -> acc*16 + d)"
+
+  /** Surface centroid x/y columns (mean over ALL ext points incl. closure),
+    * matching SpatialOps.surfaceCentroids' fold.
+    */
+  def centroidCols: String =
+    """list_aggregate(list_transform(ext, p -> p.x), 'sum') / len(ext) AS cx,
+       list_aggregate(list_transform(ext, p -> p.y), 'sum') / len(ext) AS cy"""
+}

@@ -40,6 +40,44 @@ object SparkEntry {
     Synth.withAnchors(Synth.images(s, nImages(sf), nBuildings(sf)).toDF, nBuildings(sf))
   }
 
+  /** Dump the synthetic INPUT tables under `<outDir>/inputs/` so the DuckDB
+    * oracles can recompute the geometry/engine queries from first principles
+    * (see [[OracleSql]]). Parameters (k/bands/bits/…) stay in lockstep with
+    * the corresponding `queries` entries.
+    */
+  def dumpInputs(s: SparkSession, sfDir: String, outDir: String): Unit = {
+    import s.implicits._
+    def w(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/inputs/$name.parquet")
+    val surf = synthSurfaces(s, sfDir)
+    w(surf, "surfaces")
+    val imgs = synthImages(s, sfDir)
+    w(imgs.drop("bytes"), "images")
+    // decoded source pixels (int 0..255) — lets SQL recompute resize math
+    w(imgs.select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"))
+      .as[(String, Array[Byte], Int, Int, String)]
+      .map { case (id, bytes, wd, ht, fmt) =>
+        (id, fmt, graft.model.ImageCodec.decode(bytes, fmt, wd, ht)
+          .map(b => b & 0xFF).toSeq)
+      }.toDF("image_id", "fmt", "px"), "pixels")
+    val (ok, _) = ObjPipeline.validated(surf)
+    w(SpatialOps.triangles(ObjPipeline.withoutOpenings(ok))
+      .select(col("building_id"), col("surface_id"), col("surface_class"),
+        col("poly_ord"), col("tri_idx"),
+        col("tri.a.x").as("ax"), col("tri.a.y").as("ay"), col("tri.a.z").as("az"),
+        col("tri.b.x").as("bx"), col("tri.b.y").as("by"), col("tri.b.z").as("bz"),
+        col("tri.c.x").as("cx"), col("tri.c.y").as("cy"), col("tri.c.z").as("cz")),
+      "triangles")
+    val docs = s.read.parquet(p(sfDir, "documents"))
+    w(TextOps.minhashBandTable(docs, k = 3, bands = 16, rows = 2), "minhash_bands")
+    w(docs.select(col("doc_id"), TextOps.simhash(col("text")).as("sim")), "simhash_sigs")
+    val emb = s.read.parquet(p(sfDir, "embeddings"))
+    w(AnnOps.lshCandidates(emb, Seq(0L, 1L, 2L), dim = 64, bits = 10, tables = 4),
+      "ann_candidates")
+    w(AnnOps.cosineCandidates(emb, dim = 64, bits = 8), "cos_candidates")
+    w(Synth.envelopes(s, 16L), "envelopes")
+  }
+
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
     * captioned images against triangulated LoD2 surfaces, counted per cell.
     */
@@ -269,7 +307,9 @@ object SparkEntry {
       ok.select(col("surface_id"), col("surface_class"),
         poly_angles(col("ext")).as("ang"))
         .select(col("surface_id"), col("surface_class"),
-          col("ang.azimuth").as("azimuth"), col("ang.tilt").as("tilt"),
+          // azimuth is unrounded in Geom.angles (reference parity); round it
+          // here so the DuckDB oracle's libm atan2 can't drift a ulp past us
+          round(col("ang.azimuth"), 6).as("azimuth"), col("ang.tilt").as("tilt"),
           when(abs(col("ang.tilt")) < 10, "horizontal")
             .when(abs(col("ang.tilt") - 90) < 10, "wall")
             .otherwise("sloped").as("pred_class"))
@@ -347,6 +387,13 @@ object SparkEntry {
           sum(crc32(col("thumb_bytes"))).as("bytes_checksum"))
         .orderBy("fmt")
     }),
+    "q38_area" -> ((s, d) => {
+      // O-18/O-20 getAreaOfGML: exterior minus valid holes, invalid rings
+      // contribute 0 — oracle recomputes the shoelace/validity in pure SQL
+      synthSurfaces(s, d).select(col("surface_id"),
+        round(area_gml(col("ext"), col("holes")), 6).as("area"))
+        .orderBy("surface_id")
+    }),
     "q35_attr_stats" -> ((s, d) => {
       // O-45 attribute range stats over the attrs map column
       synthSurfaces(s, d)
@@ -360,7 +407,138 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  // shorthand for the oracle-side input dumps + SQL fragment generators
+  private val O = OracleSql
+  private val StructuralClasses =
+    "('GroundSurface','WallSurface','RoofSurface','ClosureSurface','CeilingSurface')"
+
+  /** Oracles for the geometry/engine family — recomputed in DuckDB from the
+    * Verify input dumps (see OracleSql). Kept separate so the map below
+    * stays readable.
+    */
+  private def geomOracles: Map[String, String] = Map(
+    "q16_spatial_join_cells" ->
+      s"""WITH i AS (SELECT image_id, ${O.cell("anchor_x", "anchor_y", 14)} AS cell_id,
+                 anchor_x, anchor_y FROM ${O.inp("images")}),
+          m AS (SELECT i.cell_id, i.image_id, t.surface_id
+                FROM i JOIN ${O.inp("triangles")} t
+                  ON ${O.pip("i.anchor_x", "i.anchor_y", "t.")})
+          SELECT cell_id, COUNT(*) AS n_matches,
+                 COUNT(DISTINCT image_id) AS n_images,
+                 COUNT(DISTINCT surface_id) AS n_surfaces
+          FROM m GROUP BY cell_id ORDER BY cell_id""",
+    "q17_knn" ->
+      s"""WITH c AS (SELECT surface_id, building_id, surface_class, ${O.centroidCols}
+                     FROM ${O.inp("surfaces")}),
+          d AS (SELECT i.image_id, c.surface_id, c.building_id, c.surface_class,
+                  sqrt((i.anchor_x - c.cx)*(i.anchor_x - c.cx)
+                     + (i.anchor_y - c.cy)*(i.anchor_y - c.cy)) AS dist
+                FROM ${O.inp("images")} i CROSS JOIN c)
+          SELECT image_id,
+                 ROW_NUMBER() OVER (PARTITION BY image_id
+                   ORDER BY dist ASC, surface_id ASC) AS rk,
+                 surface_id, building_id, surface_class, round(dist, 6) AS dist
+          FROM d QUALIFY rk <= 3 ORDER BY image_id, rk""",
+    "q18_triangulate" ->
+      s"""WITH s0 AS (SELECT surface_id, surface_class, ${O.clean("ext")} AS c,
+                        list_transform(holes, h -> ${O.clean("h")}) AS hs
+                      FROM ${O.inp("surfaces")}),
+          s1 AS (SELECT *, ${O.normalCols("c")} FROM s0),
+          sv AS (SELECT * FROM s1 WHERE ${O.isValid("c")}),
+          op AS (SELECT DISTINCT c AS oc FROM sv WHERE surface_class IN ('Window','Door')),
+          th AS (SELECT sv.* FROM sv LEFT JOIN op ON sv.c = op.oc
+                 WHERE op.oc IS NULL AND sv.surface_class NOT IN ('Window','Door')),
+          tc AS (SELECT surface_class, surface_id,
+                   (len(${O.open("c")})
+                    + COALESCE(list_aggregate(list_transform(hs,
+                        h -> CASE WHEN len(${O.open("h")}) >= 3
+                                  THEN len(${O.open("h")}) ELSE 0 END), 'sum'), 0)
+                    - 2
+                    + 2 * len(list_filter(hs, h -> len(${O.open("h")}) >= 3))) AS t
+                 FROM th)
+          SELECT surface_class, CAST(SUM(t) AS BIGINT) AS n_triangles,
+                 COUNT(DISTINCT surface_id) AS n_surfaces
+          FROM tc GROUP BY surface_class ORDER BY surface_class""",
+    "q20_tiles" ->
+      s"""WITH i AS (SELECT ${O.cell("anchor_x", "anchor_y", 14)} AS cell_id
+                     FROM ${O.inp("images")})
+          SELECT cell_id, COUNT(*) AS n_tiles, 'infinity'::DOUBLE AS min_psnr,
+                 1 AS captions_ok
+          FROM i GROUP BY cell_id ORDER BY cell_id""",
+    "q24_bbox_join" ->
+      s"""WITH pts AS (SELECT building_id, unnest(ext) AS p FROM ${O.inp("surfaces")}
+                       WHERE surface_class IN $StructuralClasses),
+          b AS (SELECT building_id,
+                  MIN(p.x) - 3.0 AS xmin, MAX(p.x) + 3.0 AS xmax,
+                  MIN(p.y) - 3.0 AS ymin, MAX(p.y) + 3.0 AS ymax
+                FROM pts GROUP BY building_id)
+          SELECT b.building_id, COUNT(*) AS n_hits
+          FROM b JOIN ${O.inp("images")} i
+            ON i.anchor_x BETWEEN b.xmin AND b.xmax
+           AND i.anchor_y BETWEEN b.ymin AND b.ymax
+          GROUP BY b.building_id ORDER BY b.building_id""",
+    "q26_classify_angles" ->
+      s"""WITH s0 AS (SELECT surface_id, surface_class, ${O.clean("ext")} AS c
+                      FROM ${O.inp("surfaces")}),
+          s1 AS (SELECT *, ${O.normalCols("c")} FROM s0),
+          sv AS (SELECT * FROM s1 WHERE ${O.isValid("c")}),
+          a AS (SELECT surface_id, surface_class,
+                  nx / sqrt(nx*nx + ny*ny + nz*nz) AS ux,
+                  ny / sqrt(nx*nx + ny*ny + nz*nz) AS uy,
+                  nz / sqrt(nx*nx + ny*ny + nz*nz) AS uz
+                FROM sv),
+          b AS (SELECT *, sqrt(ux*ux + uy*uy) AS horiz,
+                  90.0 - degrees(atan2(uy, ux)) AS az0 FROM a),
+          t AS (SELECT surface_id, surface_class,
+                  CASE WHEN az0 >= 360.0 THEN az0 - 360.0
+                       WHEN az0 < 0.0 THEN az0 + 360.0 ELSE az0 END AS az1,
+                  CASE WHEN horiz = 0.0 THEN 0.0
+                       ELSE round(90.0 - degrees(atan(uz / horiz)), 3) END AS tilt
+                FROM b)
+          SELECT surface_id, surface_class, round(az1, 6) AS azimuth, tilt,
+                 CASE WHEN abs(tilt) < 10 THEN 'horizontal'
+                      WHEN abs(tilt - 90) < 10 THEN 'wall'
+                      ELSE 'sloped' END AS pred_class
+          FROM t ORDER BY surface_id""",
+    "q30_corner_triangles" ->
+      s"""WITH pts AS (SELECT building_id, unnest(ext) AS p FROM ${O.inp("surfaces")}
+                       WHERE surface_class IN $StructuralClasses),
+          b AS (SELECT building_id,
+                  MIN(p.x) - 3.0 AS xmin, MAX(p.x) + 3.0 AS xmax,
+                  MIN(p.y) - 3.0 AS ymin, MAX(p.y) + 3.0 AS ymax,
+                  MIN(p.z) - 3.0 AS zmin, MAX(p.z) + 3.0 AS zmax
+                FROM pts GROUP BY building_id)
+          SELECT b.building_id, v.tri_idx,
+                 CASE WHEN v.cx = 0 THEN b.xmin ELSE b.xmax END AS ax,
+                 CASE WHEN v.cy = 0 THEN b.ymin ELSE b.ymax END AS ay,
+                 CASE WHEN v.cz = 0 THEN b.zmin ELSE b.zmax END AS az
+          FROM b CROSS JOIN (VALUES (0,0,0,0),(1,1,0,0),(2,0,1,0),(3,1,1,0),
+                                    (4,0,0,1),(5,1,0,1),(6,0,1,1),(7,1,1,1))
+                 AS v(tri_idx, cx, cy, cz)
+          ORDER BY building_id, tri_idx""",
+    "q35_attr_stats" ->
+      s"""SELECT surface_class, COUNT(*) AS n, round(MIN(irr), 4) AS min_irr,
+                 round(MAX(irr), 4) AS max_irr
+          FROM (SELECT surface_class, attrs['irradiation'][1] AS irr
+                FROM ${O.inp("surfaces")})
+          WHERE irr IS NOT NULL GROUP BY surface_class ORDER BY surface_class""",
+    "q38_area" ->
+      s"""WITH s0 AS (SELECT surface_id, ext AS c, holes FROM ${O.inp("surfaces")}),
+          s1 AS (SELECT *, ${O.normalCols("c")} FROM s0),
+          e AS (SELECT surface_id,
+                  CASE WHEN ${O.isValid("c")} THEN ${O.area("c")} ELSE 0.0 END AS earea
+                FROM s1),
+          hr AS (SELECT surface_id, unnest(holes) AS h FROM s0),
+          h1 AS (SELECT surface_id, h, ${O.normalCols("h", "h")} FROM hr),
+          hs AS (SELECT surface_id,
+                   SUM(CASE WHEN ${O.isValid("h", "h")} THEN ${O.area("h", "h")}
+                            ELSE 0.0 END) AS hsum
+                 FROM h1 GROUP BY surface_id)
+          SELECT e.surface_id, round(e.earea - COALESCE(hs.hsum, 0.0), 6) AS area
+          FROM e LEFT JOIN hs USING (surface_id) ORDER BY surface_id"""
+  )
+
+  def oracleSql: Map[String, String] = geomOracles ++ Map(
     "q37_range_join" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty

@@ -79,23 +79,36 @@ object AnnOps {
     * within candidates. Recall < 1 by construction (approximate); the
     * brute-force op above is the exactness baseline.
     */
-  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], dim: Int = 64,
-              bits: Int = 12, tables: Int = 4, k: Int = 10): DataFrame = {
+  /** Distinct (query_id, vec_id) candidate pairs sharing an SRP bucket in
+    * any of `tables` independent signature tables — the bucketing stage of
+    * [[lshTopK]], exposed so Verify can dump it as an oracle input (the
+    * exact-cosine re-rank is then SQL-recomputable from embeddings).
+    */
+  def lshCandidates(embeddings: DataFrame, queryIds: Seq[Long], dim: Int,
+                    bits: Int, tables: Int): DataFrame = {
     val withSigs = embeddings.select(
-      col("vec_id"), col("embedding"),
+      col("vec_id"),
       array((0 until tables).map(t =>
         srpSignature(col("embedding"), dim, bits, t)): _*).as("sigs"))
-    val bucketed = withSigs.select(col("vec_id"), col("embedding"),
+    val bucketed = withSigs.select(col("vec_id"),
       posexplode(col("sigs")).as(Seq("table_idx", "bucket")))
     val q = bucketed.where(col("vec_id").isin(queryIds: _*))
-      .select(col("table_idx"), col("bucket"),
-        col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+      .select(col("table_idx"), col("bucket"), col("vec_id").as("query_id"))
     bucketed.join(q, Seq("table_idx", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("embedding"), col("q_emb"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
+  }
+
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], dim: Int = 64,
+              bits: Int = 12, tables: Int = 4, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    lshCandidates(embeddings, queryIds, dim, bits, tables)
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(embeddings.where(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+        Seq("query_id"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
@@ -105,17 +118,29 @@ object AnnOps {
   /** Embedding-cosine near-duplicate pairs via LSH buckets (dedup flavor of
     * the same machinery): pairs in a shared bucket with cosine ≥ threshold.
     */
-  def cosineNearDups(embeddings: DataFrame, dim: Int = 64, bits: Int = 10,
-                     threshold: Double = 0.95): DataFrame = {
-    val sigs = embeddings.select(col("vec_id"), col("embedding"),
+  /** Distinct (vec_a < vec_b) pairs sharing an SRP bucket — the blocking
+    * stage of [[cosineNearDups]], exposed as an oracle input (the exact
+    * cosine threshold filter is then SQL-recomputable from embeddings).
+    */
+  def cosineCandidates(embeddings: DataFrame, dim: Int, bits: Int): DataFrame = {
+    val sigs = embeddings.select(col("vec_id"),
       srpSignature(col("embedding"), dim, bits).as("bucket"))
-    val a = sigs.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = sigs.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val a = sigs.select(col("bucket"), col("vec_id").as("vec_a"))
+    val b = sigs.select(col("bucket"), col("vec_id").as("vec_b"))
     a.join(b, Seq("bucket"))
       .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+  }
+
+  def cosineNearDups(embeddings: DataFrame, dim: Int = 64, bits: Int = 10,
+                     threshold: Double = 0.95): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    cosineCandidates(embeddings, dim, bits)
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
       .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
-      .distinct()
   }
 }

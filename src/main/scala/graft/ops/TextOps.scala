@@ -91,11 +91,19 @@ object TextOps {
     * (band_idx, band_hash) — a short key, shuffle-friendly; full text never
     * enters a shuffle. Self-join deduped by doc_a < doc_b.
     */
-  def minhashNearDups(documents: DataFrame, k: Int = 3, bands: Int = 8,
-                      rows: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val banded = documents.select(col("doc_id"),
+  /** (doc_id, band_idx, band_hash) LSH band table — the bucket keys of
+    * [[minhashNearDups]], exposed so Verify can dump it as an oracle input
+    * (the verification step is then SQL-recomputable from documents).
+    */
+  def minhashBandTable(documents: DataFrame, k: Int, bands: Int,
+                       rows: Int): DataFrame =
+    documents.select(col("doc_id"),
       posexplode(graft.expr.TextFunctions.minhash_bands(col("text"), k, bands, rows))
         .as(Seq("band_idx", "band_hash")))
+
+  def minhashNearDups(documents: DataFrame, k: Int = 3, bands: Int = 8,
+                      rows: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val banded = minhashBandTable(documents, k, bands, rows)
     val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))
