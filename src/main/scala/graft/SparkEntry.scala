@@ -296,10 +296,15 @@ object SparkEntry {
         .orderBy("building_id")
     }),
     "q25_translate" -> ((s, d) => {
+      // O-44/O-61: exact-decimal params + per-coordinate translation; the
+      // oracle recomputes both from the dumped envelopes table, so emit a
+      // per-surface coordinate checksum of the TRANSLATED ring
       val params = Translate.translationParams(Synth.envelopes(s, 16L)).head()
       val t = Translate.applySurfaces(synthSurfaces(s, d),
         params.getDecimal(1).doubleValue(), params.getDecimal(0).doubleValue(), 0.0)
-      t.select(col("surface_id"), area_gml(col("ext"), col("holes")).as("area"))
+      t.select(col("surface_id"), size(col("ext")).as("n_pts"),
+        round(aggregate(col("ext"), lit(0.0),
+          (acc, p) => acc + p.getField("x") + p.getField("y")), 6).as("xy_checksum"))
         .orderBy("surface_id")
     }),
     "q26_classify_angles" -> ((s, d) => {
@@ -326,9 +331,18 @@ object SparkEntry {
         .orderBy("vec_a", "vec_b")
     }),
     "q29_window_hulls" -> ((s, d) => {
+      // O-46 per-opening hulls (reference parity): a perturbed planar quad
+      // hulls to a tetrahedron whose surface area ≈ 2× the opening area —
+      // both count and area are recomputed by the oracle from the ring data
+      val triArea = expr(
+        """sqrt(pow((tri.b.y-tri.a.y)*(tri.c.z-tri.a.z)-(tri.b.z-tri.a.z)*(tri.c.y-tri.a.y),2)
+               +pow((tri.b.z-tri.a.z)*(tri.c.x-tri.a.x)-(tri.b.x-tri.a.x)*(tri.c.z-tri.a.z),2)
+               +pow((tri.b.x-tri.a.x)*(tri.c.y-tri.a.y)-(tri.b.y-tri.a.y)*(tri.c.x-tri.a.x),2))/2""")
       SpatialOps.windowHulls(synthSurfaces(s, d))
-        .groupBy("building_id").agg(count(lit(1)).as("n_hull_tris"))
-        .orderBy("building_id")
+        .groupBy("building_id", "surface_id")
+        .agg(count(lit(1)).as("n_hull_tris"),
+          round(sum(triArea), 2).as("hull_area"))
+        .orderBy("building_id", "surface_id")
     }),
     "q30_corner_triangles" -> ((s, d) => {
       SpatialOps.cornerTriangles(SpatialOps.buildingBBoxes(synthSurfaces(s, d)))
@@ -337,19 +351,35 @@ object SparkEntry {
         .orderBy("building_id", "tri_idx")
     }),
     "q31_obj_lines" -> ((s, d) => {
-      // OBJ text render (O-4): per-class line counts + a content checksum
+      // OBJ text render (O-4): per-class section counts + v-section byte
+      // volume, all recomputable by the oracle (vertex dictionary + Euler
+      // face counts + the exact number formatting). The ordinal ORDER is
+      // EarClip-diagonal-dependent and stays pinned by the golden spec.
       val (v, f, _) = ObjPipeline.run(s, synthSurfaces(s, d), semantics = true)
       ObjPipeline.objLines(v, f)
-        .groupBy("cls").agg(count(lit(1)).as("n_lines"),
-          sum(crc32(col("line"))).as("content_checksum"))
+        .groupBy("cls").agg(
+          sum(when(col("line").startsWith("v "), 1L).otherwise(0L)).as("n_v_lines"),
+          sum(when(col("line").startsWith("f "), 1L).otherwise(0L)).as("n_f_lines"),
+          sum(when(col("line").startsWith("v "), length(col("line")))
+            .otherwise(0)).cast("long").as("v_bytes"))
         .orderBy("cls")
     }),
     "q32_trisoup" -> ((s, d) => {
-      // component-path writer (O-5): tri-soup per building, no vertex dedup
+      // component-path writer (O-5): tri-soup per building, no vertex dedup.
+      // Parse the RENDERED text back: line count (4 per block) and the sum
+      // of the 1-based face indices — both derivable in SQL from the
+      // per-building triangle count T (Σ over f-lines = 9T(T+1)/2 − 3T).
       val (ok, _) = ObjPipeline.validated(synthSurfaces(s, d))
+      val fIdxSum = expr(
+        """aggregate(filter(split(obj_text, '\n'), l -> l like 'f %'), 0L,
+             (acc, l) -> acc + cast(split(l, ' ')[1] as long)
+                             + cast(split(l, ' ')[2] as long)
+                             + cast(split(l, ' ')[3] as long))""")
       graft.sink.ObjWriter.triSoup(
         SpatialOps.triangles(ObjPipeline.withoutOpenings(ok)))
-        .select(col("building_id"), length(col("obj_text")).cast("long").as("obj_len"))
+        .select(col("building_id"),
+          size(split(col("obj_text"), "\n")).cast("long").as("n_lines"),
+          fIdxSum.as("f_index_sum"))
         .orderBy("building_id")
     }),
     "q33_simhash_sigs" -> ((s, d) => {
@@ -412,11 +442,98 @@ object SparkEntry {
   private val StructuralClasses =
     "('GroundSurface','WallSurface','RoofSurface','ClosureSurface','CeilingSurface')"
 
+  /** Shared CTE prefix: clean → validate → opening anti-join, the oracle
+    * replay of ObjPipeline.validated + withoutOpenings. Ends with CTE `th`
+    * (valid thematic surfaces: building_id, surface_id, surface_class,
+    * cleaned ring `c`, cleaned holes `hs`, normal cols nx/ny/nz).
+    */
+  private def thematicCte: String =
+    s"""s0 AS (SELECT building_id, surface_id, surface_class, ${O.clean("ext")} AS c,
+                 list_transform(holes, h -> ${O.clean("h")}) AS hs
+               FROM ${O.inp("surfaces")}),
+        s1 AS (SELECT *, ${O.normalCols("c")} FROM s0),
+        sv AS (SELECT * FROM s1 WHERE ${O.isValid("c")}),
+        op AS (SELECT DISTINCT c AS oc FROM sv WHERE surface_class IN ('Window','Door')),
+        th AS (SELECT sv.* FROM sv LEFT JOIN op ON sv.c = op.oc
+               WHERE op.oc IS NULL AND sv.surface_class NOT IN ('Window','Door'))"""
+
+  /** Euler triangle count of one thematic surface (EarClip contract):
+    * T = n_ext_open + Σ n_hole_open − 2 + 2·n_qualifying_holes.
+    */
+  private def eulerT: String =
+    s"""(len(${O.open("c")})
+         + COALESCE(list_aggregate(list_transform(hs,
+             h -> CASE WHEN len(${O.open("h")}) >= 3
+                       THEN len(${O.open("h")}) ELSE 0 END), 'sum'), 0)
+         - 2
+         + 2 * len(list_filter(hs, h -> len(${O.open("h")}) >= 3)))"""
+
+  /** Per-class (incl. 'All') vertex dictionary CTEs `ex`, `pv`, `vd` over
+    * `th`: every distinct ring point of a class's surfaces (ear clipping
+    * emits every ring vertex in ≥ 1 triangle, so the triangle-corner
+    * dictionary equals the ring-point set).
+    */
+  private def vertexDictCte: String =
+    s"""ex AS (SELECT unnest(['All', surface_class]) AS cls, * FROM th),
+        pv AS (SELECT cls, unnest(list_concat(${O.open("c")},
+                 flatten(list_transform(list_filter(hs, h -> len(${O.open("h")}) >= 3),
+                   h -> ${O.open("h")})))) AS p FROM ex),
+        vd AS (SELECT DISTINCT cls, p.x AS x, p.y AS y, p.z AS z FROM pv)"""
+
   /** Oracles for the geometry/engine family — recomputed in DuckDB from the
     * Verify input dumps (see OracleSql). Kept separate so the map below
     * stays readable.
     */
   private def geomOracles: Map[String, String] = Map(
+    "q19_obj_encode" ->
+      s"""WITH $thematicCte, $vertexDictCte,
+          vs AS (SELECT cls, COUNT(*) AS n_vertices,
+                   CAST(SUM(CAST(x + y + z AS DECIMAL(28,6))) AS DOUBLE) AS coord_checksum
+                 FROM vd GROUP BY cls),
+          fs AS (SELECT cls, CAST(SUM($eulerT) AS BIGINT) AS n_faces
+                 FROM ex GROUP BY cls)
+          SELECT vs.cls, n_vertices, coord_checksum, n_faces
+          FROM vs JOIN fs USING (cls) ORDER BY cls""",
+    "q25_translate" ->
+      s"""WITH prm AS (SELECT -floor(AVG(lower_corner.b)) AS dx,
+                              -floor(AVG(lower_corner.a)) AS dy
+                       FROM ${O.inp("envelopes")})
+          SELECT surface_id, len(ext) AS n_pts,
+            round(list_aggregate(list_transform(ext,
+              p -> (p.x + prm.dx) + (p.y + prm.dy)), 'sum'), 6) AS xy_checksum
+          FROM ${O.inp("surfaces")}, prm ORDER BY surface_id""",
+    "q29_window_hulls" ->
+      s"""SELECT building_id, surface_id, 4 AS n_hull_tris,
+            round(2.0 * (list_aggregate(list_transform(ext, p -> p.x), 'max')
+                       - list_aggregate(list_transform(ext, p -> p.x), 'min'))
+                      * (list_aggregate(list_transform(ext, p -> p.z), 'max')
+                       - list_aggregate(list_transform(ext, p -> p.z), 'min')), 2) AS hull_area
+          FROM ${O.inp("surfaces")} WHERE surface_class IN ('Window','Door')
+          ORDER BY building_id, surface_id""",
+    "q31_obj_lines" ->
+      s"""WITH $thematicCte, $vertexDictCte,
+          fmt AS (SELECT cls,
+                    CASE WHEN x = CAST(CAST(x AS BIGINT) AS DOUBLE)
+                         THEN printf('%.1f', x) ELSE CAST(x AS VARCHAR) END AS fx,
+                    CASE WHEN y = CAST(CAST(y AS BIGINT) AS DOUBLE)
+                         THEN printf('%.1f', y) ELSE CAST(y AS VARCHAR) END AS fy,
+                    CASE WHEN z = CAST(CAST(z AS BIGINT) AS DOUBLE)
+                         THEN printf('%.1f', z) ELSE CAST(z AS VARCHAR) END AS fz
+                  FROM vd),
+          vs AS (SELECT cls, COUNT(*) AS n_v_lines,
+                   CAST(SUM(4 + length(fx) + length(fy) + length(fz)) AS BIGINT) AS v_bytes
+                 FROM fmt GROUP BY cls),
+          fs AS (SELECT cls, CAST(SUM($eulerT) AS BIGINT) AS n_f_lines
+                 FROM ex GROUP BY cls)
+          SELECT vs.cls, n_v_lines, n_f_lines, v_bytes
+          FROM vs JOIN fs USING (cls) ORDER BY cls""",
+    "q32_trisoup" ->
+      s"""WITH $thematicCte,
+          tb AS (SELECT building_id, CAST(SUM($eulerT) AS BIGINT) AS t
+                 FROM th GROUP BY building_id)
+          SELECT building_id, 4 * t AS n_lines,
+                 (9 * t * (t + 1)) // 2 - 3 * t AS f_index_sum
+          FROM tb ORDER BY building_id""",
     "q16_spatial_join_cells" ->
       s"""WITH i AS (SELECT image_id, ${O.cell("anchor_x", "anchor_y", 14)} AS cell_id,
                  anchor_x, anchor_y FROM ${O.inp("images")}),
@@ -440,25 +557,10 @@ object SparkEntry {
                  surface_id, building_id, surface_class, round(dist, 6) AS dist
           FROM d QUALIFY rk <= 3 ORDER BY image_id, rk""",
     "q18_triangulate" ->
-      s"""WITH s0 AS (SELECT surface_id, surface_class, ${O.clean("ext")} AS c,
-                        list_transform(holes, h -> ${O.clean("h")}) AS hs
-                      FROM ${O.inp("surfaces")}),
-          s1 AS (SELECT *, ${O.normalCols("c")} FROM s0),
-          sv AS (SELECT * FROM s1 WHERE ${O.isValid("c")}),
-          op AS (SELECT DISTINCT c AS oc FROM sv WHERE surface_class IN ('Window','Door')),
-          th AS (SELECT sv.* FROM sv LEFT JOIN op ON sv.c = op.oc
-                 WHERE op.oc IS NULL AND sv.surface_class NOT IN ('Window','Door')),
-          tc AS (SELECT surface_class, surface_id,
-                   (len(${O.open("c")})
-                    + COALESCE(list_aggregate(list_transform(hs,
-                        h -> CASE WHEN len(${O.open("h")}) >= 3
-                                  THEN len(${O.open("h")}) ELSE 0 END), 'sum'), 0)
-                    - 2
-                    + 2 * len(list_filter(hs, h -> len(${O.open("h")}) >= 3))) AS t
-                 FROM th)
-          SELECT surface_class, CAST(SUM(t) AS BIGINT) AS n_triangles,
+      s"""WITH $thematicCte
+          SELECT surface_class, CAST(SUM($eulerT) AS BIGINT) AS n_triangles,
                  COUNT(DISTINCT surface_id) AS n_surfaces
-          FROM tc GROUP BY surface_class ORDER BY surface_class""",
+          FROM th GROUP BY surface_class ORDER BY surface_class""",
     "q20_tiles" ->
       s"""WITH i AS (SELECT ${O.cell("anchor_x", "anchor_y", 14)} AS cell_id
                      FROM ${O.inp("images")})

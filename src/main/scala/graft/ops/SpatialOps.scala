@@ -293,19 +293,28 @@ object SpatialOps {
     bboxes.select(col("building_id"), posexplode(tris).as(Seq("tri_idx", "tri")))
   }
 
-  /** O-46 window-approximation hulls (`-appW`): per-building convex hull of
-    * all opening (Window/Door) exterior points → triangle rows. The flatten
-    * + per-row hull keeps the heavy geometry in one expression evaluation
-    * per building (no cross-row shuffle besides the building groupBy).
+  /** O-46 window-approximation hulls (`-appW`). Default = PER OPENING,
+    * matching the reference, which hulls each Window/Door polygon separately
+    * and writes one component per opening
+    * (componentseparationmodule.py:533-544) — a per-row hull expression, no
+    * shuffle at all. `perOpening = false` pools all opening points per
+    * building (round-1 behavior, kept as an option; one groupBy shuffle).
     */
-  def windowHulls(surfaces: DataFrame): DataFrame = {
+  def windowHulls(surfaces: DataFrame, perOpening: Boolean = true): DataFrame = {
     import graft.expr.GeomFunctions._
-    surfaces
-      .where(col("surface_class").isin("Window", "Door"))
-      .select(col("building_id"), explode(col("ext")).as("p"))
-      .groupBy("building_id")
-      .agg(collect_list(col("p")).as("pts"))
-      .withColumn("tris", hull_3d(col("pts")))
-      .select(col("building_id"), posexplode(col("tris")).as(Seq("tri_idx", "tri")))
+    val openings = surfaces.where(col("surface_class").isin("Window", "Door"))
+    if (perOpening)
+      openings
+        .withColumn("tris", hull_3d(col("ext")))
+        .select(col("building_id"), col("surface_id"),
+          posexplode(col("tris")).as(Seq("tri_idx", "tri")))
+    else
+      openings
+        .select(col("building_id"), explode(col("ext")).as("p"))
+        .groupBy("building_id")
+        .agg(collect_list(col("p")).as("pts"))
+        .withColumn("tris", hull_3d(col("pts")))
+        .select(col("building_id"), lit("pooled").as("surface_id"),
+          posexplode(col("tris")).as(Seq("tri_idx", "tri")))
   }
 }

@@ -33,11 +33,19 @@ class SinksLineageSpec extends AnyFunSuite {
     assert(Hull3D.hull(IndexedSeq.empty).isEmpty)
   }
 
-  test("windowHulls produces hull triangles per building") {
+  test("windowHulls (per-opening, reference parity): tetra per planar quad") {
     val surfaces = Synth.surfaces(spark, 4L).toDF
     val hulls = SpatialOps.windowHulls(surfaces)
-    // window ring is planar (4 distinct pts) → hull of perturbed points is a
-    // thin slab; must be non-empty and grouped per building
+    // one Window per building; a perturbed planar quad hulls to a
+    // tetrahedron: exactly 4 faces per opening
+    val per = hulls.groupBy("building_id", "surface_id").count().collect()
+    assert(per.length === 4)
+    per.foreach(r => assert(r.getLong(2) === 4))
+  }
+
+  test("windowHulls (pooled per building, option)") {
+    val surfaces = Synth.surfaces(spark, 4L).toDF
+    val hulls = SpatialOps.windowHulls(surfaces, perOpening = false)
     val per = hulls.groupBy("building_id").count().collect()
     assert(per.length === 4)
     per.foreach(r => assert(r.getLong(1) >= 2))
