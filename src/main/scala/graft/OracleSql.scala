@@ -136,7 +136,24 @@ object OracleSql {
     * overflow under ANSI).
     */
   def md5n(e: String): String =
-    s"list_reduce(list_transform(range(1,16), i -> strpos('0123456789abcdef', substr(md5($e), i, 1))::BIGINT - 1), (acc,d) -> acc*16 + d)"
+    // lambda vars prefixed mh_/hx to avoid capture collisions when nested
+    // inside an outer list_reduce/list_transform (e.g. the rolling
+    // fingerprint fold, whose own vars are acc/t)
+    s"list_reduce(list_transform(range(1,16), hx -> strpos('0123456789abcdef', substr(md5($e), hx, 1))::BIGINT - 1), (mh_a, mh_d) -> mh_a*16 + mh_d)"
+
+  /** Cosine similarity of two FLOAT[] columns, mirroring AnnOps.cosine's
+    * fold exactly: per-element upcast to DOUBLE, sequential left-to-right
+    * accumulation (list_reduce guarantees order; Spark's fold from 0.0
+    * equals reduce-from-first bit-for-bit since 0.0 + v == v).
+    */
+  def cos(a: String, b: String): String = {
+    def fold(l: String) = s"list_reduce($l, (sa, sv) -> sa + sv)"
+    val dot = fold(
+      s"list_transform(range(1, len($a)+1), zi -> ($a)[zi]::DOUBLE * ($b)[zi]::DOUBLE)")
+    val na = s"sqrt(${fold(s"list_transform($a, zx -> zx::DOUBLE * zx::DOUBLE)")})"
+    val nb = s"sqrt(${fold(s"list_transform($b, zx -> zx::DOUBLE * zx::DOUBLE)")})"
+    s"($dot / ($na * $nb))"
+  }
 
   /** Surface centroid x/y columns (mean over ALL ext points incl. closure),
     * matching SpatialOps.surfaceCentroids' fold.

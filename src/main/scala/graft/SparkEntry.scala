@@ -383,9 +383,9 @@ object SparkEntry {
         .orderBy("building_id")
     }),
     "q33_simhash_sigs" -> ((s, d) => {
-      s.read.parquet(p(d, "documents"))
-        .select(col("doc_id"), TextOps.simhash(col("text")).as("simhash"))
-        .orderBy("doc_id")
+      // md5-based simhash: the oracle recomputes the full per-bit majority
+      // vote in SQL (the xxhash64 expression variant backs q22's blocking)
+      TextOps.simhashMd5(s.read.parquet(p(d, "documents"))).orderBy("doc_id")
     }),
     "q34_gml_ingest" -> ((s, d) => {
       // text-line ingest round-trip (O-2/O-11): surfaces → posList lines →
@@ -640,7 +640,78 @@ object SparkEntry {
           FROM e LEFT JOIN hs USING (surface_id) ORDER BY surface_id"""
   )
 
-  def oracleSql: Map[String, String] = geomOracles ++ Map(
+  /** Oracles for the dedup/ANN family: bucketing stages come from the Verify
+    * dumps (band/signature/candidate tables, same params as the queries);
+    * the verification/re-rank stages are recomputed exactly in SQL.
+    */
+  private def textOracles: Map[String, String] = Map(
+    "q21_minhash_neardups" ->
+      s"""WITH bnd AS (SELECT * FROM ${O.inp("minhash_bands")}),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bnd a JOIN bnd b USING (band_idx, band_hash)
+                   WHERE a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+                     THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                            si -> array_to_string(string_split(text, ' ')[si:si+2], ' '))
+                     ELSE []::VARCHAR[] END) AS sh
+                 FROM documents),
+          j AS (SELECT doc_a, doc_b,
+                  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
+                FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+                          JOIN sh sb ON sb.doc_id = cand.doc_b)
+          SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
+          WHERE jac >= 0.5 ORDER BY doc_a, doc_b""",
+    "q22_simhash" ->
+      s"""WITH s AS (SELECT * FROM ${O.inp("simhash_sigs")})
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.sim, b.sim)) AS hamming
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sim, b.sim)) <= 3
+          ORDER BY doc_a, doc_b""",
+    "q23_fingerprints" ->
+      s"""SELECT doc_id,
+                 CAST(list_reduce(list_prepend('0', string_split(text, ' ')),
+                   (acc, t) -> CAST(${O.md5n("acc || '|' || t")} AS VARCHAR)) AS BIGINT)
+                   AS fingerprint
+          FROM documents ORDER BY doc_id""",
+    "q27_lsh_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          d AS (SELECT c.query_id, c.vec_id,
+                  ${O.cos("ea.embedding", "eb.embedding")} AS cos_raw
+                FROM ${O.inp("ann_candidates")} c
+                JOIN e ea ON ea.vec_id = c.vec_id
+                JOIN e eb ON eb.vec_id = c.query_id)
+          SELECT query_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, vec_id ASC) AS rk,
+                 vec_id, round(cos_raw, 6) AS cos
+          FROM d QUALIFY rk <= 5 ORDER BY query_id, rk""",
+    "q28_cosine_neardups" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          d AS (SELECT c.vec_a, c.vec_b,
+                  ${O.cos("ea.embedding", "eb.embedding")} AS cosr
+                FROM ${O.inp("cos_candidates")} c
+                JOIN e ea ON ea.vec_id = c.vec_a
+                JOIN e eb ON eb.vec_id = c.vec_b)
+          SELECT vec_a, vec_b, round(cosr, 6) AS cos FROM d
+          WHERE cosr >= 0.35 ORDER BY vec_a, vec_b""",
+    "q33_simhash_sigs" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+          h AS (SELECT doc_id, ${O.md5n("tok")} AS h FROM t),
+          eb AS (SELECT doc_id, h, unnest(range(0, 60)) AS b FROM h),
+          s AS (SELECT doc_id, b,
+                  SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                FROM eb GROUP BY doc_id, b)
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                               ELSE 0 END) AS BIGINT) AS simhash
+          FROM s GROUP BY doc_id ORDER BY doc_id"""
+  )
+
+  def oracleSql: Map[String, String] = geomOracles ++ textOracles ++ Map(
     "q37_range_join" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty

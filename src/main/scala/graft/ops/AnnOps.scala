@@ -27,8 +27,15 @@ object AnnOps {
   private def norm(a: org.apache.spark.sql.Column) =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
 
-  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Cosine over DOUBLE-cast arrays: float32 inputs are upcast BEFORE the
+    * products so every op is f64 — better numerics, and the DuckDB oracle
+    * mirrors the exact fold (bit-identical, no ulp drift in rank order).
+    */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
 
   /** Exact cosine top-k of each query vector (queries = vec_id ∈ queryIds)
     * against the corpus. Query side is broadcast — no corpus shuffle at all.

@@ -64,14 +64,45 @@ object TextOps {
       when(score >= 0.05, "en-like").otherwise("unk").as("pred_lang"))
   }
 
-  /** Document fingerprint: 64-bit rolling hash over whitespace tokens —
-    * xxhash64 chained left-fold (order-sensitive, overflow-free under ANSI
-    * mode). Portable column math, deterministic.
+  /** Document fingerprint: order-sensitive rolling hash over whitespace
+    * tokens — an md5-chained left-fold (acc := first 60 bits of
+    * md5(acc || '|' || token)), expressible in BOTH engines so the DuckDB
+    * oracle verifies it end-to-end. Deterministic, overflow-free under ANSI.
     */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
+      aggregate(tokens(col("text")), lit("0"),
+        (acc, t) => conv(substring(md5(concat(acc, lit("|"), t)), 1, 15), 16, 10),
+        acc => acc.cast("long")).as("fingerprint"))
+
+  /** xxhash64-chained variant of [[fingerprints]] — faster (codegen'd
+    * single hash per token, no md5), the preferred path at 100 TB where the
+    * cross-engine oracle isn't in the loop.
+    */
+  def fingerprintsFast(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
       aggregate(tokens(col("text")), lit(1469598103934665603L),
         (acc, t) => xxhash64(acc, t)).as("fingerprint"))
+
+  /** SimHash over 60-bit md5-derived token hashes, pure column math — the
+    * cross-engine-verifiable formulation (q33 oracle recomputes it in SQL).
+    * Per bit b: bit set iff Σ over tokens of ±1 (sign of token-hash bit b)
+    * is > 0. The xxhash64 expression variant ([[simhash]]) stays the scale
+    * path for blocking ([[simhashNearDups]]).
+    */
+  def simhashMd5(documents: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), h.as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .cast("long").as("simhash"))
+  }
 
   /** Word-k-shingles of a document as an array column. */
   def shingles(text: Column, k: Int): Column = {
