@@ -388,10 +388,12 @@ object SparkEntry {
       TextOps.simhashMd5(s.read.parquet(p(d, "documents"))).orderBy("doc_id")
     }),
     "q34_gml_ingest" -> ((s, d) => {
-      // text-line ingest round-trip (O-2/O-11): surfaces → posList lines →
-      // parse back; per-class geometry checksums prove lossless parsing
+      // REAL CityGML XML round-trip (O-2/O-3/O-11): surfaces → one CityGML
+      // 2.0 document per building → distributed StAX parse back; per-class
+      // point counts + coordinate checksums prove lossless extraction
+      // (namespace dispatch, exterior/interior rings, opening paths)
       val surf = synthSurfaces(s, d)
-      val (ok, _) = graft.sources.GmlIngest.ingest(graft.sources.GmlIngest.render(surf))
+      val (ok, _) = graft.sources.GmlXml.ingest(graft.sources.GmlXml.render(surf))
       ok.select(col("surface_class"), explode(col("ext")).as("p"))
         .groupBy("surface_class")
         .agg(count(lit(1)).as("n_points"),
@@ -416,6 +418,14 @@ object SparkEntry {
         .groupBy("fmt").agg(count(lit(1)).as("n_thumbs"),
           sum(crc32(col("thumb_bytes"))).as("bytes_checksum"))
         .orderBy("fmt")
+    }),
+    "q39_bbox_sidecar" -> ((s, d) => {
+      // O-6 bbox-JSON sidecar table: buffered AABB corners + translation
+      // params per building (componentseparationmodule.py:137-183)
+      graft.sink.GmlSink.bboxSidecar(
+        SpatialOps.buildingBBoxes(synthSurfaces(s, d)),
+        dx = -100.0, dy = -100.0, dz = 0.0)
+        .orderBy("building_id")
     }),
     "q38_area" -> ((s, d) => {
       // O-18/O-20 getAreaOfGML: exterior minus valid holes, invalid rings
@@ -624,6 +634,28 @@ object SparkEntry {
           FROM (SELECT surface_class, attrs['irradiation'][1] AS irr
                 FROM ${O.inp("surfaces")})
           WHERE irr IS NOT NULL GROUP BY surface_class ORDER BY surface_class""",
+    "q39_bbox_sidecar" ->
+      s"""WITH pts AS (SELECT building_id, unnest(ext) AS p FROM ${O.inp("surfaces")}
+                       WHERE surface_class IN $StructuralClasses),
+          b AS (SELECT building_id,
+                  MIN(p.x) - 3.0 AS xmin, MAX(p.x) + 3.0 AS xmax,
+                  MIN(p.y) - 3.0 AS ymin, MAX(p.y) + 3.0 AS ymax,
+                  MIN(p.z) - 3.0 AS zmin, MAX(p.z) + 3.0 AS zmax
+                FROM pts GROUP BY building_id)
+          SELECT building_id,
+                 round(xmin + (-100.0), 6) AS min_x, round(ymin + (-100.0), 6) AS min_y,
+                 round(zmin + 0.0, 6) AS min_z,
+                 round(xmax + (-100.0), 6) AS max_x, round(ymax + (-100.0), 6) AS max_y,
+                 round(zmax + 0.0, 6) AS max_z,
+                 CAST(-100.0 AS DOUBLE) AS d_x, CAST(-100.0 AS DOUBLE) AS d_y,
+                 CAST(0.0 AS DOUBLE) AS d_z
+          FROM b ORDER BY building_id""",
+    "q34_gml_ingest" ->
+      s"""SELECT surface_class, COUNT(*) AS n_points,
+                 CAST(SUM(CAST(p.x + p.y + p.z AS DECIMAL(28,6))) AS DOUBLE)
+                   AS coord_checksum
+          FROM (SELECT surface_class, unnest(ext) AS p FROM ${O.inp("surfaces")})
+          GROUP BY surface_class ORDER BY surface_class""",
     "q38_area" ->
       s"""WITH s0 AS (SELECT surface_id, ext AS c, holes FROM ${O.inp("surfaces")}),
           s1 AS (SELECT *, ${O.normalCols("c")} FROM s0),

@@ -69,7 +69,12 @@ object Lineage {
       SpatialOps.triangleCells(SpatialOps.triangles(ObjPipeline.withoutOpenings(ok)))
     }
     val img = stage(spark, root, "image_cells") {
+      // checkpoint only what the join consumes — carrying the binary payload
+      // through this stage would double the corpus footprint per run at
+      // 100 TB (round-1 verdict finding); tiles re-read payloads from the
+      // source table by image_id when they need them
       SpatialOps.imageCells(images)
+        .select("image_id", "anchor_x", "anchor_y", "cell_id")
     }
     val joined = stage(spark, root, "spatial_join") {
       SpatialOps.spatialJoin(img, tri)

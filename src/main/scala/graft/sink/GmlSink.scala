@@ -1,0 +1,106 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Translated-GML sink (SURVEY.md O-8) + JSON metadata sidecars (O-6).
+  *
+  * O-8: the reference rewrites the source document's posList text in place
+  * and saves `FILENAME_local_.gml` plus a `_parameters.txt` with the (dy,
+  * dx) decimals (CityGMLTranslation.py:240-329). The engine renders the
+  * TRANSLATED surfaces back through the GmlXml writer — semantically equal
+  * output (fresh serialization rather than string surgery; documented
+  * divergence). At test scale files are written driver-side like
+  * ObjWriter; at production scale the same (doc_id, xml) DataFrame goes to
+  * `write.text` partitioned output.
+  *
+  * O-6: the reference maintains three JSON sidecars per output directory
+  * (componentseparationmodule.py:137-275): per-component bbox JSON
+  * (min/max point + translation params), a CRS JSON (srsName/srsDimension
+  * from the envelopes), and an identifier index JSON (obj filename → tag /
+  * parentID / gmlID). Each is derived from a DataFrame and written as one
+  * small JSON file — metadata-sized, like the reference's.
+  */
+object GmlSink {
+
+  /** Write one `<prefix>_<building_id>_local_.gml` per building plus the
+    * `<prefix>_parameters.txt` params sidecar. `translated` must already
+    * carry translated coordinates (Translate.applySurfaces).
+    */
+  def writeTranslated(translated: DataFrame, dy: java.math.BigDecimal,
+                      dx: java.math.BigDecimal, outDir: String,
+                      prefix: String): Seq[String] = {
+    Files.createDirectories(Paths.get(outDir))
+    val docs = graft.sources.GmlXml.render(translated)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val paths = docs.map { case (bid, xml) =>
+      val p = Paths.get(s"$outDir/${prefix}_${bid}_local_.gml")
+      Files.writeString(p, xml)
+      p.toString
+    }.toSeq
+    // params order matches the reference's file: dy first, then dx
+    // (CityGMLTranslation.py:312-318 writes the two translation decimals)
+    val pp = Paths.get(s"$outDir/${prefix}_parameters.txt")
+    Files.writeString(pp, s"$dy\n$dx\n")
+    paths :+ pp.toString
+  }
+
+  /** Per-building bbox sidecar rows (the table behind bbox JSON files):
+    * buffered AABB corners + the translation params applied.
+    */
+  def bboxSidecar(bboxes: DataFrame, dx: Double, dy: Double,
+                  dz: Double): DataFrame =
+    bboxes.select(col("building_id"),
+      round(col("xmin") + dx, 6).as("min_x"), round(col("ymin") + dy, 6).as("min_y"),
+      round(col("zmin") + dz, 6).as("min_z"),
+      round(col("xmax") + dx, 6).as("max_x"), round(col("ymax") + dy, 6).as("max_y"),
+      round(col("zmax") + dz, 6).as("max_z"),
+      lit(dx).as("d_x"), lit(dy).as("d_y"), lit(dz).as("d_z"))
+
+  /** Write the bbox sidecar as `<outDir>/bbox.json` — one object per
+    * building keyed like the reference's `axis_aligned_bbox` entries.
+    */
+  def writeBboxJson(sidecar: DataFrame, outDir: String): String = {
+    val rows = sidecar.orderBy("building_id").collect()
+    val body = rows.map { r =>
+      val bid = r.getString(0)
+      s"""  "$bid": {"axis_aligned_bbox": {"min_point": "[${r.getDouble(1)}, ${r.getDouble(2)}, ${r.getDouble(3)}]", "max_point": "[${r.getDouble(4)}, ${r.getDouble(5)}, ${r.getDouble(6)}]", "translation_parameters": {"d_x": "${r.getDouble(7)}", "d_y": "${r.getDouble(8)}", "d_z": "${r.getDouble(9)}"}}}"""
+    }.mkString(",\n")
+    val p = Paths.get(s"$outDir/bbox.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, s"{\n$body\n}\n")
+    p.toString
+  }
+
+  /** Write `<outDir>/crs.json` from the envelopes table (srsName /
+    * srsDimension per file — addCRSToJSON contract).
+    */
+  def writeCrsJson(envelopes: DataFrame, outDir: String): String = {
+    val rows = envelopes.select("file_id", "srs_name", "srs_dim")
+      .orderBy("file_id").collect()
+    val body = rows.map { r =>
+      s"""  "${r.getString(0)}": {"srsName": "${r.getString(1)}", "srsDimension": "${r.getString(2)}"}"""
+    }.mkString(",\n")
+    val p = Paths.get(s"$outDir/crs.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, s"{\n$body\n}\n")
+    p.toString
+  }
+
+  /** Write `<outDir>/index.json`: obj component filename → tag / parentID /
+    * gmlID (add_identifier_to_json contract). `components` needs columns
+    * (filename, tag, parent_id, gml_id).
+    */
+  def writeIndexJson(components: DataFrame, outDir: String): String = {
+    val rows = components.orderBy("filename").collect()
+    val body = rows.map { r =>
+      s"""  "${r.getString(0)}": {"tag": "${r.getString(1)}", "parentID": "${r.getString(2)}", "gmlID": "${r.getString(3)}"}"""
+    }.mkString(",\n")
+    val p = Paths.get(s"$outDir/index.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, s"{\n$body\n}\n")
+    p.toString
+  }
+}

@@ -34,27 +34,36 @@ object GmlIngest {
     n >= 3 && n % 3 === 0
   }
 
+  /** Route rows carrying `ext_text` + `hole_texts` columns into typed
+    * (surfaces, rejects): valid posLists parse columnar-side into
+    * array<struct<x,y,z>>; `% 3` violations become reject rows with a
+    * reason. Every other column passes through untouched — shared by the
+    * line format below and the XML ingest (GmlXml).
+    */
+  def route(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val bad = !posListValid(col("ext_text")) ||
+      size(filter(col("hole_texts"), h => !posListValid(h))) > 0
+    val ok = parsed
+      .where(!bad)
+      .withColumn("ext", parsePosList(col("ext_text")))
+      .withColumn("holes", transform(col("hole_texts"), h => parsePosList(h)))
+      .drop("ext_text", "hole_texts")
+    val rejects = parsed
+      .where(bad)
+      .select(col("building_id"), col("surface_id"), col("surface_class"),
+        lit("bad_poslist").as("reason"))
+    (ok, rejects)
+  }
+
   /** Parse a Dataset/DataFrame of lines into (surfaces, rejects). */
   def ingest(lines: DataFrame): (DataFrame, DataFrame) = {
     val parts = split(col("value"), "\\|")
-    val parsed = lines.select(
+    route(lines.select(
       element_at(parts, 1).as("building_id"),
       element_at(parts, 2).as("surface_id"),
       element_at(parts, 3).as("surface_class"),
       element_at(parts, 4).as("ext_text"),
-      slice(parts, lit(5), greatest(size(parts) - 4, lit(0))).as("hole_texts"))
-    val ok = parsed
-      .where(posListValid(col("ext_text")) &&
-        size(filter(col("hole_texts"), h => !posListValid(h))) === 0)
-      .select(col("building_id"), col("surface_id"), col("surface_class"),
-        parsePosList(col("ext_text")).as("ext"),
-        transform(col("hole_texts"), h => parsePosList(h)).as("holes"))
-    val rejects = parsed
-      .where(!posListValid(col("ext_text")) ||
-        size(filter(col("hole_texts"), h => !posListValid(h))) > 0)
-      .select(col("building_id"), col("surface_id"), col("surface_class"),
-        lit("bad_poslist").as("reason"))
-    (ok, rejects)
+      slice(parts, lit(5), greatest(size(parts) - 4, lit(0))).as("hole_texts")))
   }
 
   /** Render surfaces back to the line format (round-trip fixture helper). */

@@ -1,0 +1,255 @@
+package graft.sources
+
+import java.io.StringReader
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Pt
+
+/** Real CityGML XML ingest (SURVEY.md O-2/O-3/O-9/O-10/O-11).
+  *
+  * The reference front door is a whole-document DOM parse + namespace-set
+  * dispatch + XPath extraction (CityGML2OBJs.py:433-506,
+  * markup3dmodule.py:101-148). The engine's equivalent is DISTRIBUTED and
+  * STREAMING: one task per document, a StAX pull parser (bounded memory —
+  * no DOM, so a multi-GB tile parses in O(ring) space), and the numeric
+  * posList → points conversion stays columnar (GmlIngest.parsePosList,
+  * codegen'd) — the JVM parser only lifts out text spans.
+  *
+  * Version sniff (O-3): the reference hardcodes three namespace sets keyed
+  * on the root CityModel tag (1.0 / 3.0 / else 2.0). All three differ only
+  * in URI suffixes, so the parser matches namespaces by family —
+  * `http://www.opengis.net/gml[/3.2]` and
+  * `http://www.opengis.net/citygml/building/{1.0,2.0,3.0}` — and reports
+  * the sniffed version per row.
+  *
+  * Ring text extraction mirrors GMLpoints: a single `gml:posList` per ring,
+  * or multiple `gml:pos` concatenated in document order; the `% 3 == 0`
+  * assert becomes reject routing (engine never-fail contract).
+  */
+object GmlXml {
+
+  /** One gml:Polygon lifted out of a document: ring TEXTS (exterior first),
+    * classified by the innermost enclosing semantic element.
+    */
+  final case class RawPoly(
+      building_id: String,
+      surface_id: String,
+      surface_class: String,
+      ext_text: String,
+      hole_texts: Seq[String],
+      citygml_version: Int,
+      building_seq: Long,
+      poly_seq: Long)
+
+  /** The reference's semantic boundary classes (CityGML2OBJs.py:560-562). */
+  val SemanticClasses: Set[String] = Set(
+    "GroundSurface", "WallSurface", "RoofSurface", "ClosureSurface",
+    "CeilingSurface", "InteriorWallSurface", "FloorSurface",
+    "OuterCeilingSurface", "OuterFloorSurface")
+  val OpeningClasses: Set[String] = Set("Window", "Door")
+
+  private def isGmlNs(uri: String): Boolean =
+    uri != null && (uri == "http://www.opengis.net/gml" ||
+      uri.startsWith("http://www.opengis.net/gml/"))
+  private def isBldgNs(uri: String): Boolean =
+    uri != null && uri.startsWith("http://www.opengis.net/citygml/building/")
+  private def versionOf(rootNs: String): Int =
+    if (rootNs == null) 2
+    else if (rootNs.endsWith("/1.0")) 1
+    else if (rootNs.endsWith("/3.0")) 3
+    else 2
+
+  /** Pull-parse one CityGML document. Never throws on malformed content —
+    * returns what was extracted before the error (swallow-errors contract,
+    * CityGML2OBJs.py:144-148); posList arity violations are routed to
+    * rejects downstream, not here.
+    */
+  def parseDocument(xml: String, docId: String): Seq[RawPoly] = {
+    val out = ArrayBuffer.empty[RawPoly]
+    try {
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.TRUE)
+      // untrusted input: no DTDs, no external entities
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+      val r = f.createXMLStreamReader(new StringReader(xml))
+
+      var version = 2
+      var sawRoot = false
+      var building: String = null
+      var buildingSeq = -1L
+      var polySeq = 0L
+      val classStack = ArrayBuffer.empty[String]
+      // polygon state
+      var inPoly = false
+      var polyId: String = null
+      var ringKind: String = null // "exterior" | "interior"
+      var rings: ArrayBuffer[String] = null // exterior at 0
+      var ringText: StringBuilder = null
+      var capturing = false
+      var captured = new StringBuilder
+
+      def gmlId(): String = {
+        var i = 0
+        var id: String = null
+        while (i < r.getAttributeCount) {
+          if (r.getAttributeLocalName(i) == "id" &&
+            isGmlNs(r.getAttributeNamespace(i))) id = r.getAttributeValue(i)
+          i += 1
+        }
+        id
+      }
+
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            val ns = r.getNamespaceURI
+            val ln = r.getLocalName
+            if (!sawRoot) { sawRoot = true; version = versionOf(ns) }
+            if (isBldgNs(ns)) {
+              if (ln == "Building") {
+                buildingSeq += 1
+                polySeq = 0
+                building = Option(gmlId()).getOrElse(f"${docId}_b$buildingSeq%04d")
+              } else if (SemanticClasses(ln) || OpeningClasses(ln)) {
+                classStack += ln
+              }
+            } else if (isGmlNs(ns)) {
+              ln match {
+                case "Polygon" =>
+                  inPoly = true
+                  polyId = gmlId()
+                  rings = ArrayBuffer.empty[String]
+                  ringKind = null
+                case "exterior" | "interior" if inPoly =>
+                  ringKind = ln
+                  ringText = new StringBuilder
+                case "posList" | "pos" if inPoly && ringKind != null =>
+                  capturing = true
+                  captured = new StringBuilder
+                case _ =>
+              }
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (capturing) captured.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            val ns = r.getNamespaceURI
+            val ln = r.getLocalName
+            if (isGmlNs(ns)) {
+              ln match {
+                case "posList" | "pos" if capturing =>
+                  capturing = false
+                  if (ringText.nonEmpty) ringText.append(' ')
+                  ringText.append(captured.toString.trim)
+                case "exterior" if inPoly =>
+                  // reference GMLpoints reads ONE ring per exterior
+                  rings.insert(0, ringText.toString)
+                  ringKind = null
+                case "interior" if inPoly =>
+                  rings += ringText.toString
+                  ringKind = null
+                case "Polygon" if inPoly =>
+                  inPoly = false
+                  val bid = Option(building).getOrElse(s"${docId}_nobldg")
+                  val sid = Option(polyId).getOrElse(f"${bid}_p$polySeq%04d")
+                  val cls = classStack.lastOption.getOrElse("Other")
+                  if (rings.nonEmpty)
+                    out += RawPoly(bid, sid, cls, rings.head,
+                      rings.tail.toSeq, version,
+                      math.max(buildingSeq, 0L), polySeq)
+                  polySeq += 1
+                case _ =>
+              }
+            } else if (isBldgNs(ns)) {
+              if ((SemanticClasses(ln) || OpeningClasses(ln)) &&
+                classStack.lastOption.contains(ln)) classStack.remove(classStack.length - 1)
+              else if (ln == "Building") building = null
+            }
+          case _ =>
+        }
+      }
+      r.close()
+    } catch { case _: Throwable => /* keep what we have */ }
+    out.toSeq
+  }
+
+  /** Distributed ingest of CityGML documents. `docs` must have columns
+    * `doc_id: string, xml: string` (one row per document — e.g. from
+    * spark.read binaryFile/wholetext over a .gml directory). Returns
+    * (surfaces, rejects): surfaces carry typed rings plus lineage ordinals
+    * (building_ord/poly_ord from document order); `% 3` posList violations
+    * route to rejects.
+    */
+  def ingest(docs: DataFrame): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val raw = docs.select(col("doc_id"), col("xml"))
+      .as[(String, String)]
+      .flatMap { case (id, xml) => parseDocument(xml, id) }
+      .toDF()
+    GmlIngest.route(raw
+      .withColumnRenamed("building_seq", "building_ord")
+      .withColumnRenamed("poly_seq", "poly_ord"))
+  }
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** Render one building's surfaces as a CityGML 2.0 document (thematic
+    * classes under boundedBy, Window/Door under boundedBy/WallSurface/
+    * opening — the element paths the reference dispatches on). Coordinates
+    * print via Double.toString (shortest round-trip repr), so
+    * parse(render(x)) == x exactly.
+    */
+  def buildingDocument(buildingId: String,
+                       surfaces: Seq[(String, String, Seq[Pt], Seq[Seq[Pt]])]): String = {
+    def posList(ring: Seq[Pt]): String =
+      ring.map(p => s"${p.x} ${p.y} ${p.z}").mkString(" ")
+    def polygon(sid: String, ext: Seq[Pt], holes: Seq[Seq[Pt]]): String = {
+      val hs = holes.map(h =>
+        s"<gml:interior><gml:LinearRing><gml:posList>${posList(h)}</gml:posList></gml:LinearRing></gml:interior>").mkString
+      s"""<gml:Polygon gml:id="${esc(sid)}"><gml:exterior><gml:LinearRing><gml:posList>${posList(ext)}</gml:posList></gml:LinearRing></gml:exterior>$hs</gml:Polygon>"""
+    }
+    def wrap(cls: String, body: String): String =
+      if (OpeningClasses(cls))
+        s"""<bldg:boundedBy><bldg:WallSurface><bldg:opening><bldg:$cls><bldg:lod3MultiSurface><gml:MultiSurface><gml:surfaceMember>$body</gml:surfaceMember></gml:MultiSurface></bldg:lod3MultiSurface></bldg:$cls></bldg:opening></bldg:WallSurface></bldg:boundedBy>"""
+      else
+        s"""<bldg:boundedBy><bldg:$cls><bldg:lod2MultiSurface><gml:MultiSurface><gml:surfaceMember>$body</gml:surfaceMember></gml:MultiSurface></bldg:lod2MultiSurface></bldg:$cls></bldg:boundedBy>"""
+    val members = surfaces.map { case (sid, cls, ext, holes) =>
+      wrap(cls, polygon(sid, ext, holes))
+    }.mkString("\n   ")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+<core:CityModel xmlns:core="http://www.opengis.net/citygml/2.0" xmlns:gml="http://www.opengis.net/gml" xmlns:bldg="http://www.opengis.net/citygml/building/2.0">
+ <core:cityObjectMember>
+  <bldg:Building gml:id="${esc(buildingId)}">
+   $members
+  </bldg:Building>
+ </core:cityObjectMember>
+</core:CityModel>"""
+  }
+
+  /** surfaces → one CityGML document per building: (doc_id, xml). Grouping
+    * is a single shuffle on building_id; rendering is per-group, bounded by
+    * the surfaces of one building.
+    */
+  def render(surfaces: DataFrame): DataFrame = {
+    val spark = surfaces.sparkSession
+    import spark.implicits._
+    surfaces
+      .select(col("building_id"), col("surface_id"), col("surface_class"),
+        col("poly_ord"), col("ext"), col("holes"))
+      .as[(String, String, String, Long, Seq[Pt], Seq[Seq[Pt]])]
+      .groupByKey(_._1)
+      .mapGroups { (bid, it) =>
+        val rows = it.toSeq.sortBy(_._4)
+        (bid, buildingDocument(bid, rows.map(r => (r._2, r._3, r._5, r._6))))
+      }
+      .toDF("doc_id", "xml")
+  }
+}
