@@ -413,10 +413,12 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
     "q36_thumbnails" -> ((s, d) => {
-      // multimodal resize op: per-fmt thumbnail counts + byte checksum
+      // multimodal resize op: per-fmt thumbnail counts + decoded-pixel
+      // checksum — the oracle recomputes the 4×4 box-average (integer
+      // truncating division) from the dumped source pixels
       ImageOps.thumbnails(s, synthImages(s, d), tw = 4, th = 4)
         .groupBy("fmt").agg(count(lit(1)).as("n_thumbs"),
-          sum(crc32(col("thumb_bytes"))).as("bytes_checksum"))
+          sum(col("px_sum")).as("px_checksum"))
         .orderBy("fmt")
     }),
     "q39_bbox_sidecar" -> ((s, d) => {
@@ -650,6 +652,23 @@ object SparkEntry {
                  CAST(-100.0 AS DOUBLE) AS d_x, CAST(-100.0 AS DOUBLE) AS d_y,
                  CAST(0.0 AS DOUBLE) AS d_z
           FROM b ORDER BY building_id""",
+    "q36_thumbnails" ->
+      // synth images are 16×16 RGB row-major; a 4×4 thumbnail block is a
+      // 4×4 source box per channel, value = sum // 16 (truncating div,
+      // matching ImageCodec.resize's integer accumulation)
+      s"""WITH u AS (SELECT image_id, fmt, unnest(px) AS v,
+                            generate_subscripts(px, 1) AS idx
+                     FROM ${O.inp("pixels")}),
+          g AS (SELECT image_id, fmt,
+                  ((idx - 1) // 48) // 4 AS by,
+                  (((idx - 1) % 48) // 3) // 4 AS bx,
+                  ((idx - 1) % 48) % 3 AS c, v
+                FROM u),
+          o AS (SELECT image_id, fmt, by, bx, c, SUM(v) // 16 AS ov
+                FROM g GROUP BY image_id, fmt, by, bx, c)
+          SELECT fmt, COUNT(DISTINCT image_id) AS n_thumbs,
+                 CAST(SUM(ov) AS BIGINT) AS px_checksum
+          FROM o GROUP BY fmt ORDER BY fmt""",
     "q34_gml_ingest" ->
       s"""SELECT surface_class, COUNT(*) AS n_points,
                  CAST(SUM(CAST(p.x + p.y + p.z AS DECIMAL(28,6))) AS DOUBLE)

@@ -117,10 +117,16 @@ object ImageOps {
           val t = ImageCodec.resize(px, w, h, tw, th)
           val enc = if (fmt == "png") ImageCodec.encodePng(t, tw, th)
                     else ImageCodec.encodeRaw(t)
-          (id, enc, tw, th, fmt)
+          // unsigned pixel-value sum: the cross-engine-checkable content
+          // checksum of the resized buffer (oracle recomputes the box
+          // average from the dumped source pixels)
+          var s = 0L
+          var i = 0
+          while (i < t.length) { s += t(i) & 0xFF; i += 1 }
+          (id, enc, tw, th, fmt, s)
         }
       }
-      .toDF("image_id", "thumb_bytes", "tw", "th", "fmt")
+      .toDF("image_id", "thumb_bytes", "tw", "th", "fmt", "px_sum")
   }
 
   /** Per-cell tile metrics (north-rule metrics sidecar): counts + PSNR
