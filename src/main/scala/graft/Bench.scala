@@ -63,19 +63,30 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // INTERLEAVED reps (default 3): the full query list runs end-to-end per
+    // rep, so a co-tenant load spike (this box swings 2×) poisons one rep of
+    // every query instead of every rep of one query — min-of-reps then
+    // rejects it. Per-rep times ship in the JSON so an outlier run is
+    // self-diagnosing (round-1 verdict: the driver's one-shot record was
+    // noise-dominated and unfalsifiable).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val defs = scala.collection.mutable.LinkedHashMap[String, () => Long]()
+    val repTimes = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
     val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
-
-    // two runs, keep the min: the first run pays JIT + page-cache warmup,
-    // which at this (sandbox) scale can dominate the measurement
-    def bench(name: String)(f: => Long): Unit = {
-      val (t1, rows) = try timed(f) catch { case _: Throwable => (-1.0, -1L) }
-      if (t1 < 0) { results(name) = -1.0; rowCounts(name) = -1L }
-      else {
-        val (t2, _) = timed(f)
-        results(name) = math.min(t1, t2)
-        rowCounts(name) = rows
+    def bench(name: String)(f: => Long): Unit = defs(name) = () => f
+    def runAll(): Unit = {
+      defs.keys.foreach { n => repTimes(n) = Array.fill(reps)(-1.0); rowCounts(n) = -1L }
+      for (r <- 0 until reps; (name, f) <- defs) {
+        try {
+          val (t, rows) = timed(f())
+          repTimes(name)(r) = t
+          rowCounts(name) = rows
+        } catch { case _: Throwable => /* rep stays -1 */ }
       }
+    }
+    def minOf(name: String): Double = {
+      val ok = repTimes(name).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
     }
 
     // pure-CPU scaling control: embarrassingly parallel codegen'd hash math,
@@ -138,14 +149,29 @@ object Bench {
       SparkEntry.queries("q03_revenue_by_nation")(spark, sfDir).count()
     }
 
-    val joinSec = results("spatial_join") max 1e-9
-    val tileSec = results("tiling") max 1e-9
+    runAll()
+
+    val results = defs.keys.map(n => n -> minOf(n)).toSeq
+    val joinSec = minOf("spatial_join") max 1e-9
+    val tileSec = minOf("tiling") max 1e-9
     val imagesPerSec = nI.toDouble / (joinSec + tileSec)
-    val total = results.values.filter(_ > 0).sum
+    val total = results.map(_._2).filter(_ > 0).sum
+    // quiet-box cpu_control references (BENCH.md sweep) — the pure-CPU box
+    // ceiling at each core count. value_normalized rescales the headline by
+    // how slow THIS run's box was vs the quiet box, so a co-scheduled-load
+    // outlier is visible as (value_normalized >> value).
+    val refControl = Map("2" -> 18.61, "8" -> 5.31, "32" -> 2.14)
+    val ctrl = minOf("cpu_control")
+    val normalized = refControl.get(cpus) match {
+      case Some(ref) if ctrl > 0 => imagesPerSec * (ctrl / ref)
+      case _ => imagesPerSec
+    }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val rs = rowCounts.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val reptimes = repTimes.map { case (k, v) =>
+      s""""$k":[${v.mkString(",")}]""" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"spatial_join_tiling_rows_per_sec","value":$imagesPerSec,"unit":"rows/sec","total_sec":$total,"queries":$qs,"rows":$rs,"sf":"$sfDir","cpus":$cpus,"n_images":$nI,"n_buildings":$nB}""")
+      s"""{"metric":"spatial_join_tiling_rows_per_sec","value":$imagesPerSec,"value_normalized":$normalized,"cpu_control_sec":$ctrl,"cpu_control_ref_sec":${refControl.getOrElse(cpus, -1.0)},"unit":"rows/sec","total_sec":$total,"reps":$reps,"queries":$qs,"rep_times":$reptimes,"rows":$rs,"sf":"$sfDir","cpus":$cpus,"n_images":$nI,"n_buildings":$nB}""")
     spark.stop()
   }
 }

