@@ -74,6 +74,37 @@ object GmlSink {
     p.toString
   }
 
+  /** Re-import a bbox.json written by [[writeBboxJson]] (the reference's
+    * `importBB` path, componentseparationmodule.py:549-593): whole-file JSON
+    * → MapType parse → one row per building with the same columns as
+    * [[bboxSidecar]]. Pure Spark (from_json + explode), no driver-side
+    * parsing.
+    */
+  def readBboxJson(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val entry = StructType(Seq(StructField("axis_aligned_bbox", StructType(Seq(
+      StructField("min_point", StringType), StructField("max_point", StringType),
+      StructField("translation_parameters", StructType(Seq(
+        StructField("d_x", StringType), StructField("d_y", StringType),
+        StructField("d_z", StringType)))))))))
+    def pt(c: org.apache.spark.sql.Column, i: Int) =
+      element_at(split(regexp_replace(c, "[\\[\\]]", ""), ", "), i).cast("double")
+    spark.read.option("wholetext", true).text(path)
+      .select(explode(from_json(col("value"), MapType(StringType, entry)))
+        .as(Seq("building_id", "e")))
+      .select(col("building_id"),
+        pt(col("e.axis_aligned_bbox.min_point"), 1).as("min_x"),
+        pt(col("e.axis_aligned_bbox.min_point"), 2).as("min_y"),
+        pt(col("e.axis_aligned_bbox.min_point"), 3).as("min_z"),
+        pt(col("e.axis_aligned_bbox.max_point"), 1).as("max_x"),
+        pt(col("e.axis_aligned_bbox.max_point"), 2).as("max_y"),
+        pt(col("e.axis_aligned_bbox.max_point"), 3).as("max_z"),
+        col("e.axis_aligned_bbox.translation_parameters.d_x").cast("double").as("d_x"),
+        col("e.axis_aligned_bbox.translation_parameters.d_y").cast("double").as("d_y"),
+        col("e.axis_aligned_bbox.translation_parameters.d_z").cast("double").as("d_z"))
+  }
+
   /** Write `<outDir>/crs.json` from the envelopes table (srsName /
     * srsDimension per file — addCRSToJSON contract).
     */

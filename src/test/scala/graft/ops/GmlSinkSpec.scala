@@ -51,4 +51,16 @@ class GmlSinkSpec extends AnyFunSuite {
     val idx = spark.read.option("multiLine", true).json(p3)
     assert(idx.select("`b0_0.obj`.gmlID").head().getString(0) === "bldg00000000")
   }
+
+  test("bbox.json round-trips through the importBB path") {
+    val surf = Synth.surfaces(spark, 3L).toDF
+    val dir = java.nio.file.Files.createTempDirectory("bboximport").toString
+    val sidecar = GmlSink.bboxSidecar(
+      SpatialOps.buildingBBoxes(surf), -100.0, -100.0, 0.0).cache()
+    val path = GmlSink.writeBboxJson(sidecar, dir)
+    val back = GmlSink.readBboxJson(spark, path)
+    assert(back.count() === 3)
+    assert(sidecar.exceptAll(back).count() === 0 &&
+      back.exceptAll(sidecar).count() === 0)
+  }
 }
