@@ -1,0 +1,69 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.{Bridge, GraftExpectsInputTypes}
+import org.apache.spark.sql.types._
+
+import graft.model.ImageCodec
+
+/** Raster-tile materialization kernel as a Catalyst expression (O-57).
+  *
+  * Replaces the typed `mapPartitions` formulation: the Dataset tuple
+  * encoder was measured at ~3.7 s over 4M rows at 32 cores (string +
+  * binary copies per field) — as an expression the codec reads the columns
+  * it needs straight from the UnsafeRow and everything else stays
+  * columnar. Evaluate it ONCE per row in a projection directly under the
+  * exchange (flatten the struct AFTER the shuffle, or CollapseProject will
+  * re-inline one evaluation per referenced field).
+  */
+case class TileEncodeExpr(bytes: Expression, w: Expression, h: Expression,
+                          fmt: Expression, cell: Expression)
+    extends Expression with CodegenFallback with GraftExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(bytes, w, h, fmt, cell)
+  override def graftInputTypes: Seq[DataType] =
+    Seq(BinaryType, IntegerType, IntegerType, StringType, LongType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("tile_bytes", BinaryType, nullable = false),
+    StructField("tw", IntegerType, nullable = false),
+    StructField("th", IntegerType, nullable = false),
+    StructField("psnr", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val b = bytes.eval(input).asInstanceOf[Array[Byte]]
+    val wi = w.eval(input).asInstanceOf[Int]
+    val hi = h.eval(input).asInstanceOf[Int]
+    val f = fmt.eval(input).toString
+    val c = cell.eval(input).asInstanceOf[Long]
+    val px = ImageCodec.decode(b, f, wi, hi)
+    // deterministic quadrant crop keyed by cell id bits (stand-in for a
+    // real geo-crop; Spark-side shape — schema, partitioning, batch decode
+    // per partition — is the real contract)
+    val cw = wi / 2; val ch = hi / 2
+    val x0 = if ((c & 1L) == 0L) 0 else wi - cw
+    val y0 = if ((c & 2L) == 0L) 0 else hi - ch
+    val tile = ImageCodec.crop(px, wi, hi, x0, y0, cw, ch)
+    val enc = if (f == "png") ImageCodec.encodePng(tile, cw, ch)
+              else ImageCodec.encodeRaw(tile)
+    val dec = ImageCodec.decode(enc, f, cw, ch)
+    val p = ImageCodec.psnr(tile, dec)
+    new GenericInternalRow(Array[Any](enc, cw, ch, p))
+  }
+
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression =
+    copy(bytes = cs(0), w = cs(1), h = cs(2), fmt = cs(3), cell = cs(4))
+}
+
+object ImageFunctions {
+  private def x(c: Column): Expression = Bridge.expression(c)
+  private def col(e: Expression): Column = Bridge.column(e)
+
+  def tile_encode(bytes: Column, w: Column, h: Column, fmt: Column,
+                  cell: Column): Column =
+    col(TileEncodeExpr(x(bytes), x(w), x(h), x(fmt), x(cell)))
+}

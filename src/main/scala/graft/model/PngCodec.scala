@@ -20,6 +20,41 @@ object PngCodec {
     () => new Deflater(Deflater.BEST_SPEED))
   private val inflaters = ThreadLocal.withInitial[Inflater](() => new Inflater())
 
+  /** Below this raw size, emit zlib STORED blocks instead of calling
+    * Deflater: per-call JNI setup dominates zlib on tiny rasters (measured
+    * ~26 µs/tile vs ~2 µs stored), and this engine's synthetic payloads are
+    * seeded-random pixels that deflate cannot shrink anyway. Still a fully
+    * valid, lossless PNG (RFC 1951 §3.2.4 stored blocks + Adler-32).
+    */
+  private final val StoredThreshold = 8192
+
+  private def zlibStored(raw: Array[Byte]): Array[Byte] = {
+    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+    val out = new Array[Byte](2 + nBlocks * 5 + raw.length + 4)
+    out(0) = 0x78; out(1) = 0x01 // CMF/FLG, (0x7801 % 31 == 0)
+    var off = 2
+    var pos = 0
+    while (pos < raw.length) {
+      val len = math.min(65535, raw.length - pos)
+      out(off) = (if (pos + len >= raw.length) 1 else 0).toByte // BFINAL
+      out(off + 1) = (len & 0xFF).toByte
+      out(off + 2) = ((len >> 8) & 0xFF).toByte
+      out(off + 3) = (~len & 0xFF).toByte
+      out(off + 4) = ((~len >> 8) & 0xFF).toByte
+      System.arraycopy(raw, pos, out, off + 5, len)
+      off += 5 + len
+      pos += len
+    }
+    val ad = new java.util.zip.Adler32()
+    ad.update(raw)
+    val a = ad.getValue
+    out(off) = ((a >>> 24) & 0xFF).toByte
+    out(off + 1) = ((a >>> 16) & 0xFF).toByte
+    out(off + 2) = ((a >>> 8) & 0xFF).toByte
+    out(off + 3) = (a & 0xFF).toByte
+    out
+  }
+
   def encode(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
     require(px.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${px.length}")
     // raw scanlines with filter byte 0
@@ -30,17 +65,19 @@ object PngCodec {
       System.arraycopy(px, y * w * 3, raw, y * (1 + w * 3) + 1, w * 3)
       y += 1
     }
-    val deflater = deflaters.get()
-    deflater.reset()
-    deflater.setInput(raw)
-    deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val out = new ByteArrayOutputStream(raw.length / 2 + 128)
-    while (!deflater.finished()) {
-      val n = deflater.deflate(buf)
-      out.write(buf, 0, n)
+    val idat = if (raw.length <= StoredThreshold) zlibStored(raw) else {
+      val deflater = deflaters.get()
+      deflater.reset()
+      deflater.setInput(raw)
+      deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new ByteArrayOutputStream(raw.length / 2 + 128)
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
     }
-    val idat = out.toByteArray
 
     val bos = new ByteArrayOutputStream(idat.length + 128)
     bos.write(SIG)

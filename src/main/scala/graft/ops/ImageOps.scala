@@ -102,31 +102,26 @@ object ImageOps {
                        salt: Int = 4): Dataset[TileRow] = {
     import spark.implicits._
     import graft.expr.GeomFunctions.range_bucket
+    import graft.expr.ImageFunctions.tile_encode
     val buckets = math.max(spark.sessionState.conf.numShufflePartitions, 2)
     val (bounds, delta) = cellRangeBoundaries(imagesWithCells, buckets)
+    // the codec runs as a Catalyst expression in ONE projection directly
+    // under the exchange (no typed-encoder ser/de — measured 3.7 s of pure
+    // tuple decoding at 4M rows × 32c); the struct is flattened AFTER the
+    // shuffle so CollapseProject cannot re-inline the codec per field
     imagesWithCells
-      .select(col("image_id"), col("cell_id"), col("bytes"), col("w"), col("h"),
-        col("fmt"), col("caption"))
-      .as[(String, Long, Array[Byte], Int, Int, String, String)]
-      .mapPartitions { rows =>
-        rows.map { case (id, cell, bytes, w, h, fmt, caption) =>
-          val px = ImageCodec.decode(bytes, fmt, w, h)
-          // deterministic quadrant crop keyed by cell id bits
-          val cw = w / 2; val ch = h / 2
-          val x0 = if ((cell & 1L) == 0L) 0 else w - cw
-          val y0 = if ((cell & 2L) == 0L) 0 else h - ch
-          val tile = ImageCodec.crop(px, w, h, x0, y0, cw, ch)
-          val enc = if (fmt == "png") ImageCodec.encodePng(tile, cw, ch)
-                    else ImageCodec.encodeRaw(tile)
-          val dec = ImageCodec.decode(enc, fmt, cw, ch)
-          val p = ImageCodec.psnr(tile, dec)
-          TileRow(id, cell, enc, cw, ch, fmt, caption, p, caption != null)
-        }
-      }
+      .select(col("image_id"), col("cell_id"), col("fmt"), col("caption"),
+        tile_encode(col("bytes"), col("w"), col("h"), col("fmt"),
+          col("cell_id")).as("t"))
       .repartition(
         range_bucket(parentCell(col("cell_id"), SpatialOps.JoinLevel, delta),
           bounds.toSeq) * salt +
           pmod(xxhash64(col("image_id")), lit(salt.toLong)).cast("int"))
+      .select(col("image_id"), col("cell_id"),
+        col("t.tile_bytes").as("tile_bytes"),
+        col("t.tw").as("tile_w"), col("t.th").as("tile_h"),
+        col("fmt"), col("caption"), col("t.psnr").as("psnr"),
+        col("caption").isNotNull.as("caption_ok"))
       .as[TileRow]
   }
 
