@@ -72,7 +72,7 @@ object SparkEntry {
     w(TextOps.minhashBandTable(docs, k = 3, bands = 16, rows = 2), "minhash_bands")
     w(docs.select(col("doc_id"), TextOps.simhash(col("text")).as("sim")), "simhash_sigs")
     val emb = s.read.parquet(p(sfDir, "embeddings"))
-    w(AnnOps.lshCandidates(emb, Seq(0L, 1L, 2L), dim = 64, bits = 10, tables = 4),
+    w(AnnOps.lshCandidates(emb, Seq(0L, 1L, 2L), dim = 64, bits = 5, tables = 8),
       "ann_candidates")
     w(AnnOps.cosineCandidates(emb, dim = 64, bits = 8), "cos_candidates")
     w(Synth.envelopes(s, 16L), "envelopes")
@@ -321,8 +321,11 @@ object SparkEntry {
         .orderBy("surface_id")
     }),
     "q27_lsh_ann" -> ((s, d) => {
+      // bits=5/tables=8: the measured sweet spot on the near-uniform synth
+      // embeddings (recall ~0.46 at ~24% candidate fraction — AnnRecallSpec
+      // pins the tradeoff curve)
       AnnOps.lshTopK(s.read.parquet(p(d, "embeddings")), Seq(0L, 1L, 2L),
-        dim = 64, bits = 10, tables = 4, k = 5)
+        dim = 64, bits = 5, tables = 8, k = 5)
         .orderBy("query_id", "rk")
     }),
     "q28_cosine_neardups" -> ((s, d) => {
