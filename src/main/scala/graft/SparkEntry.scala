@@ -424,6 +424,19 @@ object SparkEntry {
           sum(col("px_sum")).as("px_checksum"))
         .orderBy("fmt")
     }),
+    "q40_features" -> ((s, d) => {
+      // multimodal feature extraction (documented deterministic stand-in for
+      // a real extractor — no vision libs in this container): per-image
+      // channel means, oracle-recomputed from the dumped decoded pixels
+      ImageOps.extractFeatures(s, synthImages(s, d)).orderBy("image_id")
+    }),
+    "q41_ngram_jaccard" -> ((s, d) => {
+      // demo-scale exact n-gram Jaccard with length-bucket blocking (the
+      // LSH path is the 100 TB variant) — fully SQL-recomputable
+      TextOps.ngramJaccardPairs(s.read.parquet(p(d, "documents")),
+        k = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
     "q39_bbox_sidecar" -> ((s, d) => {
       // O-6 bbox-JSON sidecar table: buffered AABB corners + translation
       // params per building (componentseparationmodule.py:137-183)
@@ -751,6 +764,31 @@ object SparkEntry {
                 JOIN e eb ON eb.vec_id = c.vec_b)
           SELECT vec_a, vec_b, round(cosr, 6) AS cos FROM d
           WHERE cosr >= 0.35 ORDER BY vec_a, vec_b""",
+    "q40_features" ->
+      s"""WITH u AS (SELECT image_id, unnest(px) AS v,
+                            generate_subscripts(px, 1) AS idx
+                     FROM ${O.inp("pixels")}),
+          g AS (SELECT image_id, (idx - 1) % 3 AS c, v FROM u)
+          SELECT image_id,
+                 SUM(CASE WHEN c = 0 THEN v END) / COUNT(CASE WHEN c = 0 THEN 1 END) AS mean_r,
+                 SUM(CASE WHEN c = 1 THEN v END) / COUNT(CASE WHEN c = 1 THEN 1 END) AS mean_g,
+                 SUM(CASE WHEN c = 2 THEN v END) / COUNT(CASE WHEN c = 2 THEN 1 END) AS mean_b
+          FROM g GROUP BY image_id ORDER BY image_id""",
+    "q41_ngram_jaccard" ->
+      s"""WITH d0 AS (SELECT doc_id, text,
+                        len(string_split(text, ' ')) // 8 AS len_bucket,
+                        list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+                          THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                                 si -> array_to_string(string_split(text, ' ')[si:si+2], ' '))
+                          ELSE []::VARCHAR[] END) AS sh
+                      FROM documents),
+          j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+                FROM d0 a JOIN d0 b USING (len_bucket)
+                WHERE a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
+          WHERE jac >= 0.5 ORDER BY doc_a, doc_b""",
     "q33_simhash_sigs" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                      FROM documents),

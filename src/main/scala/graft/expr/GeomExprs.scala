@@ -313,7 +313,8 @@ object GeomFunctions {
     "cell_cover" -> (es => CellCoverExpr(es)),
     "cell_neighbors" -> (es => CellNeighborsExpr(es.head)),
     "hull_3d" -> (es => Hull3DExpr(es.head)),
-    "simhash64" -> (es => SimHashExpr(es.head)))
+    "simhash64" -> (es => SimHashExpr(es.head)),
+    "tile_encode" -> (es => TileEncodeExpr(es(0), es(1), es(2), es(3), es(4))))
 
   /** Register every expression for SQL use (`SELECT ear_clip(ext, holes)…`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -184,8 +184,11 @@ object TextOps {
     */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
+    // floor division: Column./ is DOUBLE division, which would make the
+    // bucket fractional — i.e. exact-token-count blocking, missing any
+    // near-dup pair whose lengths differ (caught by the q41 oracle)
     val d = documents.select(col("doc_id"), col("text"),
-      (size(tokens(col("text"))) / 8).as("len_bucket"))
+      floor(size(tokens(col("text"))) / 8).cast("int").as("len_bucket"))
     val a = d.select(col("len_bucket"), col("doc_id").as("doc_a"), col("text").as("text_a"))
     val b = d.select(col("len_bucket"), col("doc_id").as("doc_b"), col("text").as("text_b"))
     a.join(b, Seq("len_bucket"))
