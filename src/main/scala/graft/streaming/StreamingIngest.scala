@@ -34,6 +34,35 @@ object StreamingIngest {
       .groupBy(window(col("event_time"), "1 minute"), col("cell_id"))
       .agg(count(lit(1)).as("n_images"))
 
+  /** Streaming exact dedup with CUSTOM STATE (training-pipeline op): keyed
+    * by content hash via `flatMapGroupsWithState` — the first arrival of a
+    * hash is emitted, every later duplicate (same batch or any later batch)
+    * is suppressed by the per-key boolean state. At scale the state store
+    * is partitioned by the hash key, so memory per executor is bounded by
+    * its key share; pair with a TTL timeout when the dedup horizon is
+    * finite.
+    */
+  def dedupStream(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), md5(col("text")).as("text_hash"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // deterministic representative within the batch: min doc_id
+            Iterator.single(rows.minBy(_._1))
+          }
+      }
+      .toDF("keep_doc_id", "text_hash")
+  }
+
   /** File-source ingest: parquet files dropped into `inDir` stream into a
     * partitioned parquet table of cell-assigned images.
     */

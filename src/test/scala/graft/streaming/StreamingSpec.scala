@@ -51,4 +51,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.map(_.getLong(2)).sum === 32L) // first window emitted, late row's window still open
   }
+
+  test("stateful streaming dedup suppresses duplicates across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingIngest.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    // batch 1: in-batch duplicate (docs 1 and 2 share text)
+    mem.addData((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate of "gamma" + one new text
+    mem.addData((4L, "gamma"), (5L, "delta"))
+    q.processAllAvailable()
+    val rows = spark.sql("select keep_doc_id from dedupstream")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    // first arrivals only: min-id in batch for in-batch dups, earlier batch
+    // wins across batches
+    assert(rows === Seq(1L, 3L, 5L))
+  }
 }
