@@ -193,10 +193,11 @@ object SpatialOps {
     var remaining = imagesWithAnchors
       .select(col("image_id"), col("anchor_x"), col("anchor_y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var nRemaining = remaining.count()
     val results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var reach = cellSize
     var roundNo = 0
-    while (roundNo < maxRounds && !remaining.isEmpty) {
+    while (roundNo < maxRounds && nRemaining > 0) {
       val ranked = knnTopK(knnRoundCandidates(remaining, cents, reach, level),
         k, useAgg).persist(StorageLevel.MEMORY_AND_DISK)
       val doneIds = ranked.groupBy(col("image_id"))
@@ -205,12 +206,18 @@ object SpatialOps {
         .where(col("n") >= k && col("kth") < col("safe_min"))
         .select(col("image_id"))
       results += ranked.join(doneIds, Seq("image_id"), "left_semi").select(out: _*)
-      remaining = remaining.join(doneIds, Seq("image_id"), "left_anti")
+      val prev = remaining
+      remaining = prev.join(doneIds, Seq("image_id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
+      nRemaining = remaining.count() // materializes the new cache...
+      // ...so the superseded probe cache can be dropped — a long-lived
+      // session would otherwise accumulate one cached frame per round per
+      // call (ranked stays cached: the returned union reads it)
+      prev.unpersist(blocking = false)
       reach *= 4
       roundNo += 1
     }
-    if (!remaining.isEmpty) {
+    if (nRemaining > 0) {
       // exhaustive tail: unresolved probes (empty regions / pathological
       // skew) × ALL centroids — distributed, bounded by the straggler count
       val brute = remaining
