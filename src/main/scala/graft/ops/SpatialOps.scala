@@ -193,7 +193,9 @@ object SpatialOps {
     var remaining = imagesWithAnchors
       .select(col("image_id"), col("anchor_x"), col("anchor_y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var nRemaining = remaining.count()
+    // round 1 always runs (an empty probe set just yields empty rounds);
+    // only the post-round straggler counts — tiny — are materialized
+    var nRemaining = Long.MaxValue
     val results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var reach = cellSize
     var roundNo = 0
