@@ -41,12 +41,16 @@ object Bench {
 
     val sf = SparkEntry.sfOf(sfDir)
     // bench-scale synth: 20k buildings/sf-unit, 40M images/sf-unit (sf0.1 →
-    // 2k buildings / 4M images; sized so compute dominates task overheads)
+    // 2k buildings / 4M images; sized so compute dominates task overheads).
+    // SPARK_GRAFT_IMAGES_MULT scales the image count for scaling studies —
+    // at high core counts the default corpus can saturate on the
+    // scan/exchange floor, which measures the sandbox, not the plan.
+    val mult = sys.env.getOrElse("SPARK_GRAFT_IMAGES_MULT", "1").toInt
     val nB = math.max(64L, (20000 * sf).toLong)
-    val nI = math.max(4096L, (40000000 * sf).toLong)
+    val nI = math.max(4096L, (40000000 * sf).toLong) * mult
 
     // ---- one-time materialization (NOT timed) ----
-    val base = s"/tmp/graft_bench_${sf}_v1"
+    val base = s"/tmp/graft_bench_${sf}_m${mult}_v1"
     val surfP = s"$base/surfaces.parquet"
     val imgP = s"$base/images.parquet"
     if (!new java.io.File(surfP).exists()) {

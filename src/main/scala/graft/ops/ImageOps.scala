@@ -58,14 +58,20 @@ object ImageOps {
   def cellRangeBoundaries(imagesWithCells: DataFrame, buckets: Int,
                           level: Int = SpatialOps.JoinLevel,
                           maxCells: Long = 1L << 16): (Array[Long], Int) = {
+    // one pruned scan of the corpus; the approx-distinct probe(s) and the
+    // final histogram all run over this ~8-bytes-per-row cache instead of
+    // re-scanning the (payload-heavy) source per pass
+    val cellsOnly = imagesWithCells.select(col("cell_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var delta = 0
     while (level - delta > 0 &&
-      imagesWithCells
+      cellsOnly
         .select(approx_count_distinct(parentCell(col("cell_id"), level, delta)).as("n"))
         .head().getLong(0) > maxCells) delta += 1
-    val hist = imagesWithCells
+    val hist = cellsOnly
       .groupBy(parentCell(col("cell_id"), level, delta).as("pcell")).count()
       .orderBy("pcell").collect()
+    cellsOnly.unpersist(blocking = false)
     val total = hist.iterator.map(_.getLong(1)).sum.toDouble
     val bounds = Array.newBuilder[Long]
     var n = 0
