@@ -496,6 +496,12 @@ object SparkEntry {
          - 2
          + 2 * len(list_filter(hs, h -> len(${O.open("h")}) >= 3)))"""
 
+  /** Exact 3D triangle area |cross(b−a, c−a)|/2 over struct(x,y,z) columns. */
+  private def triAreaSql(a: String, b: String, c: String): String =
+    s"""(sqrt(pow(($b.y-$a.y)*($c.z-$a.z)-($b.z-$a.z)*($c.y-$a.y),2)
+            + pow(($b.z-$a.z)*($c.x-$a.x)-($b.x-$a.x)*($c.z-$a.z),2)
+            + pow(($b.x-$a.x)*($c.y-$a.y)-($b.y-$a.y)*($c.x-$a.x),2)) / 2.0)"""
+
   /** Per-class (incl. 'All') vertex dictionary CTEs `ex`, `pv`, `vd` over
     * `th`: every distinct ring point of a class's surfaces (ear clipping
     * emits every ring vertex in ≥ 1 triangle, so the triangle-corner
@@ -531,13 +537,19 @@ object SparkEntry {
               p -> (p.x + prm.dx) + (p.y + prm.dy)), 'sum'), 6) AS xy_checksum
           FROM ${O.inp("surfaces")}, prm ORDER BY surface_id""",
     "q29_window_hulls" ->
-      s"""SELECT building_id, surface_id, 4 AS n_hull_tris,
-            round(2.0 * (list_aggregate(list_transform(ext, p -> p.x), 'max')
-                       - list_aggregate(list_transform(ext, p -> p.x), 'min'))
-                      * (list_aggregate(list_transform(ext, p -> p.z), 'max')
-                       - list_aggregate(list_transform(ext, p -> p.z), 'min')), 2) AS hull_area
-          FROM ${O.inp("surfaces")} WHERE surface_class IN ('Window','Door')
-          ORDER BY building_id, surface_id""",
+      // hull of a 4-distinct-point opening ring = (possibly degenerate)
+      // tetrahedron: 4 triangular faces = the 4 point-triples. Exact cross-
+      // product areas, so the check is independent of which wall plane the
+      // opening sits on (x-, y-, or z-constant, or tilted).
+      s"""WITH w AS (SELECT building_id, surface_id,
+                       ext[1] AS p1, ext[2] AS p2, ext[3] AS p3, ext[4] AS p4
+                     FROM ${O.inp("surfaces")}
+                     WHERE surface_class IN ('Window','Door'))
+          SELECT building_id, surface_id, 4 AS n_hull_tris,
+                 round(${triAreaSql("p1", "p2", "p3")} + ${triAreaSql("p1", "p2", "p4")}
+                     + ${triAreaSql("p1", "p3", "p4")} + ${triAreaSql("p2", "p3", "p4")},
+                   2) AS hull_area
+          FROM w ORDER BY building_id, surface_id""",
     "q31_obj_lines" ->
       s"""WITH $thematicCte, $vertexDictCte,
           fmt AS (SELECT cls,
@@ -563,7 +575,33 @@ object SparkEntry {
                  (9 * t * (t + 1)) // 2 - 3 * t AS f_index_sum
           FROM tb ORDER BY building_id""",
     "q16_spatial_join_cells" ->
-      s"""WITH i AS (SELECT image_id, ${O.cell("anchor_x", "anchor_y", 14)} AS cell_id,
+      // `gate` closes the oracle self-reference on the dumped triangles: for
+      // EVERY thematic surface, the Σ of its dumped triangles' exact 3D areas
+      // must equal the ring ground truth (exterior − qualifying holes,
+      // recomputed from the surfaces table alone). Any missing surface,
+      // phantom surface, or area drift > 1e-6·(1+area) empties the result →
+      // hash mismatch → red row.
+      s"""WITH $thematicCte,
+          e AS (SELECT surface_id, ${O.area("c")} AS earea FROM th),
+          hr AS (SELECT surface_id, unnest(hs) AS h FROM th),
+          h1 AS (SELECT surface_id, h, ${O.normalCols("h", "h")} FROM hr),
+          hv AS (SELECT surface_id,
+                   SUM(CASE WHEN len(${O.open("h")}) >= 3 THEN ${O.area("h", "h")}
+                       ELSE 0.0 END) AS hsum
+                 FROM h1 GROUP BY surface_id),
+          net AS (SELECT e.surface_id, e.earea - COALESCE(hv.hsum, 0.0) AS net_area
+                  FROM e LEFT JOIN hv USING (surface_id)),
+          tsum AS (SELECT surface_id,
+                     SUM(sqrt(pow((by-ay)*(cz-az)-(bz-az)*(cy-ay),2)
+                            + pow((bz-az)*(cx-ax)-(bx-ax)*(cz-az),2)
+                            + pow((bx-ax)*(cy-ay)-(by-ay)*(cx-ax),2)) / 2.0) AS tri_area
+                   FROM ${O.inp("triangles")} GROUP BY surface_id),
+          gate AS (SELECT CASE WHEN COUNT(*) = 0 THEN 1 END AS ok
+                   FROM net FULL JOIN tsum USING (surface_id)
+                   WHERE net.net_area IS NULL OR tsum.tri_area IS NULL
+                      OR abs(net.net_area - tsum.tri_area)
+                         > 1e-6 * (1.0 + net.net_area)),
+          i AS (SELECT image_id, ${O.cell("anchor_x", "anchor_y", 14)} AS cell_id,
                  anchor_x, anchor_y FROM ${O.inp("images")}),
           m AS (SELECT i.cell_id, i.image_id, t.surface_id
                 FROM i JOIN ${O.inp("triangles")} t
@@ -571,7 +609,8 @@ object SparkEntry {
           SELECT cell_id, COUNT(*) AS n_matches,
                  COUNT(DISTINCT image_id) AS n_images,
                  COUNT(DISTINCT surface_id) AS n_surfaces
-          FROM m GROUP BY cell_id ORDER BY cell_id""",
+          FROM m CROSS JOIN gate WHERE gate.ok = 1
+          GROUP BY cell_id ORDER BY cell_id""",
     "q17_knn" ->
       s"""WITH c AS (SELECT surface_id, building_id, surface_class, ${O.centroidCols}
                      FROM ${O.inp("surfaces")}),

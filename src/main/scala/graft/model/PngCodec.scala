@@ -34,6 +34,13 @@ object PngCodec {
     out(0) = 0x78; out(1) = 0x01 // CMF/FLG, (0x7801 % 31 == 0)
     var off = 2
     var pos = 0
+    if (raw.isEmpty) {
+      // zero-dimension raster: the loop below never runs, but a valid zlib
+      // stream still needs one final (empty) stored block — BFINAL=1, LEN=0
+      out(off) = 1; out(off + 1) = 0; out(off + 2) = 0
+      out(off + 3) = 0xFF.toByte; out(off + 4) = 0xFF.toByte
+      off += 5
+    }
     while (pos < raw.length) {
       val len = math.min(65535, raw.length - pos)
       out(off) = (if (pos + len >= raw.length) 1 else 0).toByte // BFINAL

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,27 +54,62 @@ object ObjPipeline {
       .join(broadcast(openings), col("ext") === col("open_ext"), "left_anti")
   }
 
-  /** Triangle corners in document order, with the 'All' + per-class routing
-    * of the reference (O-52): every polygon contributes to class 'All'; with
-    * semantics enabled it also contributes to its own class.
+  /** Face source for `-p`/SKIPTRI mode (CityGML2OBJs.py:137-148, 174-183):
+    * triangulation bypassed, each polygon becomes ONE n-ary face over its
+    * OPEN exterior ring (the closing point dropped); interior rings are
+    * ignored, exactly like the reference's `t = [epoints_clean[:-1]]`.
+    * Output schema matches [[SpatialOps.triangles]] plus `pts` (the face's
+    * point list) instead of a `tri` struct.
     */
-  def corners(tris: DataFrame, semantics: Boolean): DataFrame = {
+  def polygonFaces(thematic: DataFrame): DataFrame = {
+    val extra = Seq("material_all", "material_cls")
+      .filter(thematic.columns.contains(_)).map(col)
+    thematic.select(Seq(col("building_id"), col("surface_id"),
+      col("surface_class"), col("building_ord"), col("poly_ord"),
+      lit(0).as("tri_idx"),
+      slice(col("ext"), lit(1), size(col("ext")) - 1).as("pts")) ++ extra: _*)
+  }
+
+  /** Face corners in document order, with the 'All' + per-class routing of
+    * the reference (O-52): every polygon contributes to class 'All'; with
+    * semantics enabled it also contributes to its own class. Accepts either
+    * triangle rows (`tri` struct from [[SpatialOps.triangles]]) or n-ary
+    * face rows (`pts` array from [[polygonFaces]]); carries surface_id and
+    * the optional material lineage (`material_all` for the 'All' bin —
+    * building-level attribute in the reference — and `material_cls` for
+    * class bins).
+    */
+  def corners(faces: DataFrame, semantics: Boolean): DataFrame = {
+    val withPts =
+      if (faces.columns.contains("pts")) faces
+      else faces.withColumn("pts",
+        array(col("tri.a"), col("tri.b"), col("tri.c")))
+    val withMat = Seq("material_all", "material_cls").foldLeft(withPts) {
+      (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast("string"))
+    }
     val classes =
       if (semantics) array(lit("All"), col("surface_class"))
       else array(lit("All"))
-    tris
+    withMat
       .withColumn("cls", explode(classes))
-      .select(col("cls"), col("building_id"), col("building_ord"),
-        col("poly_ord"), col("tri_idx"),
-        posexplode(array(col("tri.a"), col("tri.b"), col("tri.c")))
-          .as(Seq("corner", "v")))
+      .withColumn("material",
+        when(col("cls") === "All", col("material_all"))
+          .otherwise(col("material_cls")))
+      .select(col("cls"), col("building_id"), col("surface_id"),
+        col("building_ord"), col("poly_ord"), col("tri_idx"), col("material"),
+        posexplode(col("pts")).as(Seq("corner", "v")))
   }
 
   /** O-41 vertex dictionary encoding: per class, distinct vertices get
     * 1-based ordinals in first-occurrence document order.
     * Returns (vertices, faces):
     *   vertices(cls, ordinal, x, y, z)
-    *   faces(cls, building_id, building_ord, poly_ord, tri_idx, ia, ib, ic)
+    *   faces(cls, building_id, building_ord, surface_id, poly_ord, tri_idx,
+    *         idx: array<int> (corner-ordered vertex ordinals — length 3 for
+    *         triangles, n for SKIPTRI faces), ia/ib/ic (first three, for the
+    *         triangle consumers), material (nullable, `-a` lineage)
     */
   def dictionaryEncode(corners: DataFrame): (DataFrame, DataFrame) = {
     val seq = struct(col("building_ord"), col("poly_ord"), col("tri_idx"), col("corner"))
@@ -92,15 +127,21 @@ object ObjPipeline {
         col("c.v.y") === col("o.y") &&
         col("c.v.z") === col("o.z"))
       .select(col("c.cls").as("cls"), col("c.building_id").as("building_id"),
-        col("c.building_ord").as("building_ord"), col("c.poly_ord").as("poly_ord"),
-        col("c.tri_idx").as("tri_idx"), col("c.corner").as("corner"), col("o.ordinal").as("ordinal"))
+        col("c.building_ord").as("building_ord"),
+        col("c.surface_id").as("surface_id"), col("c.poly_ord").as("poly_ord"),
+        col("c.tri_idx").as("tri_idx"), col("c.material").as("material"),
+        col("c.corner").as("corner"), col("o.ordinal").as("ordinal"))
     val faces = indexed
       .groupBy(col("cls"), col("building_id"), col("building_ord"),
-        col("poly_ord"), col("tri_idx"))
+        col("surface_id"), col("poly_ord"), col("tri_idx"))
       .agg(
-        max(when(col("corner") === 0, col("ordinal"))).as("ia"),
-        max(when(col("corner") === 1, col("ordinal"))).as("ib"),
-        max(when(col("corner") === 2, col("ordinal"))).as("ic"))
+        transform(array_sort(collect_list(struct(col("corner"), col("ordinal")))),
+          e => e.getField("ordinal")).as("idx"),
+        // every corner of a face shares the face's material (or null)
+        max(col("material")).as("material"))
+      .withColumn("ia", get(col("idx"), lit(0)))
+      .withColumn("ib", get(col("idx"), lit(1)))
+      .withColumn("ic", get(col("idx"), lit(2)))
     (vertices, faces)
   }
 
@@ -155,22 +196,60 @@ object ObjPipeline {
   }
 
   /** Render OBJ text lines per class (O-4 global path: `v x y z` in ordinal
-    * order, then `f ia ib ic` in document order). Returns a DataFrame of
-    * (cls, line_no, line) — writable with partitionBy("cls") at scale, or
-    * collected for byte-exact goldens at test scale.
+    * order, then `f i1 i2 … in` in document order). Flags mirror the
+    * reference CLI:
+    *  - `objects` (`-g`): one `o <building_id>` record before each
+    *    building's faces in the 'All' bin (CityGML2OBJs.py:642-659); in a
+    *    class bin, `o <building_id>_<first feature id>` before the
+    *    building's first face of that class (CityGML2OBJs.py:717-723 — the
+    *    reference interpolates the raw xpath LIST there, `o id_['gml_id']`;
+    *    the engine emits the id itself, documented divergence).
+    *  - `mtllib` (`-a` header): `mtllib colormap.mtl` as the first line
+    *    (CityGML2OBJs.py:568-570); `usemtl <mat>` before EVERY face whose
+    *    material is non-null (CityGML2OBJs.py:160, 192 — the reference
+    *    repeats usemtl per face, no dedup).
+    * Returns a DataFrame of (cls, line_no, line) — writable via
+    * [[graft.sink.ObjWriter.writeIndexedDistributed]] at scale, or collected
+    * for byte-exact goldens at test scale.
     */
-  def objLines(vertices: DataFrame, faces: DataFrame): DataFrame = {
+  def objLines(vertices: DataFrame, faces: DataFrame,
+               objects: Boolean = false, mtllib: Boolean = false): DataFrame = {
+    def key(section: Int, ord: Column, o2: Column, o3: Column, o4: Int) =
+      struct(lit(section).as("section"), ord.cast("long").as("ord"),
+        o2.cast("long").as("o2"), o3.cast("long").as("o3"),
+        lit(o4).as("o4")).as("k")
     val vLines = vertices.select(col("cls"),
-      struct(lit(0).as("section"), col("ordinal").cast("long").as("ord"),
-        lit(0L).as("o2"), lit(0L).as("o3"), lit(0).as("o4")).as("k"),
+      key(0, col("ordinal"), lit(0L), lit(0L), 0),
       format_string("v %s %s %s",
         fmtNum(col("x")), fmtNum(col("y")), fmtNum(col("z"))).as("line"))
     val fLines = faces.select(col("cls"),
-      struct(lit(1).as("section"), col("building_ord").as("ord"),
-        col("poly_ord").as("o2"), col("tri_idx").cast("long").as("o3"),
-        lit(0).as("o4")).as("k"),
-      format_string("f %d %d %d", col("ia"), col("ib"), col("ic")).as("line"))
-    vLines.unionByName(fLines)
+      key(1, col("building_ord"), col("poly_ord"), col("tri_idx"), 1),
+      concat(lit("f "),
+        concat_ws(" ", transform(col("idx"), i => i.cast("string")))).as("line"))
+    var all = vLines.unionByName(fLines)
+    if (mtllib) {
+      val header = vertices.select(col("cls")).distinct().select(col("cls"),
+        key(-1, lit(0L), lit(0L), lit(0L), 0),
+        lit("mtllib colormap.mtl").as("line"))
+      all = all.unionByName(header)
+    }
+    if (objects) {
+      val oLines = faces
+        .groupBy(col("cls"), col("building_id"), col("building_ord"))
+        .agg(min(struct(col("poly_ord"), col("surface_id"))).as("fs"))
+        .select(col("cls"),
+          key(1, col("building_ord"), lit(-1L), lit(-1L), 0),
+          when(col("cls") === "All",
+            format_string("o %s", col("building_id")))
+            .otherwise(format_string("o %s_%s",
+              col("building_id"), col("fs.surface_id"))).as("line"))
+      all = all.unionByName(oLines)
+    }
+    val useMtl = faces.where(col("material").isNotNull).select(col("cls"),
+      key(1, col("building_ord"), col("poly_ord"), col("tri_idx"), 0),
+      format_string("usemtl %s", col("material")).as("line"))
+    all = all.unionByName(useMtl)
+    all
       .withColumn("line_no",
         row_number().over(Window.partitionBy(col("cls")).orderBy(col("k"))))
       .select(col("cls"), col("line_no"), col("line"))
@@ -183,13 +262,65 @@ object ObjPipeline {
     when(c === c.cast("long").cast("double"),
       format_string("%.1f", c)).otherwise(c.cast("string"))
 
+  /** `-a` material assignment (O-35 + CityGML2OBJs.py:707-747 semantics):
+    *  - class bins: the polygon's OWN attribute, but only for the classes the
+    *    reference colors (RoofSurface for ATTRIBUTE 1/2) — other classes get
+    *    no usemtl even when the attribute exists;
+    *  - the 'All' bin: the BUILDING-level attribute (yearlyIrradiation in
+    *    the reference), applied to every face of the building — supplied as
+    *    a small (building_id, batt) frame, broadcast.
+    * Adds nullable `material_all`/`material_cls` columns consumed by
+    * [[corners]].
+    */
+  def withMaterials(surfaces: DataFrame, attrName: String,
+                    minV: Double, maxV: Double,
+                    classBins: Seq[String] = Seq("RoofSurface"),
+                    buildingAttrs: Option[DataFrame] = None): DataFrame = {
+    val att = element_at(col("attrs"), attrName)
+    val base = surfaces.withColumn("material_cls",
+      when(col("surface_class").isin(classBins: _*) && att.isNotNull,
+        graft.sink.MtlSink.materialFor(att, minV, maxV)))
+    buildingAttrs match {
+      case Some(b) =>
+        base.join(broadcast(b.select(col("building_id"), col("batt"))),
+            Seq("building_id"), "left")
+          .withColumn("material_all",
+            when(col("batt").isNotNull,
+              graft.sink.MtlSink.materialFor(col("batt"), minV, maxV)))
+          .drop("batt")
+      case None =>
+        base.withColumn("material_all", lit(null).cast("string"))
+    }
+  }
+
   /** Full parity run: surfaces → (vertices, faces, rejects) per flags. */
   def run(spark: SparkSession, surfaces: DataFrame, semantics: Boolean = true,
-          translate: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+          translate: Boolean = false): (DataFrame, DataFrame, DataFrame) =
+    runFlags(spark, surfaces, semantics = semantics, translate = translate)
+
+  /** Full flag surface (EP-1): `-s` semantics, `-t` translate, `-p` skipTri
+    * (n-ary faces, no triangulation), `-a` attribute→material (set
+    * `attribute`; see [[withMaterials]]). Render the result with
+    * [[objLines]](v, f, objects = `-g`, mtllib = attribute.nonEmpty).
+    */
+  def runFlags(spark: SparkSession, surfaces: DataFrame,
+               semantics: Boolean = true, translate: Boolean = false,
+               skipTri: Boolean = false,
+               attribute: Option[(String, Double, Double)] = None,
+               attrClassBins: Seq[String] = Seq("RoofSurface"),
+               buildingAttrs: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
     val (ok, rejects) = validated(surfaces)
-    val thematic = withoutOpenings(ok)
-    val tris = SpatialOps.triangles(thematic)
-    val (v0, f) = dictionaryEncode(corners(tris, semantics))
+    val thematic0 = withoutOpenings(ok)
+    val thematic = attribute match {
+      case Some((name, lo, hi)) =>
+        withMaterials(thematic0, name, lo, hi, attrClassBins, buildingAttrs)
+      case None => thematic0
+    }
+    val faceRows =
+      if (skipTri) polygonFaces(thematic)
+      else SpatialOps.triangles(thematic)
+    val (v0, f) = dictionaryEncode(corners(faceRows, semantics))
     val v = if (translate) translateToMin(v0) else v0
     (v, f, rejects)
   }

@@ -28,14 +28,18 @@ object SpatialOps {
   final val KnnLevel = 14
 
   /** surfaces → one row per triangle (O-36 + explode). Keeps lineage columns
-    * for the OBJ emission-order contract.
+    * for the OBJ emission-order contract; the optional `-a` material columns
+    * pass through when present (columnar lineage — never a re-attach join).
     */
-  def triangles(surfaces: DataFrame): DataFrame =
+  def triangles(surfaces: DataFrame): DataFrame = {
+    val extra = Seq("material_all", "material_cls")
+      .filter(surfaces.columns.contains(_)).map(col)
     surfaces
       .withColumn("tris", ear_clip(col("ext"), col("holes")))
-      .select(col("building_id"), col("surface_id"), col("surface_class"),
-        col("building_ord"), col("poly_ord"),
-        posexplode(col("tris")).as(Seq("tri_idx", "tri")))
+      .select(Seq(col("building_id"), col("surface_id"), col("surface_class"),
+        col("building_ord"), col("poly_ord")) ++ extra :+
+        posexplode(col("tris")).as(Seq("tri_idx", "tri")): _*)
+  }
 
   /** Triangle rows → (cell_id, triangle) pairs at `level` via AABB cover
     * (O-56). Exact refinement happens in the join predicate, so cover
@@ -110,9 +114,20 @@ object SpatialOps {
     * A probe's top-k is provably exact once its k-th candidate distance is
     * strictly below `safe`: every unexplored centroid is ≥ `safe` away.
     */
+  /** Z-order parent-cell column: morton(ix >> d, iy >> d) == morton >> 2d,
+    * so coarsening a cell key is two shifts and an OR (same bit math as
+    * Cells.parent, kept columnar so it rides inside whole-stage codegen).
+    */
+  private def parentCellCol(cell: Column, fromLevel: Int, toLevel: Int): Column =
+    if (toLevel == fromLevel) cell
+    else shiftleft(lit(toLevel.toLong), 2 * graft.geom.Cells.MaxLevel).bitwiseOR(
+      shiftright(cell.bitwiseAND(lit((1L << (2 * graft.geom.Cells.MaxLevel)) - 1)),
+        2 * (fromLevel - toLevel)))
+
   private def knnRoundCandidates(probes: DataFrame, cents: DataFrame,
-                                 reach: Double, level: Int): DataFrame = {
-    val size = graft.geom.Cells.sizeAt(level)
+                                 reach: Double, roundLevel: Int,
+                                 baseLevel: Int): DataFrame = {
+    val size = graft.geom.Cells.sizeAt(roundLevel)
     val world = graft.geom.Cells.World.toDouble
     val big = lit(Double.MaxValue)
     val xlo = floor((col("anchor_x") - reach) / size) * size
@@ -126,12 +141,17 @@ object SpatialOps {
       when(yhi >= world, big).otherwise(yhi - col("anchor_y")))
     val dx = col("anchor_x") - col("cx")
     val dy = col("anchor_y") - col("cy")
+    // centroid keys coarsen to the round's level via parent bit math — the
+    // probe side's cover stays a ~3×3 equi-join key set at EVERY reach, so
+    // no round ever degenerates to a cross/nested-loop join
+    val centsAtLevel = cents.withColumn("round_cell",
+      parentCellCol(col("knn_cell"), baseLevel, roundLevel)).drop("knn_cell")
     probes
       .withColumn("safe", safe)
-      .withColumn("knn_cell", explode(cell_cover(
+      .withColumn("round_cell", explode(cell_cover(
         col("anchor_x") - reach, col("anchor_y") - reach,
-        col("anchor_x") + reach, col("anchor_y") + reach, lit(level))))
-      .join(cents, Seq("knn_cell"))
+        col("anchor_x") + reach, col("anchor_y") + reach, lit(roundLevel))))
+      .join(centsAtLevel, Seq("round_cell"))
       .withColumn("dist", sqrt(dx * dx + dy * dy))
   }
 
@@ -167,7 +187,8 @@ object SpatialOps {
           col("building_id"), col("surface_class"), col("dist"), col("safe"))
     }
 
-  /** kNN nearest-surface assignment (O-39/O-53), EXACT by construction.
+  /** kNN nearest-surface assignment (O-39/O-53), EXACT by construction and
+    * TERMINATION-COMPLETE — no brute-force tail, no cross join, ever.
     *
     * A fixed neighbor ring silently returns wrong answers once the true
     * k-th neighbor lies past the ring (a 3×3 ring at 64 m cells guarantees
@@ -175,17 +196,36 @@ object SpatialOps {
     * ring expansion — probe the cell cover of [anchor ± reach], keep a
     * probe's top-k only when its k-th candidate distance is strictly below
     * the distance to the unexplored boundary (`safe`), quadruple `reach`
-    * for the unresolved probes, and brute-force the (tiny) tail after
-    * `maxRounds`. Cost at scale: round 1 is the old bounded 3×3 fan-out and
-    * resolves ~all probes; later rounds touch only the stragglers, so the
-    * exchange volume stays ~k·|images|. The per-round driver actions are
-    * O(1) aggregates (an isEmpty per round), never data collects.
+    * for the unresolved probes. Each round the candidate CELL LEVEL coarsens
+    * by 2 (parent-cell bit shift on the centroid key), so the probe-side
+    * cover stays a ~3×3 key set at any reach and every round remains a hash
+    * equi-join — a probe cluster kilometers from any surface (empty regions
+    * at 100× domain scale) costs O(stragglers × local density) per round,
+    * never |stragglers| × |centroids| except in the provably-final
+    * whole-domain round (level 0: one cell, still an equi-join). Once the
+    * explored square covers the whole domain, `safe` = ∞ and every probe
+    * with ≥1 candidate resolves (a world with fewer than k centroids yields
+    * all of them); probes with zero candidates anywhere yield no rows.
+    * Cost at scale: round 1 is the bounded 3×3 fan-out and resolves ~all
+    * probes; later rounds touch only stragglers, so exchange volume stays
+    * ~k·|images|. Per-round driver actions are O(1) aggregates, never data
+    * collects.
+    *
+    * The returned frame is persisted and already materialized (the loop's
+    * round caches are dropped eagerly once the union is computed); callers
+    * issuing many kNN calls should `unpersist()` the result when done.
     */
   def knnAssignExact(imagesWithAnchors: DataFrame, surfaces: DataFrame,
                      k: Int, level: Int, useAgg: Boolean,
-                     maxRounds: Int = 3): DataFrame = {
+                     maxRounds: Int = 0): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val cellSize = graft.geom.Cells.sizeAt(level)
+    val world = graft.geom.Cells.World.toDouble
+    // rounds until reach ≥ world (reach quadruples from one cell size) — by
+    // then the cover square spans the whole domain and everything resolves
+    val autoRounds = (math.ceil(
+      math.log(world / cellSize) / math.log(4.0)).toInt + 2).max(2)
+    val rounds = if (maxRounds > 0) maxRounds else autoRounds
     val cents = surfaceCentroids(surfaces, level)
     val out = col("image_id") :: col("rk") :: col("surface_id") ::
       col("building_id") :: col("surface_class") ::
@@ -193,44 +233,45 @@ object SpatialOps {
     var remaining = imagesWithAnchors
       .select(col("image_id"), col("anchor_x"), col("anchor_y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val probeCaches = scala.collection.mutable.ArrayBuffer(remaining)
+    val rankedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // round 1 always runs (an empty probe set just yields empty rounds);
     // only the post-round straggler counts — tiny — are materialized
     var nRemaining = Long.MaxValue
     val results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var reach = cellSize
     var roundNo = 0
-    while (roundNo < maxRounds && nRemaining > 0) {
-      val ranked = knnTopK(knnRoundCandidates(remaining, cents, reach, level),
+    while (roundNo < rounds && nRemaining > 0) {
+      val roundLevel = math.max(0, level - 2 * roundNo)
+      val ranked = knnTopK(
+        knnRoundCandidates(remaining, cents, reach, roundLevel, level),
         k, useAgg).persist(StorageLevel.MEMORY_AND_DISK)
+      rankedCaches += ranked
+      // resolved = provably-exact top-k (kth strictly inside the explored
+      // square) OR the explored square is the whole domain (safe = ∞): then
+      // whatever was found IS the global answer, even if fewer than k rows
       val doneIds = ranked.groupBy(col("image_id"))
         .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"),
           min(col("safe")).as("safe_min"))
-        .where(col("n") >= k && col("kth") < col("safe_min"))
+        .where((col("n") >= k && col("kth") < col("safe_min")) ||
+          col("safe_min") === lit(Double.MaxValue))
         .select(col("image_id"))
       results += ranked.join(doneIds, Seq("image_id"), "left_semi").select(out: _*)
-      val prev = remaining
-      remaining = prev.join(doneIds, Seq("image_id"), "left_anti")
+      remaining = remaining.join(doneIds, Seq("image_id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      nRemaining = remaining.count() // materializes the new cache...
-      // ...so the superseded probe cache can be dropped — a long-lived
-      // session would otherwise accumulate one cached frame per round per
-      // call (ranked stays cached: the returned union reads it)
-      prev.unpersist(blocking = false)
+      probeCaches += remaining
+      nRemaining = remaining.count()
       reach *= 4
       roundNo += 1
     }
-    if (nRemaining > 0) {
-      // exhaustive tail: unresolved probes (empty regions / pathological
-      // skew) × ALL centroids — distributed, bounded by the straggler count
-      val brute = remaining
-        .withColumn("safe", lit(Double.MaxValue))
-        .crossJoin(cents.drop("knn_cell"))
-        .withColumn("dist", sqrt(
-          (col("anchor_x") - col("cx")) * (col("anchor_x") - col("cx")) +
-            (col("anchor_y") - col("cy")) * (col("anchor_y") - col("cy"))))
-      results += knnTopK(brute, k, useAgg).select(out: _*)
-    }
-    results.reduce(_.unionByName(_))
+    // nRemaining > 0 here ⇔ zero centroids exist anywhere (the final round
+    // explored the full domain): those probes correctly contribute no rows.
+    val union = results.reduce(_.unionByName(_))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    union.count() // materialize so every per-round cache can be freed NOW
+    rankedCaches.foreach(_.unpersist(blocking = false))
+    probeCaches.foreach(_.unpersist(blocking = false))
+    union
   }
 
   /** kNN via the window top-k plan (default on local[n]). Exact — see

@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object GmlSink {
 
+  /** JSON string escaper for every interpolated data field in the sidecar
+    * writers: building_id / gmlID / srsName flow from untrusted gml:id via
+    * GmlXml.ingest, so quotes, backslashes, and control chars must escape
+    * (hostile-input contract — the XML writer has esc(), this is its JSON
+    * twin).
+    */
+  private[sink] def jesc(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
+
   /** Write one `<prefix>_<building_id>_local_.gml` per building plus the
     * `<prefix>_parameters.txt` params sidecar. `translated` must already
     * carry translated coordinates (Translate.applySurfaces).
@@ -65,7 +81,7 @@ object GmlSink {
   def writeBboxJson(sidecar: DataFrame, outDir: String): String = {
     val rows = sidecar.orderBy("building_id").collect()
     val body = rows.map { r =>
-      val bid = r.getString(0)
+      val bid = jesc(r.getString(0))
       s"""  "$bid": {"axis_aligned_bbox": {"min_point": "[${r.getDouble(1)}, ${r.getDouble(2)}, ${r.getDouble(3)}]", "max_point": "[${r.getDouble(4)}, ${r.getDouble(5)}, ${r.getDouble(6)}]", "translation_parameters": {"d_x": "${r.getDouble(7)}", "d_y": "${r.getDouble(8)}", "d_z": "${r.getDouble(9)}"}}}"""
     }.mkString(",\n")
     val p = Paths.get(s"$outDir/bbox.json")
@@ -112,7 +128,7 @@ object GmlSink {
     val rows = envelopes.select("file_id", "srs_name", "srs_dim")
       .orderBy("file_id").collect()
     val body = rows.map { r =>
-      s"""  "${r.getString(0)}": {"srsName": "${r.getString(1)}", "srsDimension": "${r.getString(2)}"}"""
+      s"""  "${jesc(r.getString(0))}": {"srsName": "${jesc(r.getString(1))}", "srsDimension": "${jesc(r.getString(2))}"}"""
     }.mkString(",\n")
     val p = Paths.get(s"$outDir/crs.json")
     Files.createDirectories(p.getParent)
@@ -127,7 +143,7 @@ object GmlSink {
   def writeIndexJson(components: DataFrame, outDir: String): String = {
     val rows = components.orderBy("filename").collect()
     val body = rows.map { r =>
-      s"""  "${r.getString(0)}": {"tag": "${r.getString(1)}", "parentID": "${r.getString(2)}", "gmlID": "${r.getString(3)}"}"""
+      s"""  "${jesc(r.getString(0))}": {"tag": "${jesc(r.getString(1))}", "parentID": "${jesc(r.getString(2))}", "gmlID": "${jesc(r.getString(3))}"}"""
     }.mkString(",\n")
     val p = Paths.get(s"$outDir/index.json")
     Files.createDirectories(p.getParent)

@@ -174,7 +174,12 @@ object GmlXml {
         }
       }
       r.close()
-    } catch { case _: Throwable => /* keep what we have */ }
+    } catch {
+      // never-throw covers PARSE errors only: fatal JVM errors and task
+      // interrupts must propagate, or a dying executor would return a
+      // truncated parse as a "successful" partial result
+      case scala.util.control.NonFatal(_) => /* keep what we have */
+    }
     out.toSeq
   }
 
