@@ -452,6 +452,56 @@ object SparkEntry {
         round(area_gml(col("ext"), col("holes")), 6).as("area"))
         .orderBy("surface_id")
     }),
+    "q42_obj_flags" -> ((s, d) => {
+      // EP-1 flag surface under the gate: -g object records, -a usemtl
+      // materials (+ mtllib header). Building-level attribute for the 'All'
+      // bin = the ground surface's irradiation (the synth stand-in for the
+      // reference's yearlyIrradiation, CityGML2OBJs.py:662-665); class bins
+      // color RoofSurface polygons only (CityGML2OBJs.py:729-739). The
+      // oracle recomputes o/usemtl/f line counts, the o-line byte volume
+      // (pinning the `o <bid>[_<first-feature-id>]` naming), and a ×10000
+      // material-bin checksum parsed back out of the rendered usemtl text.
+      val surf = synthSurfaces(s, d)
+      val battr = surf.where(col("poly_ord") === 0)
+        .select(col("building_id"),
+          element_at(col("attrs"), "irradiation").as("batt"))
+      val (v, f, _) = ObjPipeline.runFlags(s, surf, semantics = true,
+        attribute = Some(("irradiation", 0.0, 1600.0)),
+        buildingAttrs = Some(battr))
+      ObjPipeline.objLines(v, f, objects = true, mtllib = true)
+        .groupBy("cls").agg(
+          sum(when(col("line").startsWith("o "), 1L).otherwise(0L)).as("n_o_lines"),
+          sum(when(col("line").startsWith("o "), length(col("line")))
+            .otherwise(0)).cast("long").as("o_bytes"),
+          sum(when(col("line").startsWith("usemtl "), 1L).otherwise(0L)).as("n_usemtl"),
+          sum(when(col("line") === "mtllib colormap.mtl", 1L).otherwise(0L)).as("n_mtllib"),
+          sum(when(col("line").startsWith("f "), 1L).otherwise(0L)).as("n_f_lines"),
+          sum(when(col("line").startsWith("usemtl "),
+            round(substring(col("line"), 11, 64).cast("double") * 10000).cast("long"))
+            .otherwise(0L)).as("mat_checksum"))
+        .orderBy("cls")
+    }),
+    "q43_obj_skiptri" -> ((s, d) => {
+      // -p SKIPTRI passthrough (CityGML2OBJs.py:137-148): polygons emit one
+      // n-ary face over the open exterior ring, holes dropped, NO
+      // triangulation. The oracle recomputes the vertex dictionary, the face
+      // arity checksum, AND the exact printed face-index sum (first-
+      // occurrence ordinals are EarClip-independent here, so the full
+      // ordinal assignment is SQL-checkable — no golden needed).
+      val (v, f, _) = ObjPipeline.runFlags(s, synthSurfaces(s, d),
+        semantics = true, skipTri = true)
+      val toks = split(col("line"), " ")
+      ObjPipeline.objLines(v, f)
+        .groupBy("cls").agg(
+          sum(when(col("line").startsWith("v "), 1L).otherwise(0L)).as("n_v_lines"),
+          sum(when(col("line").startsWith("f "), 1L).otherwise(0L)).as("n_f_lines"),
+          sum(when(col("line").startsWith("f "), size(toks) - 1).otherwise(0))
+            .cast("long").as("arity_sum"),
+          sum(when(col("line").startsWith("f "),
+            aggregate(slice(toks, lit(2), size(toks) - 1), lit(0L),
+              (a, t) => a + t.cast("long"))).otherwise(0L)).as("f_index_sum"))
+        .orderBy("cls")
+    }),
     "q35_attr_stats" -> ((s, d) => {
       // O-45 attribute range stats over the attrs map column
       synthSurfaces(s, d)
@@ -476,7 +526,8 @@ object SparkEntry {
     * cleaned ring `c`, cleaned holes `hs`, normal cols nx/ny/nz).
     */
   private def thematicCte: String =
-    s"""s0 AS (SELECT building_id, surface_id, surface_class, ${O.clean("ext")} AS c,
+    s"""s0 AS (SELECT building_id, surface_id, surface_class, building_ord,
+                 poly_ord, ${O.clean("ext")} AS c,
                  list_transform(holes, h -> ${O.clean("h")}) AS hs
                FROM ${O.inp("surfaces")}),
         s1 AS (SELECT *, ${O.normalCols("c")} FROM s0),
@@ -574,6 +625,63 @@ object SparkEntry {
           SELECT building_id, 4 * t AS n_lines,
                  (9 * t * (t + 1)) // 2 - 3 * t AS f_index_sum
           FROM tb ORDER BY building_id""",
+    "q42_obj_flags" ->
+      s"""WITH $thematicCte,
+          ex AS (SELECT unnest(['All', surface_class]) AS cls, * FROM th),
+          ba AS (SELECT building_id, attrs['irradiation'][1] AS batt
+                 FROM ${O.inp("surfaces")} WHERE poly_ord = 0),
+          sa AS (SELECT surface_id, attrs['irradiation'][1] AS att
+                 FROM ${O.inp("surfaces")}),
+          fm AS (SELECT ex.cls, ex.building_id, ex.building_ord,
+                   ex.surface_id, ex.poly_ord, $eulerT AS t,
+                   CASE WHEN ex.cls = 'All'
+                          THEN round(round(((ba.batt - 0.0) / (1600.0 - 0.0)) * 100) / 100.0, 4)
+                        WHEN ex.cls = 'RoofSurface' AND sa.att IS NOT NULL
+                          THEN round(round(((sa.att - 0.0) / (1600.0 - 0.0)) * 100) / 100.0, 4)
+                   END AS mat
+                 FROM ex JOIN ba USING (building_id)
+                         LEFT JOIN sa ON sa.surface_id = ex.surface_id),
+          ob AS (SELECT cls, building_id, arg_min(surface_id, poly_ord) AS fsid
+                 FROM fm GROUP BY cls, building_id),
+          obl AS (SELECT cls, COUNT(*) AS n_o_lines,
+                    CAST(SUM(CASE WHEN cls = 'All' THEN 2 + length(building_id)
+                             ELSE 3 + length(building_id) + length(fsid) END)
+                      AS BIGINT) AS o_bytes
+                  FROM ob GROUP BY cls),
+          ag AS (SELECT cls,
+                   CAST(SUM(CASE WHEN mat IS NOT NULL THEN t ELSE 0 END) AS BIGINT) AS n_usemtl,
+                   CAST(SUM(t) AS BIGINT) AS n_f_lines,
+                   CAST(SUM(CASE WHEN mat IS NOT NULL
+                            THEN t * CAST(round(mat * 10000) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS mat_checksum
+                 FROM fm GROUP BY cls)
+          SELECT ag.cls, obl.n_o_lines, obl.o_bytes, ag.n_usemtl,
+                 CAST(1 AS BIGINT) AS n_mtllib, ag.n_f_lines, ag.mat_checksum
+          FROM ag JOIN obl USING (cls) ORDER BY cls""",
+    "q43_obj_skiptri" ->
+      s"""WITH $thematicCte,
+          ex AS (SELECT unnest(['All', surface_class]) AS cls, * FROM th),
+          pts AS (SELECT cls, building_ord, poly_ord,
+                    unnest(${O.open("c")}) AS p,
+                    generate_subscripts(${O.open("c")}, 1) AS corner
+                  FROM ex),
+          vd AS (SELECT cls, p,
+                   MIN(building_ord * 1000000 + poly_ord * 1000 + corner) AS fk
+                 FROM pts GROUP BY cls, p),
+          ordn AS (SELECT cls, p,
+                     ROW_NUMBER() OVER (PARTITION BY cls ORDER BY fk) AS ordinal
+                   FROM vd),
+          fi AS (SELECT pts.cls, SUM(ordn.ordinal) AS fsum
+                 FROM pts JOIN ordn ON pts.cls = ordn.cls AND pts.p = ordn.p
+                 GROUP BY pts.cls),
+          base AS (SELECT cls, COUNT(*) AS n_f,
+                     CAST(SUM(len(${O.open("c")})) AS BIGINT) AS arity
+                   FROM ex GROUP BY cls),
+          nv AS (SELECT cls, COUNT(*) AS n_v FROM ordn GROUP BY cls)
+          SELECT base.cls, nv.n_v AS n_v_lines, base.n_f AS n_f_lines,
+                 base.arity AS arity_sum, CAST(fi.fsum AS BIGINT) AS f_index_sum
+          FROM base JOIN nv USING (cls) JOIN fi ON fi.cls = base.cls
+          ORDER BY cls""",
     "q16_spatial_join_cells" ->
       // `gate` closes the oracle self-reference on the dumped triangles: for
       // EVERY thematic surface, the Σ of its dumped triangles' exact 3D areas

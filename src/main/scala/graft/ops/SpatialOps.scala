@@ -98,7 +98,7 @@ object SpatialOps {
     * stored ring including closure), matching the reference's centroid
     * contract (polygon3dmodule.py:338-348).
     */
-  private def surfaceCentroids(surfaces: DataFrame, level: Int): DataFrame =
+  private[ops] def surfaceCentroids(surfaces: DataFrame, level: Int): DataFrame =
     surfaces.select(
       col("surface_id"), col("building_id"), col("surface_class"),
       (aggregate(col("ext"), lit(0.0), (acc, p) => acc + p.getField("x")) /
@@ -124,9 +124,9 @@ object SpatialOps {
       shiftright(cell.bitwiseAND(lit((1L << (2 * graft.geom.Cells.MaxLevel)) - 1)),
         2 * (fromLevel - toLevel)))
 
-  private def knnRoundCandidates(probes: DataFrame, cents: DataFrame,
-                                 reach: Double, roundLevel: Int,
-                                 baseLevel: Int): DataFrame = {
+  private[ops] def knnRoundCandidates(probes: DataFrame, cents: DataFrame,
+                                      reach: Double, roundLevel: Int,
+                                      baseLevel: Int): DataFrame = {
     val size = graft.geom.Cells.sizeAt(roundLevel)
     val world = graft.geom.Cells.World.toDouble
     val big = lit(Double.MaxValue)
@@ -230,10 +230,14 @@ object SpatialOps {
     val out = col("image_id") :: col("rk") :: col("surface_id") ::
       col("building_id") :: col("surface_class") ::
       round(col("dist"), 6).as("dist") :: Nil
+    // localCheckpoint (not persist): each round's straggler set derives from
+    // the previous round's full plan, so lineage must be TRUNCATED per round
+    // or the logical tree compounds ~3× per round (3^9 nodes by the
+    // whole-domain round — analysis itself OOMs). Checkpoint blocks are tiny
+    // (probe ids only) and the context cleaner frees them on GC.
     var remaining = imagesWithAnchors
       .select(col("image_id"), col("anchor_x"), col("anchor_y"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val probeCaches = scala.collection.mutable.ArrayBuffer(remaining)
+      .localCheckpoint()
     val rankedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // round 1 always runs (an empty probe set just yields empty rounds);
     // only the post-round straggler counts — tiny — are materialized
@@ -258,8 +262,7 @@ object SpatialOps {
         .select(col("image_id"))
       results += ranked.join(doneIds, Seq("image_id"), "left_semi").select(out: _*)
       remaining = remaining.join(doneIds, Seq("image_id"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      probeCaches += remaining
+        .localCheckpoint() // eager: materializes AND truncates lineage
       nRemaining = remaining.count()
       reach *= 4
       roundNo += 1
@@ -270,7 +273,6 @@ object SpatialOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     union.count() // materialize so every per-round cache can be freed NOW
     rankedCaches.foreach(_.unpersist(blocking = false))
-    probeCaches.foreach(_.unpersist(blocking = false))
     union
   }
 

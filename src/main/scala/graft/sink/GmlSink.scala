@@ -41,9 +41,43 @@ object GmlSink {
     case c            => c.toString
   }
 
-  /** Write one `<prefix>_<building_id>_local_.gml` per building plus the
-    * `<prefix>_parameters.txt` params sidecar. `translated` must already
-    * carry translated coordinates (Translate.applySurfaces).
+  /** PRODUCTION path — fully distributed translated-GML sink: render each
+    * building's document on its executor (one shuffle: the groupBy inside
+    * GmlXml.render) and write `<prefix>_<building_id>_local_.gml` straight
+    * from the task through the Hadoop FileSystem API (works for file:// in
+    * local mode and any shared FS on a cluster). The driver touches only the
+    * two-line `_parameters.txt` sidecar — zero DataFrame collects, so a
+    * country-scale export never funnels document bytes through the driver.
+    */
+  def writeTranslatedDistributed(translated: DataFrame, dy: java.math.BigDecimal,
+                                 dx: java.math.BigDecimal, outDir: String,
+                                 prefix: String): String = {
+    import org.apache.hadoop.fs.Path
+    val docs = graft.sources.GmlXml.render(translated)
+    docs.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        // raw FS: skip the local ChecksumFileSystem's .crc sidecar files
+        val fs = new Path(outDir).getFileSystem(conf) match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+          case f => f
+        }
+        rows.foreach { r =>
+          val p = new Path(s"$outDir/${prefix}_${r.getString(0)}_local_.gml")
+          val os = fs.create(p, true)
+          os.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          os.close()
+        }
+      }
+    }
+    val pp = Paths.get(s"$outDir/${prefix}_parameters.txt")
+    Files.createDirectories(pp.getParent)
+    Files.writeString(pp, s"$dy\n$dx\n")
+    pp.toString
+  }
+
+  /** TEST-SCALE helper (goldens): driver-side collect variant of the sink.
+    * Production writes go through [[writeTranslatedDistributed]].
     */
   def writeTranslated(translated: DataFrame, dy: java.math.BigDecimal,
                       dx: java.math.BigDecimal, outDir: String,

@@ -1,0 +1,105 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.model.Synth
+import graft.sink.{GmlSink, ObjWriter}
+
+/** VERDICT round-2 "What's wrong #2": the distributed (non-collect) file
+  * writers must be real code, byte-identical to the golden collect path at
+  * test scale, with zero driver-side DataFrame collects during the write
+  * (asserted through a QueryExecutionListener on the action names).
+  */
+class DistributedWritersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val surfaces = Synth.surfaces(spark, 6L).toDF.cache()
+
+  private def read(p: String): String =
+    new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+
+  /** Record action funcNames while `body` runs; poll until the expected
+    * count of events lands (the listener bus is async).
+    */
+  private def recordActions(body: => Unit): Seq[String] = {
+    val names = mutable.ArrayBuffer.empty[String]
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        names.synchronized { names += funcName }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit =
+        names.synchronized { names += funcName }
+    }
+    spark.listenerManager.register(l)
+    try {
+      body
+      // flush: run a sentinel collect and wait until it shows up, so every
+      // earlier event is guaranteed delivered before we assert
+      import spark.implicits._
+      Seq(1).toDF("sentinel").collect()
+      val deadline = System.currentTimeMillis() + 30000
+      while (!names.synchronized(names.exists(_.contains("collect"))) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally spark.listenerManager.unregister(l)
+    // drop the sentinel's own collect event
+    val all = names.synchronized(names.toSeq)
+    val i = all.lastIndexWhere(_.contains("collect"))
+    all.patch(i, Nil, 1)
+  }
+
+  test("distributed OBJ writer: byte-identical to the golden path, no collects") {
+    val (v, f, _) = ObjPipeline.run(spark, surfaces, semantics = true)
+    val lines = ObjPipeline.objLines(v, f).cache()
+    lines.count()
+    val goldDir = Files.createTempDirectory("obj_gold").toString
+    val distDir = Files.createTempDirectory("obj_dist").toString
+    val golden = ObjWriter.writeIndexed(lines, goldDir, "city")
+    var dist: Seq[String] = Nil
+    val actions = recordActions {
+      // partitions > #classes so at least one class spans several part files
+      dist = ObjWriter.writeIndexedDistributed(lines, distDir, "city",
+        partitions = 13)
+    }
+    assert(actions.forall(a => !a.contains("collect")),
+      s"distributed write must not collect; saw: $actions")
+    assert(dist.map(p => Paths.get(p).getFileName.toString).sorted ===
+      golden.map(p => Paths.get(p).getFileName.toString).sorted)
+    golden.foreach { g =>
+      val name = Paths.get(g).getFileName.toString
+      val d = dist.find(Paths.get(_).getFileName.toString == name).get
+      assert(read(d) === read(g), s"$name differs between paths")
+    }
+    // merge staging directory is cleaned up
+    assert(!Files.exists(Paths.get(s"$distDir/_obj_parts")))
+  }
+
+  test("distributed translated-GML writer: same files and bytes, no collects") {
+    val dy = java.math.BigDecimal.valueOf(-5334000)
+    val dx = java.math.BigDecimal.valueOf(-690000)
+    val t = Translate.applySurfaces(surfaces, dx.doubleValue(), dy.doubleValue(), 0.0)
+    val goldDir = Files.createTempDirectory("gml_gold").toString
+    val distDir = Files.createTempDirectory("gml_dist").toString
+    GmlSink.writeTranslated(t, dy, dx, goldDir, "city")
+    val actions = recordActions {
+      GmlSink.writeTranslatedDistributed(t, dy, dx, distDir, "city")
+    }
+    assert(actions.forall(a => !a.contains("collect")),
+      s"distributed write must not collect; saw: $actions")
+    val gold = Files.list(Paths.get(goldDir)).toArray.map(_.toString).sorted
+    val dist = Files.list(Paths.get(distDir)).toArray.map(_.toString).sorted
+    assert(gold.map(p => Paths.get(p).getFileName.toString).toSeq ===
+      dist.map(p => Paths.get(p).getFileName.toString).toSeq)
+    gold.zip(dist).foreach { case (g, d) =>
+      assert(read(d) === read(g), s"${Paths.get(g).getFileName} differs")
+    }
+  }
+}

