@@ -502,9 +502,35 @@ object SparkEntry {
               (a, t) => a + t.cast("long"))).otherwise(0L)).as("f_index_sum"))
         .orderBy("cls")
     }),
+    "q44_stream_dedup" -> ((s, d) => {
+      // stateful streaming dedup (flatMapGroupsWithState) under the gate:
+      // replay the documents table through the file source with an
+      // AvailableNow trigger (one file → one deterministic batch; the state
+      // keeps the min doc_id per hash) and hand the memory-sink table to the
+      // DuckDB oracle. Proves the streaming operator agrees with the batch
+      // first-arrival semantics, not just with itself.
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = s.read.parquet(p(d, "documents"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q44").toString
+      docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(docs.schema).parquet(s"$tmp/in")
+      val qn = "q44_dedup_sink"
+      s.catalog.dropTempView(qn)
+      val q = graft.streaming.StreamingIngest.dedupStream(stream)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(col("text_hash"), col("keep_doc_id"))
+        .orderBy("text_hash")
+    }),
     "q35_attr_stats" -> ((s, d) => {
-      // O-45 attribute range stats over the attrs map column
-      synthSurfaces(s, d)
+      // O-45 attribute range stats — computed over XML-INGESTED surfaces
+      // (render → StAX parse round trip), so a green row proves the per-
+      // polygon attribute extraction (CityGML2OBJs.py:739-747) end to end:
+      // the oracle recomputes from the original surfaces dump alone
+      val surf = synthSurfaces(s, d)
+      val (okx, _) = graft.sources.GmlXml.ingest(graft.sources.GmlXml.render(surf))
+      okx
         .select(col("surface_class"), element_at(col("attrs"), "irradiation").as("irr"))
         .where(col("irr").isNotNull)
         .groupBy("surface_class")
@@ -1021,6 +1047,9 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
            COUNT(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
+    "q44_stream_dedup" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id
+         FROM documents GROUP BY md5(text) ORDER BY text_hash""",
     "q11_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
            length(text) AS n_chars_calc

@@ -167,4 +167,33 @@ object MtlSink {
     java.nio.file.Files.writeString(p, colormapMtl())
     p.toString
   }
+
+  /** Colorbar legend companion (plotcolorbar.py:1-76): the afmhot ramp as a
+    * PNG strip next to colormap.mtl — one `binWidth`-px column per material
+    * bin, low→high left→right. The reference renders it with matplotlib
+    * (ticks + labels); no plotting lib ships in this engine, so the legend
+    * is the bare ramp through the from-scratch PngCodec (documented
+    * divergence: same colors, no axis annotations).
+    */
+  def colorbarPng(outDir: String, binWidth: Int = 4, height: Int = 16): String = {
+    val w = bins.length * binWidth
+    val px = new Array[Byte](w * height * 3)
+    var x = 0
+    while (x < w) {
+      val (r, g, b) = afmhot(bins(x / binWidth))
+      val (rb, gb, bb) = (math.round(255 * r).toByte,
+        math.round(255 * g).toByte, math.round(255 * b).toByte)
+      var y = 0
+      while (y < height) {
+        val o = (y * w + x) * 3
+        px(o) = rb; px(o + 1) = gb; px(o + 2) = bb
+        y += 1
+      }
+      x += 1
+    }
+    val p = java.nio.file.Paths.get(s"$outDir/colormap.png")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, graft.model.PngCodec.encode(px, w, height))
+    p.toString
+  }
 }

@@ -34,7 +34,11 @@ import graft.model.Pt
 object GmlXml {
 
   /** One gml:Polygon lifted out of a document: ring TEXTS (exterior first),
-    * classified by the innermost enclosing semantic element.
+    * classified by the innermost enclosing semantic element. `attrs` carries
+    * the polygon's direct core-namespace child elements (the reference's
+    * per-polygon `irradiation`/`totalIrradiation` read,
+    * CityGML2OBJs.py:729-739); `battrs` the enclosing building's (the
+    * `yearlyIrradiation` read, CityGML2OBJs.py:662-665).
     */
   final case class RawPoly(
       building_id: String,
@@ -42,6 +46,8 @@ object GmlXml {
       surface_class: String,
       ext_text: String,
       hole_texts: Seq[String],
+      attrs: Map[String, String],
+      battrs: Map[String, String],
       citygml_version: Int,
       building_seq: Long,
       poly_seq: Long)
@@ -58,6 +64,12 @@ object GmlXml {
       uri.startsWith("http://www.opengis.net/gml/"))
   private def isBldgNs(uri: String): Boolean =
     uri != null && uri.startsWith("http://www.opengis.net/citygml/building/")
+  /** The CORE CityGML namespace (the reference's ns_citygml) — where the
+    * attribute extensions (irradiation, yearlyIrradiation, …) live.
+    */
+  private def isCoreNs(uri: String): Boolean =
+    uri != null && uri.startsWith("http://www.opengis.net/citygml/") &&
+      !uri.substring("http://www.opengis.net/citygml/".length).contains("/")
   private def versionOf(rootNs: String): Int =
     if (rootNs == null) 2
     else if (rootNs.endsWith("/1.0")) 1
@@ -69,15 +81,21 @@ object GmlXml {
     * CityGML2OBJs.py:144-148); posList arity violations are routed to
     * rejects downstream, not here.
     */
+  // factory construction runs classpath service discovery — cache per thread
+  // (chunked ingest parses one fragment per building: millions of calls)
+  private val xmlFactories = ThreadLocal.withInitial[XMLInputFactory] { () =>
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.TRUE)
+    // untrusted input: no DTDs, no external entities
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    f
+  }
+
   def parseDocument(xml: String, docId: String): Seq[RawPoly] = {
     val out = ArrayBuffer.empty[RawPoly]
     try {
-      val f = XMLInputFactory.newInstance()
-      f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.TRUE)
-      // untrusted input: no DTDs, no external entities
-      f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
-      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
-      val r = f.createXMLStreamReader(new StringReader(xml))
+      val r = xmlFactories.get().createXMLStreamReader(new StringReader(xml))
 
       var version = 2
       var sawRoot = false
@@ -93,6 +111,15 @@ object GmlXml {
       var ringText: StringBuilder = null
       var capturing = false
       var captured = new StringBuilder
+      // attribute state (core-ns direct children of Building / Polygon)
+      var depth = 0
+      var buildingDepth = -1
+      var polyDepth = -1
+      var attrName: String = null
+      var attrDepth = -1
+      var attrBuf: StringBuilder = null
+      var polyAttrs = Map.empty[String, String]
+      var bldgAttrs = Map.empty[String, String]
 
       def gmlId(): String = {
         var i = 0
@@ -108,6 +135,7 @@ object GmlXml {
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
+            depth += 1
             val ns = r.getNamespaceURI
             val ln = r.getLocalName
             if (!sawRoot) { sawRoot = true; version = versionOf(ns) }
@@ -116,6 +144,8 @@ object GmlXml {
                 buildingSeq += 1
                 polySeq = 0
                 building = Option(gmlId()).getOrElse(f"${docId}_b$buildingSeq%04d")
+                buildingDepth = depth
+                bldgAttrs = Map.empty
               } else if (SemanticClasses(ln) || OpeningClasses(ln)) {
                 classStack += ln
               }
@@ -126,6 +156,8 @@ object GmlXml {
                   polyId = gmlId()
                   rings = ArrayBuffer.empty[String]
                   ringKind = null
+                  polyDepth = depth
+                  polyAttrs = Map.empty
                 case "exterior" | "interior" if inPoly =>
                   ringKind = ln
                   ringText = new StringBuilder
@@ -134,12 +166,29 @@ object GmlXml {
                   captured = new StringBuilder
                 case _ =>
               }
+            } else if (isCoreNs(ns) &&
+              ((inPoly && depth == polyDepth + 1) ||
+                (!inPoly && building != null && depth == buildingDepth + 1))) {
+              // attribute extension element: direct child of Polygon
+              // (irradiation, CityGML2OBJs.py:739-747) or of Building
+              // (yearlyIrradiation, CityGML2OBJs.py:662-665)
+              attrName = ln
+              attrDepth = depth
+              attrBuf = new StringBuilder
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
             if (capturing) captured.append(r.getText)
+            else if (attrName != null) attrBuf.append(r.getText)
           case XMLStreamConstants.END_ELEMENT =>
             val ns = r.getNamespaceURI
             val ln = r.getLocalName
+            if (attrName != null && depth == attrDepth && isCoreNs(ns) &&
+              ln == attrName) {
+              val v = attrBuf.toString.trim
+              if (inPoly) polyAttrs += (attrName -> v)
+              else bldgAttrs += (attrName -> v)
+              attrName = null
+            }
             if (isGmlNs(ns)) {
               ln match {
                 case "posList" | "pos" if capturing =>
@@ -160,7 +209,7 @@ object GmlXml {
                   val cls = classStack.lastOption.getOrElse("Other")
                   if (rings.nonEmpty)
                     out += RawPoly(bid, sid, cls, rings.head,
-                      rings.tail.toSeq, version,
+                      rings.tail.toSeq, polyAttrs, bldgAttrs, version,
                       math.max(buildingSeq, 0L), polySeq)
                   polySeq += 1
                 case _ =>
@@ -170,6 +219,7 @@ object GmlXml {
                 classStack.lastOption.contains(ln)) classStack.remove(classStack.length - 1)
               else if (ln == "Building") building = null
             }
+            depth -= 1
           case _ =>
         }
       }
@@ -197,9 +247,14 @@ object GmlXml {
       .as[(String, String)]
       .flatMap { case (id, xml) => parseDocument(xml, id) }
       .toDF()
-    GmlIngest.route(raw
+    // attribute text → typed doubles (reference float() cast, :663, :735);
+    // non-numeric values drop out instead of failing (never-fail contract)
+    val numeric = "map_filter(transform_values(%s, (k, v) -> try_cast(v AS double)), (k, v) -> v IS NOT NULL)"
+    val (ok, rejects) = GmlIngest.route(raw
       .withColumnRenamed("building_seq", "building_ord")
       .withColumnRenamed("poly_seq", "poly_ord"))
+    (ok.withColumn("attrs", expr(numeric.format("attrs")))
+      .withColumn("battrs", expr(numeric.format("battrs"))), rejects)
   }
 
   private def esc(s: String): String =
@@ -213,21 +268,34 @@ object GmlXml {
     * parse(render(x)) == x exactly.
     */
   def buildingDocument(buildingId: String,
-                       surfaces: Seq[(String, String, Seq[Pt], Seq[Seq[Pt]])]): String = {
+                       surfaces: Seq[(String, String, Seq[Pt], Seq[Seq[Pt]],
+                         Map[String, Double])]): String = {
     def posList(ring: Seq[Pt]): String =
       ring.map(p => s"${p.x} ${p.y} ${p.z}").mkString(" ")
-    def polygon(sid: String, ext: Seq[Pt], holes: Seq[Seq[Pt]]): String = {
+    def polygon(sid: String, ext: Seq[Pt], holes: Seq[Seq[Pt]],
+                attrs: Map[String, Double]): String = {
       val hs = holes.map(h =>
         s"<gml:interior><gml:LinearRing><gml:posList>${posList(h)}</gml:posList></gml:LinearRing></gml:interior>").mkString
-      s"""<gml:Polygon gml:id="${esc(sid)}"><gml:exterior><gml:LinearRing><gml:posList>${posList(ext)}</gml:posList></gml:LinearRing></gml:exterior>$hs</gml:Polygon>"""
+      // attribute extensions as core-ns children of the Polygon — the exact
+      // path the reference reads them from (CityGML2OBJs.py:739-747);
+      // Double.toString round-trips bit-exactly through the parser
+      // element names can't be escaped like text — sanitize to NCName chars
+      def nm(k: String): String = {
+        val s = k.replaceAll("[^A-Za-z0-9_.-]", "_")
+        if (s.isEmpty || !(s(0).isLetter || s(0) == '_')) "_" + s else s
+      }
+      val as = attrs.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"<core:${nm(k)}>$v</core:${nm(k)}>"
+      }.mkString
+      s"""<gml:Polygon gml:id="${esc(sid)}"><gml:exterior><gml:LinearRing><gml:posList>${posList(ext)}</gml:posList></gml:LinearRing></gml:exterior>$hs$as</gml:Polygon>"""
     }
     def wrap(cls: String, body: String): String =
       if (OpeningClasses(cls))
         s"""<bldg:boundedBy><bldg:WallSurface><bldg:opening><bldg:$cls><bldg:lod3MultiSurface><gml:MultiSurface><gml:surfaceMember>$body</gml:surfaceMember></gml:MultiSurface></bldg:lod3MultiSurface></bldg:$cls></bldg:opening></bldg:WallSurface></bldg:boundedBy>"""
       else
         s"""<bldg:boundedBy><bldg:$cls><bldg:lod2MultiSurface><gml:MultiSurface><gml:surfaceMember>$body</gml:surfaceMember></gml:MultiSurface></bldg:lod2MultiSurface></bldg:$cls></bldg:boundedBy>"""
-    val members = surfaces.map { case (sid, cls, ext, holes) =>
-      wrap(cls, polygon(sid, ext, holes))
+    val members = surfaces.map { case (sid, cls, ext, holes, attrs) =>
+      wrap(cls, polygon(sid, ext, holes, attrs))
     }.mkString("\n   ")
     s"""<?xml version="1.0" encoding="UTF-8"?>
 <core:CityModel xmlns:core="http://www.opengis.net/citygml/2.0" xmlns:gml="http://www.opengis.net/gml" xmlns:bldg="http://www.opengis.net/citygml/building/2.0">
@@ -246,14 +314,19 @@ object GmlXml {
   def render(surfaces: DataFrame): DataFrame = {
     val spark = surfaces.sparkSession
     import spark.implicits._
-    surfaces
+    val withAttrs =
+      if (surfaces.columns.contains("attrs")) surfaces
+      else surfaces.withColumn("attrs",
+        map().cast("map<string,double>"))
+    withAttrs
       .select(col("building_id"), col("surface_id"), col("surface_class"),
-        col("poly_ord"), col("ext"), col("holes"))
-      .as[(String, String, String, Long, Seq[Pt], Seq[Seq[Pt]])]
+        col("poly_ord"), col("ext"), col("holes"), col("attrs"))
+      .as[(String, String, String, Long, Seq[Pt], Seq[Seq[Pt]], Map[String, Double])]
       .groupByKey(_._1)
       .mapGroups { (bid, it) =>
         val rows = it.toSeq.sortBy(_._4)
-        (bid, buildingDocument(bid, rows.map(r => (r._2, r._3, r._5, r._6))))
+        (bid, buildingDocument(bid,
+          rows.map(r => (r._2, r._3, r._5, r._6, Option(r._7).getOrElse(Map.empty)))))
       }
       .toDF("doc_id", "xml")
   }

@@ -75,6 +75,23 @@ class SinksLineageSpec extends AnyFunSuite {
     assert(df.head().getString(0) === "mat0.12")
   }
 
+  test("colorbar legend PNG: afmhot ramp, decodes losslessly, deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("colorbar").toString
+    val p = MtlSink.colorbarPng(dir)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val (px, w, h) = graft.model.PngCodec.decode(bytes)
+    assert(w === 404 && h === 16)
+    // bin 0 = black, bin 100 = white, bin 50 (x=200) = (255, 128, 0)
+    def at(x: Int) = (px(x * 3) & 0xFF, px(x * 3 + 1) & 0xFF, px(x * 3 + 2) & 0xFF)
+    assert(at(0) === ((0, 0, 0)))
+    assert(at(403) === ((255, 255, 255)))
+    assert(at(200) === ((255, 128, 0)))
+    // byte-deterministic across calls
+    val p2 = MtlSink.colorbarPng(java.nio.file.Files.createTempDirectory("cb2").toString)
+    assert(java.util.Arrays.equals(bytes,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p2))))
+  }
+
   test("ObjWriter indexed mode writes ordered per-class files") {
     val one = Synth.surfaces(spark, 1L).toDF
     val (v, f, _) = ObjPipeline.run(spark, one, semantics = true)

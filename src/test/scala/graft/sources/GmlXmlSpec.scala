@@ -78,6 +78,55 @@ class GmlXmlSpec extends AnyFunSuite {
     assert(ok.select("citygml_version").distinct().collect().map(_.getInt(0)).toSeq === Seq(2))
   }
 
+  test("attribute extraction: polygon irradiation + building yearlyIrradiation") {
+    val doc =
+      """<core:CityModel xmlns:core="http://www.opengis.net/citygml/2.0"
+        |  xmlns:gml="http://www.opengis.net/gml"
+        |  xmlns:bldg="http://www.opengis.net/citygml/building/2.0">
+        | <core:cityObjectMember>
+        | <bldg:Building gml:id="B9">
+        |  <core:yearlyIrradiation>12345.5</core:yearlyIrradiation>
+        |  <bldg:boundedBy><bldg:RoofSurface>
+        |   <gml:Polygon gml:id="R1"><gml:exterior><gml:LinearRing>
+        |    <gml:posList>0 0 5 1 0 5 1 1 5 0 0 5</gml:posList>
+        |   </gml:LinearRing></gml:exterior>
+        |   <core:irradiation>987.25</core:irradiation>
+        |   <core:note>not-a-number</core:note>
+        |   </gml:Polygon>
+        |  </bldg:RoofSurface></bldg:boundedBy>
+        |  <bldg:boundedBy><bldg:WallSurface>
+        |   <gml:Polygon gml:id="W2"><gml:exterior><gml:LinearRing>
+        |    <gml:posList>0 0 0 1 0 0 1 0 3 0 0 0</gml:posList>
+        |   </gml:LinearRing></gml:exterior></gml:Polygon>
+        |  </bldg:WallSurface></bldg:boundedBy>
+        | </bldg:Building>
+        | </core:cityObjectMember>
+        |</core:CityModel>""".stripMargin
+    val (ok, _) = GmlXml.ingest(Seq(("t", doc)).toDF("doc_id", "xml"))
+    val rows = ok.collect()
+    val roof = rows.find(_.getAs[String]("surface_id") == "R1").get
+    // polygon-level attr typed to double; the non-numeric one drops out
+    assert(roof.getAs[Map[String, Double]]("attrs") === Map("irradiation" -> 987.25))
+    // building-level attr visible from every polygon of the building
+    assert(roof.getAs[Map[String, Double]]("battrs") ===
+      Map("yearlyIrradiation" -> 12345.5))
+    val wall = rows.find(_.getAs[String]("surface_id") == "W2").get
+    assert(wall.getAs[Map[String, Double]]("attrs") === Map.empty)
+    assert(wall.getAs[Map[String, Double]]("battrs") ===
+      Map("yearlyIrradiation" -> 12345.5))
+  }
+
+  test("attrs round-trip: render writes them, parse recovers them bit-exact") {
+    val surf = Synth.surfaces(spark, 4L).toDF
+    val (ok, _) = GmlXml.ingest(GmlXml.render(surf))
+    // EXCEPT can't take MAP columns — compare as sorted entry arrays
+    val a = surf.select(col("surface_id"),
+      sort_array(map_entries(col("attrs"))).as("e"))
+    val b = ok.select(col("surface_id"),
+      sort_array(map_entries(col("attrs"))).as("e"))
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("building without gml:id gets a deterministic synthetic id") {
     val doc =
       """<CityModel xmlns="http://www.opengis.net/citygml/2.0"
