@@ -132,7 +132,11 @@ object Bench {
     bench("knn") {
       // deterministic quarter of the probes: kNN fans each probe to ~30
       // candidates, so the full set would dominate total bench wall-clock
-      SpatialOps.knnAssign(images.where(pmod(col("phash"), lit(4L)) === 0), surfaces, k = 3).count()
+      val r = SpatialOps.knnAssign(
+        images.where(pmod(col("phash"), lit(4L)) === 0), surfaces, k = 3)
+      val n = r.count() // already materialized inside; this reads the cache
+      r.unpersist(blocking = false) // don't accumulate a cached result per rep
+      n
     }
     bench("obj_encode") {
       val (v, f, _) = ObjPipeline.run(spark, surfaces, semantics = true)

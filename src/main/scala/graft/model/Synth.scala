@@ -174,6 +174,35 @@ object Synth {
     images.withColumn("anchor_x", ax).withColumn("anchor_y", ay)
   }
 
+  /** Clustered embedding corpus — mixture of `nClusters` directions with
+    * per-point noise `eps` (deterministic, splitmix64-seeded). Real
+    * embedding corpora are CLUSTERED, not uniform: the uniform synth table
+    * is SRP-LSH's theoretical worst case, so recall claims need this shape
+    * too (VERDICT round-2 "Next round #5"). Points are unit-normalized;
+    * same-cluster cosine ≈ 1/(1+eps²)^½.
+    */
+  def clusteredEmbeddings(spark: SparkSession, n: Long, dim: Int,
+                          nClusters: Int, eps: Double): DataFrame = {
+    import spark.implicits._
+    def u(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    val parts = math.max(1, math.min(64, n / 1024 + 1)).toInt
+    spark.range(0L, n, 1L, parts).as[Long].map { id =>
+      val cl = (id % nClusters).toInt
+      val v = new Array[Double](dim)
+      var s = 0.0
+      var d = 0
+      while (d < dim) {
+        val c = u(mix64(cl.toLong * 1000003L + d))
+        val noise = u(mix64(id * 1315423911L + d + 7919))
+        v(d) = c + eps * noise
+        s += v(d) * v(d)
+        d += 1
+      }
+      val inv = 1.0 / math.sqrt(s)
+      (id, cl, v.map(x => (x * inv).toFloat).toSeq)
+    }.toDF("vec_id", "cluster", "embedding")
+  }
+
   /** Envelope fixtures for the exact-decimal translation ops (FIXTURES.md
     * F-3): lower corner stored GML-order (northing, easting),
     * CityGMLTranslation.py:190-191.

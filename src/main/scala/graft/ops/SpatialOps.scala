@@ -144,8 +144,13 @@ object SpatialOps {
     // centroid keys coarsen to the round's level via parent bit math — the
     // probe side's cover stays a ~3×3 equi-join key set at EVERY reach, so
     // no round ever degenerates to a cross/nested-loop join
-    val centsAtLevel = cents.withColumn("round_cell",
-      parentCellCol(col("knn_cell"), baseLevel, roundLevel)).drop("knn_cell")
+    // only (surface_id, cx, cy) ride into the candidate stream — the heavy
+    // lineage columns (building_id, surface_class) re-attach AFTER top-k
+    // prunes ~100 candidates/probe down to k (the sort/exchange then moves
+    // ~40% fewer bytes; the re-join exchanges only k·|probes| rows)
+    val centsAtLevel = cents
+      .select(col("surface_id"), col("cx"), col("cy"),
+        parentCellCol(col("knn_cell"), baseLevel, roundLevel).as("round_cell"))
     probes
       .withColumn("safe", safe)
       .withColumn("round_cell", explode(cell_cover(
@@ -167,15 +172,12 @@ object SpatialOps {
       val topk = udaf(new graft.ops.TopKCandAgg(k),
         org.apache.spark.sql.Encoders.product[KnnCand])
       cands.groupBy(col("image_id"))
-        .agg(topk(col("dist"), col("surface_id"), col("building_id"),
-          col("surface_class")).as("cands"),
+        .agg(topk(col("dist"), col("surface_id")).as("cands"),
           min(col("safe")).as("safe"))
         .select(col("image_id"), col("safe"),
           posexplode(col("cands")).as(Seq("pos", "cand")))
         .select(col("image_id"), (col("pos") + 1).as("rk"),
           col("cand.surface_id").as("surface_id"),
-          col("cand.building_id").as("building_id"),
-          col("cand.surface_class").as("surface_class"),
           col("cand.dist").as("dist"), col("safe"))
     } else {
       import org.apache.spark.sql.expressions.Window
@@ -184,7 +186,7 @@ object SpatialOps {
       cands.withColumn("rk", row_number().over(w))
         .where(col("rk") <= k)
         .select(col("image_id"), col("rk"), col("surface_id"),
-          col("building_id"), col("surface_class"), col("dist"), col("safe"))
+          col("dist"), col("safe"))
     }
 
   /** kNN nearest-surface assignment (O-39/O-53), EXACT by construction and
@@ -221,32 +223,35 @@ object SpatialOps {
     import org.apache.spark.storage.StorageLevel
     val cellSize = graft.geom.Cells.sizeAt(level)
     val world = graft.geom.Cells.World.toDouble
-    // rounds until reach ≥ world (reach quadruples from one cell size) — by
-    // then the cover square spans the whole domain and everything resolves
+    // reach schedule: half a cell (2×2 cover — the cheap pass that resolves
+    // the bulk), one cell (3×3), then ×4 per round with the cell level
+    // coarsening in lockstep (cover stays ~3×3 keys at any reach). Rounds
+    // until reach ≥ world — by then the cover square spans the whole domain
+    // and everything resolves.
     val autoRounds = (math.ceil(
-      math.log(world / cellSize) / math.log(4.0)).toInt + 2).max(2)
+      math.log(world / cellSize) / math.log(4.0)).toInt + 3).max(2)
     val rounds = if (maxRounds > 0) maxRounds else autoRounds
     val cents = surfaceCentroids(surfaces, level)
+    // lineage columns re-attach AFTER top-k (see knnRoundCandidates): the
+    // meta side is one row per surface, joined against only k·|done| rows
+    val meta = cents.select(col("surface_id"), col("building_id"),
+      col("surface_class"))
     val out = col("image_id") :: col("rk") :: col("surface_id") ::
       col("building_id") :: col("surface_class") ::
       round(col("dist"), 6).as("dist") :: Nil
-    // localCheckpoint (not persist): each round's straggler set derives from
-    // the previous round's full plan, so lineage must be TRUNCATED per round
-    // or the logical tree compounds ~3× per round (3^9 nodes by the
-    // whole-domain round — analysis itself OOMs). Checkpoint blocks are tiny
-    // (probe ids only) and the context cleaner frees them on GC.
+    // round-0 probes keep their (flat) input lineage — checkpointing the
+    // full probe set up front would write |images| rows for nothing
     var remaining = imagesWithAnchors
       .select(col("image_id"), col("anchor_x"), col("anchor_y"))
-      .localCheckpoint()
     val rankedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // round 1 always runs (an empty probe set just yields empty rounds);
     // only the post-round straggler counts — tiny — are materialized
     var nRemaining = Long.MaxValue
     val results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var reach = cellSize
+    var reach = cellSize / 2
     var roundNo = 0
     while (roundNo < rounds && nRemaining > 0) {
-      val roundLevel = math.max(0, level - 2 * roundNo)
+      val roundLevel = math.max(0, level - 2 * math.max(0, roundNo - 1))
       val ranked = knnTopK(
         knnRoundCandidates(remaining, cents, reach, roundLevel, level),
         k, useAgg).persist(StorageLevel.MEMORY_AND_DISK)
@@ -260,11 +265,20 @@ object SpatialOps {
         .where((col("n") >= k && col("kth") < col("safe_min")) ||
           col("safe_min") === lit(Double.MaxValue))
         .select(col("image_id"))
-      results += ranked.join(doneIds, Seq("image_id"), "left_semi").select(out: _*)
+      results += ranked.join(doneIds, Seq("image_id"), "left_semi")
+        .join(meta, Seq("surface_id")).select(out: _*)
+      // localCheckpoint (not persist): each straggler set derives from the
+      // previous round's full plan, so lineage must be TRUNCATED per round
+      // or the logical tree compounds ~3× per round (3^9 nodes by the
+      // whole-domain round — analysis itself OOMs). The checkpointed sets
+      // are tiny (unresolved probes only); blocks free on GC.
       remaining = remaining.join(doneIds, Seq("image_id"), "left_anti")
         .localCheckpoint() // eager: materializes AND truncates lineage
       nRemaining = remaining.count()
-      reach *= 4
+      if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
+        System.err.println(f"[knn] round $roundNo level $roundLevel " +
+          f"reach $reach%.0f remaining $nRemaining t=${System.nanoTime() / 1e9}%.2f")
+      reach *= (if (roundNo == 0) 2 else 4) // 0.5, 1, 4, 16, … cells
       roundNo += 1
     }
     // nRemaining > 0 here ⇔ zero centroids exist anywhere (the final round
@@ -272,6 +286,8 @@ object SpatialOps {
     val union = results.reduce(_.unionByName(_))
       .persist(StorageLevel.MEMORY_AND_DISK)
     union.count() // materialize so every per-round cache can be freed NOW
+    if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
+      System.err.println(f"[knn] union done t=${System.nanoTime() / 1e9}%.2f")
     rankedCaches.foreach(_.unpersist(blocking = false))
     union
   }

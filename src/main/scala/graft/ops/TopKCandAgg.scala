@@ -4,12 +4,14 @@ import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** kNN candidate: exact distance + surface identity (SURVEY.md O-39). */
+/** kNN candidate: exact distance + surface key (SURVEY.md O-39). Only the
+  * join key rides through the aggregation — lineage columns (building_id,
+  * surface_class) re-attach after top-k, so buffers and the exchange stay
+  * minimal.
+  */
 final case class KnnCand(
     dist: Double,
-    surface_id: String,
-    building_id: String,
-    surface_class: String)
+    surface_id: String)
 
 /** Bounded-buffer top-k aggregator (O-39/O-53). The buffer never exceeds k
   * candidates ordered by (dist, surface_id), so the PARTIAL aggregation

@@ -22,21 +22,28 @@ class AnnRecallSpec extends AnyFunSuite {
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
   private val qids = (0L until 16L)
 
-  private lazy val exact: Map[Long, Set[Long]] =
-    AnnOps.bruteForceTopK(emb, qids, 10)
+  private def exactOf(corpus: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    AnnOps.bruteForceTopK(corpus, qids, 10)
       .select("query_id", "vec_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
-  private def measure(bits: Int, tables: Int): (Double, Double) = {
-    val candFrac = AnnOps.lshCandidates(emb, qids, 64, bits, tables).count()
-      .toDouble / (qids.size * 499)
-    val ap = AnnOps.lshTopK(emb, qids, 64, bits, tables, 10)
+  private def measureOn(corpus: org.apache.spark.sql.DataFrame, nOthers: Long,
+                        truth: Map[Long, Set[Long]], bits: Int,
+                        tables: Int): (Double, Double) = {
+    val candFrac = AnnOps.lshCandidates(corpus, qids, 64, bits, tables).count()
+      .toDouble / (qids.size * nOthers)
+    val ap = AnnOps.lshTopK(corpus, qids, 64, bits, tables, 10)
       .select("query_id", "vec_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val rs = exact.map { case (q, t) =>
+    val rs = truth.map { case (q, t) =>
       t.intersect(ap.getOrElse(q, Set.empty)).size.toDouble / t.size }
     (rs.sum / rs.size, candFrac)
   }
+
+  private lazy val exact: Map[Long, Set[Long]] = exactOf(emb)
+
+  private def measure(bits: Int, tables: Int): (Double, Double) =
+    measureOn(emb, 499, exact, bits, tables)
 
   test("recall/candidate-fraction tradeoff holds at two pinned operating points") {
     val (rHigh, fHigh) = measure(bits = 4, tables = 8)
@@ -56,6 +63,20 @@ class AnnRecallSpec extends AnyFunSuite {
     val (r2, _) = measure(bits = 5, tables = 8)
     info(f"tables=2: $r1%.3f  tables=8: $r2%.3f")
     assert(r2 > r1, "extra tables added no recall — signature sets not independent?")
+  }
+
+  test("clustered corpus (real-world shape): recall ≥ 0.9 at ≤ 5% candidates") {
+    // mixture of 50 directions, within-cluster cosine ≈ 0.96 — the shape
+    // real embedding corpora have. Production-grade operating point:
+    // bits=10, tables=8.
+    val cemb = graft.model.Synth.clusteredEmbeddings(spark, 2000L, 64, 50, 0.3)
+      .cache()
+    val truth = exactOf(cemb)
+    val (r, f) = measureOn(cemb, 1999, truth, bits = 10, tables = 8)
+    info(f"clustered bits=10 tables=8: recall=$r%.3f cand_frac=$f%.3f")
+    assert(r >= 0.9, f"clustered-corpus recall too low: $r%.3f")
+    assert(f <= 0.05, f"candidate fraction too high: $f%.3f")
+    cemb.unpersist()
   }
 
   test("every LSH hit is a bucketed candidate (subset consistency)") {
