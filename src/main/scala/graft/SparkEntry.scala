@@ -75,6 +75,12 @@ object SparkEntry {
     w(AnnOps.lshCandidates(emb, Seq(0L, 1L, 2L), dim = 64, bits = 5, tables = 8),
       "ann_candidates")
     w(AnnOps.cosineCandidates(emb, dim = 64, bits = 8), "cos_candidates")
+    // IVF coarse centroids (nlist=16, iters=2 — lockstep with q45): training
+    // is decimal-summed, so this dump and q45's own training are
+    // bit-identical at any partitioning
+    val ivf = AnnOps.ivfTrain(emb, dim = 64, nlist = 16, iters = 2)
+    w(s.createDataFrame(ivf.toSeq.zipWithIndex.map { case (c, j) => (j, c.toSeq) })
+      .toDF("list_id", "centroid"), "ivf_centroids")
     w(Synth.envelopes(s, 16L), "envelopes")
   }
 
@@ -326,6 +332,17 @@ object SparkEntry {
       // pins the tradeoff curve)
       AnnOps.lshTopK(s.read.parquet(p(d, "embeddings")), Seq(0L, 1L, 2L),
         dim = 64, bits = 5, tables = 8, k = 5)
+        .orderBy("query_id", "rk")
+    }),
+    "q45_ivf_ann" -> ((s, d) => {
+      // IVF-Flat ANN (index-backed scale path): hash-min-seeded + 2 Lloyd
+      // rounds, nlist=16, nprobe=4 — centroids are literal metadata, corpus
+      // assignment is map-side column math, search joins on list_id only.
+      // The oracle recomputes assignment, probe-list selection, and the
+      // exact re-rank from the dumped centroid table.
+      val emb = s.read.parquet(p(d, "embeddings"))
+      val cents = AnnOps.ivfTrain(emb, dim = 64, nlist = 16, iters = 2)
+      AnnOps.ivfTopK(emb, Seq(0L, 1L, 2L), cents, nprobe = 4, k = 5)
         .orderBy("query_id", "rk")
     }),
     "q28_cosine_neardups" -> ((s, d) => {
@@ -923,6 +940,33 @@ object SparkEntry {
                 FROM ${O.inp("ann_candidates")} c
                 JOIN e ea ON ea.vec_id = c.vec_id
                 JOIN e eb ON eb.vec_id = c.query_id)
+          SELECT query_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, vec_id ASC) AS rk,
+                 vec_id, round(cos_raw, 6) AS cos
+          FROM d QUALIFY rk <= 5 ORDER BY query_id, rk""",
+    "q45_ivf_ann" ->
+      s"""WITH ct AS (SELECT list_id, centroid FROM ${O.inp("ivf_centroids")}),
+          asg AS (SELECT vec_id, list_id FROM (
+                    SELECT e.vec_id, ct.list_id,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${O.cos("e.embedding", "ct.centroid")} DESC,
+                                 ct.list_id ASC) AS rn
+                    FROM embeddings e CROSS JOIN ct) WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < 3),
+          ql AS (SELECT query_id, list_id FROM (
+                   SELECT q.query_id, ct.list_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ${O.cos("q.q_emb", "ct.centroid")} DESC,
+                                ct.list_id ASC) AS rn
+                   FROM q CROSS JOIN ct) WHERE rn <= 4),
+          d AS (SELECT ql.query_id, a.vec_id,
+                  ${O.cos("e.embedding", "q.q_emb")} AS cos_raw
+                FROM ql JOIN asg a USING (list_id)
+                        JOIN embeddings e ON e.vec_id = a.vec_id
+                        JOIN q ON q.query_id = ql.query_id
+                WHERE a.vec_id <> ql.query_id)
           SELECT query_id,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                    ORDER BY cos_raw DESC, vec_id ASC) AS rk,

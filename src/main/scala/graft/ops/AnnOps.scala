@@ -122,6 +122,94 @@ object AnnOps {
       .select(col("query_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos"))
   }
 
+  // ---- IVF-Flat (the index-backed scale path complementing SRP-LSH) ----
+
+  /** Cosine of an embedding column against a LITERAL centroid — the same
+    * fold shape as [[cosine]] (zip_with + aggregate from 0.0), so the DuckDB
+    * oracle's list_reduce mirrors it bit-for-bit.
+    */
+  private def cosineToLit(emb: org.apache.spark.sql.Column,
+                          c: Array[Double]) = {
+    val ed = transform(emb, _.cast("double"))
+    val cd = array(c.map(lit): _*)
+    aggregate(zip_with(ed, cd, (x, y) => x * y), lit(0.0d), (a, v) => a + v) /
+      (norm(ed) * lit(math.sqrt(c.map(x => x * x).sum)))
+  }
+
+  /** Train `nlist` coarse IVF centroids: hash-min seeded (the nlist corpus
+    * vectors with the smallest xxhash64(vec_id)) + `iters` Lloyd rounds.
+    * Assignment is PURE COLUMN MATH against centroid literals — centroids
+    * are metadata (nlist×dim doubles, like translation params), so the
+    * corpus is never joined or shuffled to assign; the only shuffle per
+    * round is the nlist-group mean aggregation. Component sums go through
+    * exact decimals, so the trained centroids are bit-identical at any
+    * partitioning (the oracle consumes the dumped table).
+    * Returns the centroids as Array(list_id → components).
+    */
+  def ivfTrain(embeddings: DataFrame, dim: Int, nlist: Int,
+               iters: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.expressions.Window
+    val seed = embeddings
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(nlist)
+      .select(transform(col("embedding"), _.cast("double")).as("c"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var cents = seed
+    for (_ <- 0 until iters) {
+      val assigned = embeddings.withColumn("list_id", ivfAssignExpr(col("embedding"), cents))
+      val means = assigned.groupBy("list_id").agg(
+        count(lit(1)).as("n"),
+        array((0 until dim).map(i =>
+          (sum(element_at(col("embedding"), i + 1).cast("decimal(28,16)"))
+            / count(lit(1))).cast("double")): _*).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](2).toArray).toMap
+      // empty lists keep their previous centroid (standard Lloyd handling)
+      cents = cents.indices.map(j => means.getOrElse(j, cents(j))).toArray
+    }
+    cents
+  }
+
+  /** list_id of the nearest centroid (max cosine, ties → smaller id) as a
+    * single codegen'd expression over centroid literals — no join, no
+    * shuffle, evaluated map-side wherever the corpus already lives.
+    */
+  def ivfAssignExpr(emb: org.apache.spark.sql.Column,
+                    cents: Array[Array[Double]]) = {
+    val packed = cents.zipWithIndex.map { case (c, j) =>
+      struct(cosineToLit(emb, c).as("cos"), lit(-j).as("nid"))
+    }
+    (-array_max(array(packed.toIndexedSeq: _*)).getField("nid")).cast("int")
+  }
+
+  /** IVF-Flat top-k search: assign the corpus to lists map-side, pick each
+    * query's `nprobe` nearest lists (by centroid cosine), exact-rerank only
+    * inside those lists. One equi-join on the short list_id key — the same
+    * shuffle discipline as the LSH path, but with data-adapted buckets
+    * (higher recall on clustered corpora at the same candidate fraction).
+    */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long],
+              cents: Array[Array[Double]], nprobe: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val corpus = embeddings
+      .withColumn("list_id", ivfAssignExpr(col("embedding"), cents))
+    // nprobe nearest lists per query: nlist struct literals sorted per row
+    val probeLists = embeddings.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        slice(reverse(array_sort(array(cents.zipWithIndex.map { case (c, j) =>
+          struct(cosineToLit(col("embedding"), c).as("cos"), lit(-j).as("nid"))
+        }.toIndexedSeq: _*))), 1, nprobe).as("near"))
+      .select(col("query_id"), col("q_emb"),
+        explode(transform(col("near"), s => -s.getField("nid"))).as("list_id"))
+    corpus.join(broadcast(probeLists), Seq("list_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (dedup flavor of
     * the same machinery): pairs in a shared bucket with cosine ≥ threshold.
     */

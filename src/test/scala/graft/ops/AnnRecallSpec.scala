@@ -79,6 +79,31 @@ class AnnRecallSpec extends AnyFunSuite {
     cemb.unpersist()
   }
 
+  test("IVF-Flat: deterministic training, exact within probed lists, high recall on clusters") {
+    import org.apache.spark.sql.functions._
+    val cemb = graft.model.Synth.clusteredEmbeddings(spark, 2000L, 64, 50, 0.3)
+      .cache()
+    val cents = AnnOps.ivfTrain(cemb, dim = 64, nlist = 32, iters = 2)
+    // training is decimal-summed → bit-identical across runs/partitionings
+    val cents2 = AnnOps.ivfTrain(cemb.repartition(13), dim = 64, nlist = 32, iters = 2)
+    assert(cents.map(_.toSeq).toSeq === cents2.map(_.toSeq).toSeq)
+    // every vector lands in exactly one list; lists are non-degenerate
+    val asg = cemb.select(col("vec_id"),
+      AnnOps.ivfAssignExpr(col("embedding"), cents).as("l")).cache()
+    assert(asg.count() === 2000)
+    assert(asg.select("l").distinct().count() >= 16)
+    // recall vs brute force at nprobe=4 of 32 lists (~12% of the corpus)
+    val truth = exactOf(cemb)
+    val got = AnnOps.ivfTopK(cemb, qids, cents, nprobe = 4, k = 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val rec = truth.map { case (q, t) =>
+      t.intersect(got.getOrElse(q, Set.empty)).size.toDouble / t.size }.sum / truth.size
+    info(f"ivf nlist=32 nprobe=4 recall=$rec%.3f")
+    assert(rec >= 0.9, f"IVF recall too low on clustered corpus: $rec%.3f")
+    cemb.unpersist(); asg.unpersist()
+  }
+
   test("every LSH hit is a bucketed candidate (subset consistency)") {
     val cand = AnnOps.lshCandidates(emb, qids, 64, 5, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
