@@ -39,18 +39,28 @@ case class TileEncodeExpr(bytes: Expression, w: Expression, h: Expression,
     val hi = h.eval(input).asInstanceOf[Int]
     val f = fmt.eval(input).toString
     val c = cell.eval(input).asInstanceOf[Long]
-    val px = ImageCodec.decode(b, f, wi, hi)
+    // scratch-buffer pipeline: source pixels, the cropped tile, and the
+    // verify decode are all TRANSIENT — the encoded tile is the only
+    // allocation that escapes. (The old fresh-buffer formulation produced
+    // ~4.5 KB of garbage per row — enough allocation traffic at 4M+ rows to
+    // saturate the DRAM bus and flatten multi-core scaling.)
+    val px = ImageCodec.decodeScratch(b, f)
     // deterministic quadrant crop keyed by cell id bits (stand-in for a
     // real geo-crop; Spark-side shape — schema, partitioning, batch decode
     // per partition — is the real contract)
     val cw = wi / 2; val ch = hi / 2
     val x0 = if ((c & 1L) == 0L) 0 else wi - cw
     val y0 = if ((c & 2L) == 0L) 0 else hi - ch
-    val tile = ImageCodec.crop(px, wi, hi, x0, y0, cw, ch)
-    val enc = if (f == "png") ImageCodec.encodePng(tile, cw, ch)
-              else ImageCodec.encodeRaw(tile)
-    val dec = ImageCodec.decode(enc, f, cw, ch)
-    val p = ImageCodec.psnr(tile, dec)
+    val (tile, enc) =
+      if (f == "png") {
+        val t = ImageCodec.cropScratch(px, wi, hi, x0, y0, cw, ch)
+        (t, graft.model.PngCodec.encodeUnchecked(t, cw, ch))
+      } else {
+        val t = ImageCodec.crop(px, wi, hi, x0, y0, cw, ch)
+        (t, t) // raw tile escapes as the payload itself
+      }
+    val dec = ImageCodec.decodeScratch(enc, f)
+    val p = ImageCodec.psnr(tile, dec, cw * ch * 3)
     new GenericInternalRow(Array[Any](enc, cw, ch, p))
   }
 

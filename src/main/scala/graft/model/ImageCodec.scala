@@ -36,28 +36,49 @@ object ImageCodec {
   def decodePng(bytes: Array[Byte]): (Array[Byte], Int, Int) =
     PngCodec.decode(bytes)
 
-  /** Decode either fmt to RGB pixels. */
+  /** Decode either fmt to RGB pixels (fresh buffer). */
   def decode(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] =
     fmt match {
       case "png" => decodePng(bytes)._1
       case _     => decodeRaw(bytes)
     }
 
+  /** Transient decode for hot paths: png → the PngCodec thread scratch
+    * (may be LONGER than w·h·3 — consume before the next codec call), raw →
+    * the input array itself. Zero allocations.
+    */
+  def decodeScratch(bytes: Array[Byte], fmt: String): Array[Byte] =
+    fmt match {
+      case "png" => PngCodec.decodeScratch(bytes)._1
+      case _     => bytes
+    }
+
+  // per-thread crop output for the tiling hot path (transient; the encoded
+  // tile is the only escaping allocation)
+  private val cropBufs = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](4096))
+
   /** PSNR between two equal-length RGB buffers; Double.PositiveInfinity for
     * identical buffers (lossless path).
     */
   def psnr(a: Array[Byte], b: Array[Byte]): Double = {
     require(a.length == b.length, s"pixel buffers differ: ${a.length} vs ${b.length}")
+    psnr(a, b, a.length)
+  }
+
+  /** PSNR over the first n bytes — for scratch buffers that may be longer
+    * than their content.
+    */
+  def psnr(a: Array[Byte], b: Array[Byte], n: Int): Double = {
     var se = 0.0
     var i = 0
-    while (i < a.length) {
+    while (i < n) {
       val d = (a(i) & 0xFF) - (b(i) & 0xFF)
       se += d.toDouble * d.toDouble
       i += 1
     }
     if (se == 0.0) Double.PositiveInfinity
     else {
-      val mse = se / a.length
+      val mse = se / n
       10.0 * math.log10(255.0 * 255.0 / mse)
     }
   }
@@ -99,11 +120,30 @@ object ImageCodec {
   def crop(px: Array[Byte], w: Int, h: Int,
            x0: Int, y0: Int, cw: Int, ch: Int): Array[Byte] = {
     val out = new Array[Byte](cw * ch * 3)
+    cropInto(px, w, x0, y0, cw, ch, out)
+    out
+  }
+
+  /** Crop into the per-thread scratch (transient — valid until this
+    * thread's next cropScratch call; may be longer than cw·ch·3).
+    */
+  def cropScratch(px: Array[Byte], w: Int, h: Int,
+                  x0: Int, y0: Int, cw: Int, ch: Int): Array[Byte] = {
+    var buf = cropBufs.get()
+    if (buf.length < cw * ch * 3) {
+      buf = new Array[Byte](math.max(cw * ch * 3, buf.length * 2))
+      cropBufs.set(buf)
+    }
+    cropInto(px, w, x0, y0, cw, ch, buf)
+    buf
+  }
+
+  private def cropInto(px: Array[Byte], w: Int, x0: Int, y0: Int,
+                       cw: Int, ch: Int, out: Array[Byte]): Unit = {
     var y = 0
     while (y < ch) {
       System.arraycopy(px, ((y0 + y) * w + x0) * 3, out, y * cw * 3, cw * 3)
       y += 1
     }
-    out
   }
 }
