@@ -87,12 +87,46 @@ object OracleSql {
     * column `r` — the three det3 Laplace expansions of Geom.unitNormal,
     * exact operand order. Emits "… AS <p>nx, … AS <p>ny, … AS <p>nz".
     */
-  def normalCols(r: String, p: String = ""): String = {
-    val (a, b, c) = (s"($r)[1]", s"($r)[2]", s"($r)[3]")
+  def normalCols(r: String, p: String = ""): String =
+    normalColsPts(s"($r)[1]", s"($r)[2]", s"($r)[3]", p)
+
+  /** [[normalCols]] over three explicit point expressions (struct-typed with
+    * .x/.y/.z) — used when the corners are flat columns, e.g. the dumped
+    * triangle table.
+    */
+  def normalColsPts(a: String, b: String, c: String, p: String = ""): String = {
     val nx = s"(1*(($b).y*($c).z - ($b).z*($c).y) - ($a).y*(1*($c).z - ($b).z*1) + ($a).z*(1*($c).y - ($b).y*1))"
     val ny = s"(($a).x*(1*($c).z - ($b).z*1) - 1*(($b).x*($c).z - ($b).z*($c).x) + ($a).z*(($b).x*1 - 1*($c).x))"
     val nz = s"(($a).x*(($b).y*1 - 1*($c).y) - ($a).y*(($b).x*1 - 1*($c).x) + 1*(($b).x*($c).y - ($b).y*($c).x))"
     s"$nx AS ${p}nx, $ny AS ${p}ny, $nz AS ${p}nz"
+  }
+
+  /** Raw (unnormalized) Newell-normal component over the OPENED ring column
+    * `r` (Geom.newellNormal): left-to-right fold of the wraparound pair
+    * terms, starting 0.0-equivalent (list_reduce from the first element —
+    * 0.0 + v == v bit-exact). `f` ∈ {"x","y","z"}.
+    */
+  def newellRaw(r: String, f: String): String = {
+    val b = open(r)
+    val j = s"(CASE WHEN nw_i = len($b) THEN 1 ELSE nw_i + 1 END)"
+    val term = f match {
+      case "x" => s"(($b)[nw_i].y - ($b)[$j].y) * (($b)[nw_i].z + ($b)[$j].z)"
+      case "y" => s"(($b)[nw_i].z - ($b)[$j].z) * (($b)[nw_i].x + ($b)[$j].x)"
+      case _   => s"(($b)[nw_i].x - ($b)[$j].x) * (($b)[nw_i].y + ($b)[$j].y)"
+    }
+    s"list_reduce(list_transform(range(1, len($b)+1), nw_i -> $term), (nw_a, nw_v) -> nw_a + nw_v)"
+  }
+
+  /** xy-shoelace fold over the OPENED ring column `r`: Σ x_i·y_{i+1} −
+    * y_i·x_{i+1} with wraparound — the z-component of Geom.area3D's cross
+    * accumulation after z := 0 (the x/y components are exactly 0.0 there).
+    */
+  def shoelaceXY(r: String): String = {
+    val b = open(r)
+    val j = s"(CASE WHEN sl_i = len($b) THEN 1 ELSE sl_i + 1 END)"
+    s"""list_reduce(list_transform(range(1, len($b)+1),
+        sl_i -> ($b)[sl_i].x * ($b)[$j].y - ($b)[sl_i].y * ($b)[$j].x),
+        (sl_a, sl_v) -> sl_a + sl_v)"""
   }
 
   /** isPolyValid over ring column `r` given its normal component columns

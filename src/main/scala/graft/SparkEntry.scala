@@ -555,6 +555,89 @@ object SparkEntry {
           round(min(col("irr")), 4).as("min_irr"),
           round(max(col("irr")), 4).as("max_irr"))
         .orderBy("surface_class")
+    }),
+    "q46_poly_kernels" -> ((s, d) => {
+      // O-17/O-19/O-23/O-27/O-28 scalar kernels under the gate (KernelExprs):
+      // Newell normal, projected 2D area, and first-corner edge dot/cross per
+      // valid thematic surface, plus triangle orientation agreement — the
+      // oracle recomputes the alignment of every DUMPED triangle in SQL, so
+      // EarClip's reverse_vertices repair is checked against independent
+      // math, not against itself. `round(x,6) + 0` normalizes -0.0 (Spark's
+      // BigDecimal round drops the sign of zero; DuckDB's C round keeps it).
+      import graft.expr.KernelFunctions._
+      val (ok, _) = ObjPipeline.validated(synthSurfaces(s, d))
+      val th = ObjPipeline.withoutOpenings(ok)
+      th.select(col("surface_id"),
+          poly_normal(col("ext")).as("nn"),
+          round(area_2d(col("ext")), 6).as("area2d"),
+          edge_kernel(col("ext")).as("ek"),
+          tri_align(col("ext"), col("holes")).as("ta"))
+        .select(col("surface_id"),
+          (round(col("nn.x"), 6) + lit(0.0)).as("nnx"),
+          (round(col("nn.y"), 6) + lit(0.0)).as("nny"),
+          (round(col("nn.z"), 6) + lit(0.0)).as("nnz"),
+          col("area2d"),
+          col("ek.dot").as("edge_dot"), col("ek.cx").as("edge_cx"),
+          col("ek.cy").as("edge_cy"), col("ek.cz").as("edge_cz"),
+          col("ta.n_tris").as("n_tris"), col("ta.n_aligned").as("n_aligned"))
+        .orderBy("surface_id")
+    }),
+    "q47_plane_fit" -> ((s, d) => {
+      // O-24/O-25/O-26: 3-point plane, plane solved for z/y at the ring
+      // centroid (null when the plane is parallel to the axis — pc/pb = 0),
+      // and the PCA fit gated by its max point-to-plane residual (0 at 6dp
+      // for planar rings; a wrong eigenvector breaks the hash).
+      import graft.expr.KernelFunctions._
+      val (ok, _) = ObjPipeline.validated(synthSurfaces(s, d))
+      val th = ObjPipeline.withoutOpenings(ok)
+      th.select(col("surface_id"), plane_probe(col("ext")).as("pp"),
+          round(pca_resid(col("ext")), 6).as("pca_resid"))
+        .select(col("surface_id"),
+          col("pp.pa").as("pa"), col("pp.pb").as("pb"),
+          col("pp.pc").as("pc"), col("pp.pd").as("pd"),
+          (round(col("pp.h_at_c"), 6) + lit(0.0)).as("h_at_c"),
+          (round(col("pp.y_at_c"), 6) + lit(0.0)).as("y_at_c"),
+          col("pca_resid"))
+        .orderBy("surface_id")
+    }),
+    "q48_building_extremes" -> ((s, d) => {
+      // O-30/O-32/O-33: lexicographic smallest/highest point over every
+      // exterior ring point of a building (the kernels' iterator contract is
+      // order-independent: strict lexLt means ties are identical coords),
+      // plus the area-weighted centroid of the south roof slab (poly_ord 6).
+      import s.implicits._
+      import graft.expr.KernelFunctions._
+      val (ok, _) = ObjPipeline.validated(synthSurfaces(s, d))
+      val th = ObjPipeline.withoutOpenings(ok)
+      val extremes = th.select(col("building_id"), explode(col("ext")).as("p"))
+        .select(col("building_id"), col("p.x"), col("p.y"), col("p.z"))
+        .as[(String, Double, Double, Double)]
+        .groupByKey(_._1).mapGroups { (b, it) =>
+          val pts = it.map(t => graft.geom.Vec3(t._2, t._3, t._4)).toArray
+          val lo = graft.geom.Geom.smallestPoint(pts.iterator)
+          val hi = graft.geom.Geom.highestPoint(pts.iterator)
+          (b, lo.x, lo.y, lo.z, hi.x, hi.y, hi.z)
+        }.toDF("building_id", "sx", "sy", "sz", "hx", "hy", "hz")
+      val wc = th.where(col("poly_ord") === 6)
+        .select(col("building_id"), weighted_centroid(col("ext")).as("wc"))
+        .select(col("building_id"),
+          round(col("wc.x"), 6).as("wcx"), round(col("wc.y"), 6).as("wcy"),
+          round(col("wc.z"), 6).as("wcz"))
+      extremes.join(wc, Seq("building_id")).orderBy("building_id")
+    }),
+    "q49_translate_min" -> ((s, d) => {
+      // O-42 global-min translation of the OBJ vertex dictionary: the
+      // lexicographic-min vertex moves to the origin; per-class translated
+      // extents + dictionary sizes are recomputed by the oracle from ring
+      // points alone (exact double subtraction — no rounding needed).
+      val (v, _, _) = ObjPipeline.run(s, synthSurfaces(s, d), semantics = true)
+      ObjPipeline.translateToMin(v).groupBy("cls").agg(
+        count(lit(1)).as("n_vertices"),
+        min(col("x")).as("min_x"), min(col("y")).as("min_y"),
+        min(col("z")).as("min_z"),
+        max(col("x")).as("max_x"), max(col("y")).as("max_y"),
+        max(col("z")).as("max_z"))
+        .orderBy("cls")
     })
   )
 
@@ -595,6 +678,32 @@ object SparkEntry {
     s"""(sqrt(pow(($b.y-$a.y)*($c.z-$a.z)-($b.z-$a.z)*($c.y-$a.y),2)
             + pow(($b.z-$a.z)*($c.x-$a.x)-($b.x-$a.x)*($c.z-$a.z),2)
             + pow(($b.x-$a.x)*($c.y-$a.y)-($b.y-$a.y)*($c.x-$a.x),2)) / 2.0)"""
+
+  /** Geom.weightedCentroid's fan fold over the OPENED ring column `c`,
+    * operation-for-operation: per fan triangle (a=b[1], b[i], b[i+1]),
+    * weight = |cross(b−a, c−a)|/2 (norm's x*x+y*y+z*z association), centroid
+    * component = (a+b+c)/3, accumulated left-to-right, final value
+    * acc · (1.0/wsum) — the RECIPROCAL multiply the Scala uses, not a
+    * divide. Emits "… AS wcx, … AS wcy, … AS wcz".
+    */
+  private def wcCols: String = {
+    val b = O.open("c")
+    def d(pt: String, f: String) = s"(($b)[$pt].$f - ($b)[1].$f)"
+    val (bi, ci) = ("wc_i", "wc_i+1")
+    val crx = s"(${d(bi, "y")} * ${d(ci, "z")} - ${d(bi, "z")} * ${d(ci, "y")})"
+    val cry = s"(${d(bi, "z")} * ${d(ci, "x")} - ${d(bi, "x")} * ${d(ci, "z")})"
+    val crz = s"(${d(bi, "x")} * ${d(ci, "y")} - ${d(bi, "y")} * ${d(ci, "x")})"
+    val w = s"(sqrt($crx*$crx + $cry*$cry + $crz*$crz) / 2.0)"
+    def fold(term: String) =
+      s"""list_reduce(list_transform(range(2, len($b)), wc_i -> $term),
+          (wc_a, wc_v) -> wc_a + wc_v)"""
+    def tc(f: String) =
+      s"((($b)[1].$f + ($b)[wc_i].$f + ($b)[wc_i+1].$f) / 3)"
+    val wsum = fold(w)
+    Seq("x" -> "wcx", "y" -> "wcy", "z" -> "wcz").map { case (f, alias) =>
+      s"round(${fold(s"${tc(f)} * $w")} * (1.0 / $wsum), 6) AS $alias"
+    }.mkString(", ")
+  }
 
   /** Per-class (incl. 'All') vertex dictionary CTEs `ex`, `pv`, `vd` over
     * `th`: every distinct ring point of a class's surfaces (ear clipping
@@ -894,7 +1003,128 @@ object SparkEntry {
                             ELSE 0.0 END) AS hsum
                  FROM h1 GROUP BY surface_id)
           SELECT e.surface_id, round(e.earea - COALESCE(hs.hsum, 0.0), 6) AS area
-          FROM e LEFT JOIN hs USING (surface_id) ORDER BY surface_id"""
+          FROM e LEFT JOIN hs USING (surface_id) ORDER BY surface_id""",
+    "q46_poly_kernels" ->
+      // Newell + area2D + edge dot/cross recomputed from the surfaces dump;
+      // triangle alignment recomputed per DUMPED triangle (det3 Laplace unit
+      // normal vs the normalized Newell, |Δ| ≤ 0.1 per component — the
+      // compare_normals contract). round(x,6)+0.0 normalizes -0.0 to match
+      // Spark's BigDecimal-based round.
+      s"""WITH $thematicCte,
+          nw AS (SELECT surface_id, c,
+                   ${O.newellRaw("c", "x")} AS rwx,
+                   ${O.newellRaw("c", "y")} AS rwy,
+                   ${O.newellRaw("c", "z")} AS rwz
+                 FROM th),
+          nv AS (SELECT surface_id, c,
+                   CASE WHEN sqrt(rwx*rwx + rwy*rwy + rwz*rwz) = 0 THEN 0.0
+                        ELSE rwx / sqrt(rwx*rwx + rwy*rwy + rwz*rwz) END AS unx,
+                   CASE WHEN sqrt(rwx*rwx + rwy*rwy + rwz*rwz) = 0 THEN 0.0
+                        ELSE rwy / sqrt(rwx*rwx + rwy*rwy + rwz*rwz) END AS uny,
+                   CASE WHEN sqrt(rwx*rwx + rwy*rwy + rwz*rwz) = 0 THEN 0.0
+                        ELSE rwz / sqrt(rwx*rwx + rwy*rwy + rwz*rwz) END AS unz,
+                   rwz AS nwz
+                 FROM nw),
+          a2 AS (SELECT surface_id, ${O.normalCols("c", "a2")},
+                   ${O.shoelaceXY("c")} AS tz
+                 FROM th),
+          a2v AS (SELECT a2.surface_id,
+                    CASE WHEN a2nz <> 0
+                           THEN round(abs(tz * (a2nz / sqrt(a2nz*a2nz)) / 2.0), 6)
+                         WHEN nv.nwz <> 0
+                           THEN round(abs(tz * (nv.nwz / sqrt(nv.nwz*nv.nwz)) / 2.0), 6)
+                         ELSE 0.0 END AS area2d
+                  FROM a2 JOIN nv ON a2.surface_id = nv.surface_id),
+          ed AS (SELECT surface_id,
+                   ((c[2].x - c[1].x) * (c[3].x - c[1].x)
+                    + (c[2].y - c[1].y) * (c[3].y - c[1].y)
+                    + (c[2].z - c[1].z) * (c[3].z - c[1].z)) AS edge_dot,
+                   ((c[2].y - c[1].y) * (c[3].z - c[1].z)
+                    - (c[2].z - c[1].z) * (c[3].y - c[1].y)) AS edge_cx,
+                   ((c[2].z - c[1].z) * (c[3].x - c[1].x)
+                    - (c[2].x - c[1].x) * (c[3].z - c[1].z)) AS edge_cy,
+                   ((c[2].x - c[1].x) * (c[3].y - c[1].y)
+                    - (c[2].y - c[1].y) * (c[3].x - c[1].x)) AS edge_cz
+                 FROM th),
+          tr AS (SELECT surface_id,
+                   ${O.normalColsPts("struct_pack(x := ax, y := ay, z := az)",
+                                     "struct_pack(x := bx, y := by, z := bz)",
+                                     "struct_pack(x := cx, y := cy, z := cz)", "t")}
+                 FROM ${O.inp("triangles")}),
+          ta AS (SELECT tr.surface_id, COUNT(*) AS n_tris,
+                   CAST(SUM(CASE WHEN sqrt(tnx*tnx + tny*tny + tnz*tnz) <> 0
+                         AND abs(tnx / sqrt(tnx*tnx + tny*tny + tnz*tnz) - nv.unx) <= 0.1
+                         AND abs(tny / sqrt(tnx*tnx + tny*tny + tnz*tnz) - nv.uny) <= 0.1
+                         AND abs(tnz / sqrt(tnx*tnx + tny*tny + tnz*tnz) - nv.unz) <= 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned
+                 FROM tr JOIN nv ON tr.surface_id = nv.surface_id
+                 GROUP BY tr.surface_id)
+          SELECT nv.surface_id,
+            round(unx, 6) + 0.0 AS nnx, round(uny, 6) + 0.0 AS nny,
+            round(unz, 6) + 0.0 AS nnz,
+            a2v.area2d, ed.edge_dot, ed.edge_cx, ed.edge_cy, ed.edge_cz,
+            ta.n_tris, ta.n_aligned
+          FROM nv JOIN a2v USING (surface_id) JOIN ed USING (surface_id)
+                  JOIN ta USING (surface_id)
+          ORDER BY surface_id""",
+    "q47_plane_fit" ->
+      // plane3 = cross(p1−p0, p2−p0) + d = −n·p0; centroid over the FULL
+      // cleaned ring (closure included, Geom.centroid contract); getHeight/
+      // getY null when the plane is parallel to the probed axis. pca_resid
+      // is the invariant gate: the engine's PCA plane must fit the planar
+      // ring to < 5e-7 (see PcaResidExpr scaladoc).
+      s"""WITH $thematicCte,
+          pl AS (SELECT surface_id, c,
+                   ((c[2].y - c[1].y) * (c[3].z - c[1].z)
+                    - (c[2].z - c[1].z) * (c[3].y - c[1].y)) AS pa,
+                   ((c[2].z - c[1].z) * (c[3].x - c[1].x)
+                    - (c[2].x - c[1].x) * (c[3].z - c[1].z)) AS pb,
+                   ((c[2].x - c[1].x) * (c[3].y - c[1].y)
+                    - (c[2].y - c[1].y) * (c[3].x - c[1].x)) AS pc
+                 FROM th),
+          pl2 AS (SELECT surface_id, pa, pb, pc,
+                    -(pa * c[1].x + pb * c[1].y + pc * c[1].z) AS pd,
+                    list_aggregate(list_transform(c, p -> p.x), 'sum') / len(c) AS ctx,
+                    list_aggregate(list_transform(c, p -> p.y), 'sum') / len(c) AS cty,
+                    list_aggregate(list_transform(c, p -> p.z), 'sum') / len(c) AS ctz
+                  FROM pl)
+          SELECT surface_id, pa, pb, pc, pd,
+            round(CASE WHEN pc <> 0
+                       THEN -(pa * ctx + pb * cty + pd) / pc END, 6) + 0.0 AS h_at_c,
+            round(CASE WHEN pb <> 0
+                       THEN -(pa * ctx + pc * ctz + pd) / pb END, 6) + 0.0 AS y_at_c,
+            0.0 AS pca_resid
+          FROM pl2 ORDER BY surface_id""",
+    "q48_building_extremes" ->
+      s"""WITH $thematicCte,
+          pts AS (SELECT building_id, unnest(c) AS p FROM th),
+          rk AS (SELECT building_id, p,
+                   row_number() OVER (PARTITION BY building_id
+                     ORDER BY p.x, p.y, p.z) AS rlo,
+                   row_number() OVER (PARTITION BY building_id
+                     ORDER BY p.x DESC, p.y DESC, p.z DESC) AS rhi
+                 FROM pts),
+          lo AS (SELECT building_id, p.x AS sx, p.y AS sy, p.z AS sz
+                 FROM rk WHERE rlo = 1),
+          hi AS (SELECT building_id, p.x AS hx, p.y AS hy, p.z AS hz
+                 FROM rk WHERE rhi = 1),
+          wc AS (SELECT building_id, $wcCols FROM th WHERE poly_ord = 6)
+          SELECT building_id, sx, sy, sz, hx, hy, hz, wcx, wcy, wcz
+          FROM lo JOIN hi USING (building_id) JOIN wc USING (building_id)
+          ORDER BY building_id""",
+    "q49_translate_min" ->
+      // global lexicographic-min vertex of the whole dictionary (every class
+      // bin — identical to Spark's min(struct(x,y,z))), then per-class
+      // translated extents as exact double subtractions.
+      s"""WITH $thematicCte, $vertexDictCte,
+          gm AS (SELECT x AS gx, y AS gy, z AS gz FROM
+                   (SELECT x, y, z,
+                      row_number() OVER (ORDER BY x, y, z) AS rn FROM vd)
+                 WHERE rn = 1)
+          SELECT cls, COUNT(*) AS n_vertices,
+            MIN(x - gx) AS min_x, MIN(y - gy) AS min_y, MIN(z - gz) AS min_z,
+            MAX(x - gx) AS max_x, MAX(y - gy) AS max_y, MAX(z - gz) AS max_z
+          FROM vd CROSS JOIN gm GROUP BY cls ORDER BY cls"""
   )
 
   /** Oracles for the dedup/ANN family: bucketing stages come from the Verify

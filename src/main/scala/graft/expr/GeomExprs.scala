@@ -314,7 +314,13 @@ object GeomFunctions {
     "cell_neighbors" -> (es => CellNeighborsExpr(es.head)),
     "hull_3d" -> (es => Hull3DExpr(es.head)),
     "simhash64" -> (es => SimHashExpr(es.head)),
-    "tile_encode" -> (es => TileEncodeExpr(es(0), es(1), es(2), es(3), es(4))))
+    "tile_encode" -> (es => TileEncodeExpr(es(0), es(1), es(2), es(3), es(4))),
+    "edge_kernel" -> (es => EdgeKernelExpr(es.head)),
+    "area_2d" -> (es => Area2DExpr(es.head)),
+    "plane_probe" -> (es => PlaneProbeExpr(es.head)),
+    "pca_resid" -> (es => PcaResidExpr(es.head)),
+    "weighted_centroid" -> (es => WeightedCentroidExpr(es.head)),
+    "tri_align" -> (es => TriAlignExpr(es(0), es(1))))
 
   /** Register every expression for SQL use (`SELECT ear_clip(ext, holes)…`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
