@@ -442,10 +442,21 @@ object SparkEntry {
         .orderBy("fmt")
     }),
     "q40_features" -> ((s, d) => {
-      // multimodal feature extraction (documented deterministic stand-in for
-      // a real extractor — no vision libs in this container): per-image
-      // channel means, oracle-recomputed from the dumped decoded pixels
-      ImageOps.extractFeatures(s, synthImages(s, d)).orderBy("image_id")
+      // multimodal feature extraction: per-image channel means,
+      // oracle-recomputed from the dumped decoded pixels (the dHash half of
+      // the feature row is gated separately by q50)
+      ImageOps.extractFeatures(s, synthImages(s, d))
+        .select("image_id", "mean_r", "mean_g", "mean_b")
+        .orderBy("image_id")
+    }),
+    "q50_dhash" -> ((s, d) => {
+      // REAL perceptual-hash feature op (dHash) under the gate: the oracle
+      // recomputes the 9×8 box-average luma grid (integer-truncation
+      // division — exactly ImageCodec.resize's semantics) and every
+      // gradient bit from the dumped decoded pixels.
+      ImageOps.extractFeatures(s, synthImages(s, d))
+        .select("image_id", "dhash_bits")
+        .orderBy("image_id")
     }),
     "q41_ngram_jaccard" -> ((s, d) => {
       // demo-scale exact n-gram Jaccard with length-bucket blocking (the
@@ -1124,8 +1135,48 @@ object SparkEntry {
           SELECT cls, COUNT(*) AS n_vertices,
             MIN(x - gx) AS min_x, MIN(y - gy) AS min_y, MIN(z - gz) AS min_z,
             MAX(x - gx) AS max_x, MAX(y - gy) AS max_y, MAX(z - gz) AS max_z
-          FROM vd CROSS JOIN gm GROUP BY cls ORDER BY cls"""
+          FROM vd CROSS JOIN gm GROUP BY cls ORDER BY cls""",
+    "q50_dhash" ->
+      // dHash recomputed bit-for-bit from the dumped decoded pixels: 9×8
+      // box grid with ImageCodec.resize's bounds (x0 = bx·w/9 floor,
+      // x1 = max(x0+1, (bx+1)·w/9)), truncating integer channel means
+      // (`//` == Long division on non-negatives), luma 299r+587g+114b as
+      // exact integers, bit = right-neighbor luma strictly greater.
+      s"""WITH im AS (SELECT i.image_id, i.w, i.h, p.px
+                      FROM ${O.inp("images")} i
+                      JOIN ${O.inp("pixels")} p USING (image_id)),
+          cells AS (SELECT image_id, w, h, px, bx.bx AS bx, by.by AS by
+                    FROM im, range(0, 9) AS bx(bx), range(0, 8) AS by(by)),
+          bounds AS (SELECT image_id, w, h, px, bx, by,
+                       (bx * w) // 9 AS x0,
+                       greatest((bx * w) // 9 + 1, ((bx + 1) * w) // 9) AS x1,
+                       (by * h) // 8 AS y0,
+                       greatest((by * h) // 8 + 1, ((by + 1) * h) // 8) AS y1
+                     FROM cells),
+          grid AS (SELECT image_id, bx, by,
+                     299 * (${dhashBoxSum(1)} // ${dhashBoxN})
+                   + 587 * (${dhashBoxSum(2)} // ${dhashBoxN})
+                   + 114 * (${dhashBoxSum(3)} // ${dhashBoxN}) AS lum
+                   FROM bounds)
+          SELECT g1.image_id,
+                 string_agg(CASE WHEN g2.lum > g1.lum THEN '1' ELSE '0' END,
+                   '' ORDER BY g1.by, g1.bx) AS dhash_bits
+          FROM grid g1 JOIN grid g2
+            ON g1.image_id = g2.image_id AND g2.by = g1.by AND g2.bx = g1.bx + 1
+          WHERE g1.bx < 8
+          GROUP BY g1.image_id ORDER BY g1.image_id"""
   )
+
+  /** q50 helper: integer channel sum over one dHash box (channel offset c ∈
+    * {1,2,3}, 1-based into the flattened px list).
+    */
+  private def dhashBoxSum(c: Int): String =
+    s"""list_reduce(list_transform(range(y0, y1), dh_y ->
+          list_reduce(list_transform(range(x0, x1), dh_x ->
+            px[(dh_y * w + dh_x) * 3 + $c]), (dh_a, dh_b) -> dh_a + dh_b)),
+          (dh_a2, dh_b2) -> dh_a2 + dh_b2)"""
+
+  private def dhashBoxN: String = "((y1 - y0) * (x1 - x0))"
 
   /** Oracles for the dedup/ANN family: bucketing stages come from the Verify
     * dumps (band/signature/candidate tables, same params as the queries);

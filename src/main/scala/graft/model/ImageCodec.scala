@@ -146,4 +146,39 @@ object ImageCodec {
       y += 1
     }
   }
+
+  /** 64-bit difference hash (dHash — the standard public perceptual-hash
+    * algorithm): box-average resize to a 9×8 grid with [[resize]]'s exact
+    * integer-truncation semantics, integer luma 299r + 587g + 114b (×1000
+    * scale, no divide — exact), bit (y·8 + x) set iff lum(x+1, y) >
+    * lum(x, y). Returned as a 64-char '0'/'1' string (MSB first) so the
+    * DuckDB oracle can recompute and compare it without 64-bit sign
+    * gymnastics; [[dhashPack]] gives the Long for hamming blocking.
+    */
+  def dhashBits(px: Array[Byte], w: Int, h: Int): String = {
+    val g = resize(px, w, h, 9, 8)
+    val sb = new java.lang.StringBuilder(64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val o1 = (y * 9 + x) * 3
+        val o2 = o1 + 3
+        val l1 = 299 * (g(o1) & 0xFF) + 587 * (g(o1 + 1) & 0xFF) + 114 * (g(o1 + 2) & 0xFF)
+        val l2 = 299 * (g(o2) & 0xFF) + 587 * (g(o2 + 1) & 0xFF) + 114 * (g(o2 + 2) & 0xFF)
+        sb.append(if (l2 > l1) '1' else '0')
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString
+  }
+
+  /** Pack a [[dhashBits]] string into a Long (first char = MSB). */
+  def dhashPack(bits: String): Long = {
+    var v = 0L
+    var i = 0
+    while (i < bits.length) { v = (v << 1) | (bits.charAt(i) - '0').toLong; i += 1 }
+    v
+  }
 }

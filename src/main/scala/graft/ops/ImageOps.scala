@@ -168,11 +168,15 @@ object ImageOps {
       min(when(col("psnr").isNull, lit(Double.MaxValue)).otherwise(col("psnr"))).as("min_psnr"),
       min(col("caption_ok").cast("int")).as("captions_ok"))
 
-  /** Feature extraction stub over the binary column: the image libs beyond
-    * JDK imageio aren't in this container, so the FEATURE step is a
-    * deterministic fake (mean channel values); the Spark-side plumbing —
-    * schema, batched per-partition decode, no payload in shuffle keys — is
-    * real and tested.
+  /** Feature extraction over the binary column (training-pipeline
+    * multimodal op): per-image channel means plus a REAL from-scratch
+    * perceptual hash (dHash: 9×8 box-average luma grid → 64 gradient bits —
+    * public algorithm, pure integer math, no vision libs needed, exactly
+    * SQL-recomputable from decoded pixels — q50). Deep CNN-style embeddings
+    * stay out of scope in this container (documented). Plumbing contract:
+    * batched per-partition decode, payloads never in shuffle keys, columnar
+    * schema; the packed `dhash` long plugs straight into the SimHash-style
+    * hamming pigeonhole blocking for image near-dup joins.
     */
   def extractFeatures(spark: SparkSession, images: DataFrame): DataFrame = {
     import spark.implicits._
@@ -188,9 +192,10 @@ object ImageOps {
             i += 3
           }
           val n = (px.length / 3).toDouble
-          (id, r / n, g / n, b / n)
+          val bits = ImageCodec.dhashBits(px, w, h)
+          (id, r / n, g / n, b / n, bits, ImageCodec.dhashPack(bits))
         }
       }
-      .toDF("image_id", "mean_r", "mean_g", "mean_b")
+      .toDF("image_id", "mean_r", "mean_g", "mean_b", "dhash_bits", "dhash")
   }
 }
