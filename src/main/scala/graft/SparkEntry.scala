@@ -60,6 +60,16 @@ object SparkEntry {
         (id, fmt, graft.model.ImageCodec.decode(bytes, fmt, wd, ht)
           .map(b => b & 0xFF).toSeq)
       }.toDF("image_id", "fmt", "px"), "pixels")
+    // perturbed near-dup companions' decoded pixels (q51's oracle recomputes
+    // the dHash of ORIGINALS from `pixels` and of dups from here — the whole
+    // feature+join path is SQL, only the lossless decode is shared)
+    w(ImageOps.perturbedDups(s, imgs)
+      .select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"))
+      .as[(String, Array[Byte], Int, Int, String)]
+      .map { case (id, bytes, wd, ht, fmt) =>
+        (id, wd, ht, graft.model.ImageCodec.decode(bytes, fmt, wd, ht)
+          .map(b => b & 0xFF).toSeq)
+      }.toDF("image_id", "w", "h", "px"), "dup_pixels")
     val (ok, _) = ObjPipeline.validated(surf)
     w(SpatialOps.triangles(ObjPipeline.withoutOpenings(ok))
       .select(col("building_id"), col("surface_id"), col("surface_class"),
@@ -457,6 +467,19 @@ object SparkEntry {
       ImageOps.extractFeatures(s, synthImages(s, d))
         .select("image_id", "dhash_bits")
         .orderBy("image_id")
+    }),
+    "q51_image_neardups" -> ((s, d) => {
+      // image near-dup join: corpus + deterministic perturbed companions →
+      // dHash → 4×16-bit hamming pigeonhole blocking → exact hamming on
+      // candidates. The oracle replays feature AND join entirely in SQL
+      // from decoded pixels (random-hash collisions at hamming ≤ 3 are
+      // ~2e-15 per pair, so the result is exactly the planted pairs — but
+      // the gate compares whatever both engines derive, not that belief).
+      val imgs = synthImages(s, d)
+      val all = imgs.select("image_id", "bytes", "w", "h", "fmt")
+        .unionByName(ImageOps.perturbedDups(s, imgs))
+      ImageOps.dhashNearDups(s, all, maxHamming = 3)
+        .orderBy("img_a", "img_b")
     }),
     "q41_ngram_jaccard" -> ((s, d) => {
       // demo-scale exact n-gram Jaccard with length-bucket blocking (the
@@ -1142,30 +1165,63 @@ object SparkEntry {
       // x1 = max(x0+1, (bx+1)·w/9)), truncating integer channel means
       // (`//` == Long division on non-negatives), luma 299r+587g+114b as
       // exact integers, bit = right-neighbor luma strictly greater.
-      s"""WITH im AS (SELECT i.image_id, i.w, i.h, p.px
-                      FROM ${O.inp("images")} i
-                      JOIN ${O.inp("pixels")} p USING (image_id)),
-          cells AS (SELECT image_id, w, h, px, bx.bx AS bx, by.by AS by
-                    FROM im, range(0, 9) AS bx(bx), range(0, 8) AS by(by)),
-          bounds AS (SELECT image_id, w, h, px, bx, by,
-                       (bx * w) // 9 AS x0,
-                       greatest((bx * w) // 9 + 1, ((bx + 1) * w) // 9) AS x1,
-                       (by * h) // 8 AS y0,
-                       greatest((by * h) // 8 + 1, ((by + 1) * h) // 8) AS y1
-                     FROM cells),
-          grid AS (SELECT image_id, bx, by,
-                     299 * (${dhashBoxSum(1)} // ${dhashBoxN})
-                   + 587 * (${dhashBoxSum(2)} // ${dhashBoxN})
-                   + 114 * (${dhashBoxSum(3)} // ${dhashBoxN}) AS lum
-                   FROM bounds)
-          SELECT g1.image_id,
-                 string_agg(CASE WHEN g2.lum > g1.lum THEN '1' ELSE '0' END,
-                   '' ORDER BY g1.by, g1.bx) AS dhash_bits
-          FROM grid g1 JOIN grid g2
-            ON g1.image_id = g2.image_id AND g2.by = g1.by AND g2.bx = g1.bx + 1
-          WHERE g1.bx < 8
-          GROUP BY g1.image_id ORDER BY g1.image_id"""
+      s"""WITH dh_im AS (SELECT i.image_id, i.w, i.h, p.px
+                         FROM ${O.inp("images")} i
+                         JOIN ${O.inp("pixels")} p USING (image_id)),
+          $dhashCtes
+          SELECT image_id, bits AS dhash_bits FROM dh_bits
+          ORDER BY image_id""",
+    "q51_image_neardups" ->
+      // the whole near-dup path in SQL: dHash of originals + perturbed
+      // companions, the SAME 4×16-bit pigeonhole blocking (the bit-string
+      // groups partition positions exactly like the engine's shiftright
+      // chunks), exact hamming on candidates only.
+      s"""WITH dh_im AS (SELECT i.image_id, i.w, i.h, p.px
+                         FROM ${O.inp("images")} i
+                         JOIN ${O.inp("pixels")} p USING (image_id)
+                         UNION ALL
+                         SELECT image_id, w, h, px FROM ${O.inp("dup_pixels")}),
+          $dhashCtes,
+          ch AS (SELECT image_id, bits, ci.ci AS ci,
+                   substr(bits, ci * 16 + 1, 16) AS chunk
+                 FROM dh_bits, range(0, 4) AS ci(ci)),
+          cand AS (SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b,
+                     a.bits AS ba, b.bits AS bb
+                   FROM ch a JOIN ch b ON a.ci = b.ci AND a.chunk = b.chunk
+                     AND a.image_id < b.image_id),
+          hm AS (SELECT img_a, img_b,
+                   len(list_filter(range(1, 65),
+                     hb -> substr(ba, hb, 1) <> substr(bb, hb, 1))) AS hamming
+                 FROM cand)
+          SELECT img_a, img_b, hamming FROM hm WHERE hamming <= 3
+          ORDER BY img_a, img_b"""
   )
+
+  /** dHash bit-string recomputation CTE chain over a source CTE `dh_im`
+    * (image_id, w, h, px) — shared by q50 and q51. Ends with `dh_bits`
+    * (image_id, bits).
+    */
+  private def dhashCtes: String =
+    s"""dh_cells AS (SELECT image_id, w, h, px, bx.bx AS bx, by.by AS by
+                     FROM dh_im, range(0, 9) AS bx(bx), range(0, 8) AS by(by)),
+        dh_bounds AS (SELECT image_id, w, h, px, bx, by,
+                        (bx * w) // 9 AS x0,
+                        greatest((bx * w) // 9 + 1, ((bx + 1) * w) // 9) AS x1,
+                        (by * h) // 8 AS y0,
+                        greatest((by * h) // 8 + 1, ((by + 1) * h) // 8) AS y1
+                      FROM dh_cells),
+        dh_grid AS (SELECT image_id, bx, by,
+                      299 * (${dhashBoxSum(1)} // ${dhashBoxN})
+                    + 587 * (${dhashBoxSum(2)} // ${dhashBoxN})
+                    + 114 * (${dhashBoxSum(3)} // ${dhashBoxN}) AS lum
+                    FROM dh_bounds),
+        dh_bits AS (SELECT g1.image_id,
+                      string_agg(CASE WHEN g2.lum > g1.lum THEN '1' ELSE '0' END,
+                        '' ORDER BY g1.by, g1.bx) AS bits
+                    FROM dh_grid g1 JOIN dh_grid g2
+                      ON g1.image_id = g2.image_id AND g2.by = g1.by
+                     AND g2.bx = g1.bx + 1
+                    WHERE g1.bx < 8 GROUP BY g1.image_id)"""
 
   /** q50 helper: integer channel sum over one dHash box (channel offset c ∈
     * {1,2,3}, 1-based into the flattened px list).

@@ -198,4 +198,54 @@ object ImageOps {
       }
       .toDF("image_id", "mean_r", "mean_g", "mean_b", "dhash_bits", "dhash")
   }
+
+  /** Deterministic near-duplicate companions for a slice of the corpus:
+    * every 16th image (by phash) re-encoded with its first pixel's red
+    * channel LSB flipped — a sub-visual change that moves the dHash by at
+    * most a bit or two. Fixture for the image near-dup join (q51) and its
+    * oracle dump (decode → perturb → lossless re-encode, all exact).
+    */
+  def perturbedDups(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.where(pmod(col("phash"), lit(16L)) === 0)
+      .select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, w, h, fmt) =>
+          // decode returns the input array itself for raw — clone before
+          // mutating or the source row's payload changes underneath us
+          val px = ImageCodec.decode(bytes, fmt, w, h).clone()
+          px(0) = (px(0) ^ 0x01).toByte
+          val enc = if (fmt == "png") ImageCodec.encodePng(px, w, h) else px
+          (id + "~dup", enc, w, h, fmt)
+        }
+      }.toDF("image_id", "bytes", "w", "h", "fmt")
+  }
+
+  /** Image near-duplicate pairs via dHash hamming blocking — the multimodal
+    * twin of `TextOps.simhashNearDups` (same 4×16-bit pigeonhole: any pair
+    * within hamming ≤ 3 shares at least one intact chunk, so the blocking
+    * is recall-lossless up to the threshold). Exact hamming is verified on
+    * candidates only; payload bytes never enter the shuffle — only
+    * (chunk, dhash) pairs, 16 bytes a row.
+    */
+  def dhashNearDups(spark: SparkSession, images: DataFrame,
+                    maxHamming: Int = 3): DataFrame = {
+    val sigs = extractFeatures(spark, images)
+      .select(col("image_id"), col("dhash"))
+    val chunked = sigs.select(col("image_id"), col("dhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("dhash"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("image_id").as("img_a"), col("dhash").as("dh_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col("image_id").as("img_b"), col("dhash").as("dh_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("img_a") < col("img_b"))
+      .select(col("img_a"), col("img_b"),
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 }

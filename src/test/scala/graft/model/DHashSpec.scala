@@ -48,4 +48,24 @@ class DHashSpec extends AnyFunSuite {
     assert(ImageCodec.dhashPack("0" * 63 + "1") === 1L)
     assert(ImageCodec.dhashPack("0" * 56 + "10101010") === 0xAAL)
   }
+
+  test("dhashNearDups finds every planted perturbed duplicate") {
+    val spark = graft.TestSpark.spark
+    val imgs = Synth.images(spark, 256, 16).toDF
+    val dups = graft.ops.ImageOps.perturbedDups(spark, imgs)
+    val nDups = dups.count()
+    assert(nDups > 0)
+    val all = imgs.select("image_id", "bytes", "w", "h", "fmt").unionByName(dups)
+    val pairs = graft.ops.ImageOps.dhashNearDups(spark, all, maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // every planted (id, id~dup) pair must surface with a tiny distance
+    val planted = dups.select("image_id").collect()
+      .map(_.getString(0)).map(d => (d.stripSuffix("~dup"), d)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    planted.foreach { pl => assert(found.contains(pl), s"missing planted pair $pl") }
+    pairs.foreach { case (_, _, hm) => assert(hm >= 0 && hm <= 3) }
+    // random 64-bit hashes collide at hamming ≤ 3 with p ≈ 2e-15 — any
+    // non-planted pair here would be a determinism bug, not bad luck
+    assert(pairs.length === planted.size)
+  }
 }
