@@ -655,8 +655,9 @@ object SparkEntry {
       val wc = th.where(col("poly_ord") === 6)
         .select(col("building_id"), weighted_centroid(col("ext")).as("wc"))
         .select(col("building_id"),
-          round(col("wc.x"), 6).as("wcx"), round(col("wc.y"), 6).as("wcy"),
-          round(col("wc.z"), 6).as("wcz"))
+          (round(col("wc.x"), 6) + lit(0.0)).as("wcx"),
+          (round(col("wc.y"), 6) + lit(0.0)).as("wcy"),
+          (round(col("wc.z"), 6) + lit(0.0)).as("wcz"))
       extremes.join(wc, Seq("building_id")).orderBy("building_id")
     }),
     "q49_translate_min" -> ((s, d) => {
@@ -734,8 +735,10 @@ object SparkEntry {
     def tc(f: String) =
       s"((($b)[1].$f + ($b)[wc_i].$f + ($b)[wc_i+1].$f) / 3)"
     val wsum = fold(w)
+    // + 0.0 normalizes -0.0, matching the engine side (Spark's BigDecimal
+    // round drops the sign of zero; DuckDB's C round keeps it)
     Seq("x" -> "wcx", "y" -> "wcy", "z" -> "wcz").map { case (f, alias) =>
-      s"round(${fold(s"${tc(f)} * $w")} * (1.0 / $wsum), 6) AS $alias"
+      s"round(${fold(s"${tc(f)} * $w")} * (1.0 / $wsum), 6) + 0.0 AS $alias"
     }.mkString(", ")
   }
 
@@ -1097,9 +1100,10 @@ object SparkEntry {
             round(unx, 6) + 0.0 AS nnx, round(uny, 6) + 0.0 AS nny,
             round(unz, 6) + 0.0 AS nnz,
             a2v.area2d, ed.edge_dot, ed.edge_cx, ed.edge_cy, ed.edge_cz,
-            ta.n_tris, ta.n_aligned
+            COALESCE(ta.n_tris, 0) AS n_tris,
+            COALESCE(ta.n_aligned, 0) AS n_aligned
           FROM nv JOIN a2v USING (surface_id) JOIN ed USING (surface_id)
-                  JOIN ta USING (surface_id)
+                  LEFT JOIN ta USING (surface_id)
           ORDER BY surface_id""",
     "q47_plane_fit" ->
       // plane3 = cross(p1−p0, p2−p0) + d = −n·p0; centroid over the FULL
@@ -1108,7 +1112,7 @@ object SparkEntry {
       // is the invariant gate: the engine's PCA plane must fit the planar
       // ring to < 5e-7 (see PcaResidExpr scaladoc).
       s"""WITH $thematicCte,
-          pl AS (SELECT surface_id, c,
+          pl AS (SELECT surface_id, c, nx, ny, nz,
                    ((c[2].y - c[1].y) * (c[3].z - c[1].z)
                     - (c[2].z - c[1].z) * (c[3].y - c[1].y)) AS pa,
                    ((c[2].z - c[1].z) * (c[3].x - c[1].x)
@@ -1116,7 +1120,7 @@ object SparkEntry {
                    ((c[2].x - c[1].x) * (c[3].y - c[1].y)
                     - (c[2].y - c[1].y) * (c[3].x - c[1].x)) AS pc
                  FROM th),
-          pl2 AS (SELECT surface_id, pa, pb, pc,
+          pl2 AS (SELECT surface_id, c, nx, ny, nz, pa, pb, pc,
                     -(pa * c[1].x + pb * c[1].y + pc * c[1].z) AS pd,
                     list_aggregate(list_transform(c, p -> p.x), 'sum') / len(c) AS ctx,
                     list_aggregate(list_transform(c, p -> p.y), 'sum') / len(c) AS cty,
@@ -1127,7 +1131,13 @@ object SparkEntry {
                        THEN -(pa * ctx + pb * cty + pd) / pc END, 6) + 0.0 AS h_at_c,
             round(CASE WHEN pb <> 0
                        THEN -(pa * ctx + pc * ctz + pd) / pb END, 6) + 0.0 AS y_at_c,
-            0.0 AS pca_resid
+            CASE WHEN sqrt(nx*nx + ny*ny + nz*nz) <> 0 AND
+                   len(list_filter(range(1, len(c)+1), pi ->
+                     abs((c[pi].x - c[1].x) * (nx / sqrt(nx*nx + ny*ny + nz*nz))
+                       + (c[pi].y - c[1].y) * (ny / sqrt(nx*nx + ny*ny + nz*nz))
+                       + (c[pi].z - c[1].z) * (nz / sqrt(nx*nx + ny*ny + nz*nz)))
+                     > 0.000000001)) = 0
+                 THEN 0.0 END AS pca_resid
           FROM pl2 ORDER BY surface_id""",
     "q48_building_extremes" ->
       s"""WITH $thematicCte,

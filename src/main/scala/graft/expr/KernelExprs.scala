@@ -93,30 +93,46 @@ case class PlaneProbeExpr(child: Expression) extends UnaryExpression
 
 /** O-25 PCA plane fit (polygon3dmodule.py:370-399), gated by its residual:
   * max |a·x + b·y + c·z + d| over the ring points against the FITTED plane
-  * (unit normal ⇒ true point-plane distance). For a planar ring this is 0
-  * up to eigen-solver noise — the oracle pins round(resid, 6) = 0, so a
-  * wrong eigenvector (non-smallest eigenvalue, sign-flip bugs feeding a
-  * non-unit normal, covariance typos) surfaces as a hash mismatch.
+  * (unit normal ⇒ true point-plane distance). Defined — and oracle-pinned
+  * to round(resid, 6) = 0 — only for EXACTLY planar rings (every point
+  * within 1e-9 of the first-three-point plane, the same bit-mirrorable
+  * test the SQL side runs); a merely eps-planar ring (isPolyValid admits
+  * deviation up to 0.01) returns null on BOTH engines instead of turning a
+  * legitimate nonzero residual into a spurious gate failure. On the planar
+  * rows the pin is a real gate: a wrong eigenvector (non-smallest
+  * eigenvalue, sign-flip bugs feeding a non-unit normal, covariance typos)
+  * surfaces as a hash mismatch.
   */
 case class PcaResidExpr(child: Expression) extends UnaryExpression
     with CodegenFallback with GraftExpectsInputTypes {
   override def graftInputTypes: Seq[DataType] = Seq(ringType)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any = {
     val r = toRing(v.asInstanceOf[ArrayData])
-    if (r.length < 3) 0.0
-    else {
-      val (a, b, c, d) = Geom.planeFitPCA(r)
-      var worst = 0.0
-      var i = 0
-      while (i < r.length) {
-        val p = r(i)
-        val dist = math.abs(a * p.x + b * p.y + c * p.z + d)
-        if (dist > worst) worst = dist
-        i += 1
-      }
-      worst
+    if (r.length < 3) return null
+    Geom.unitNormal(r(0), r(1), r(2)) match {
+      case None => null
+      case Some(n) =>
+        var i = 0
+        while (i < r.length) {
+          val p = r(i)
+          val dev = (p.x - r(0).x) * n.x + (p.y - r(0).y) * n.y +
+            (p.z - r(0).z) * n.z
+          if (math.abs(dev) > 1e-9) return null
+          i += 1
+        }
+        val (a, b, c, d) = Geom.planeFitPCA(r)
+        var worst = 0.0
+        i = 0
+        while (i < r.length) {
+          val p = r(i)
+          val dist = math.abs(a * p.x + b * p.y + c * p.z + d)
+          if (dist > worst) worst = dist
+          i += 1
+        }
+        worst
     }
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)

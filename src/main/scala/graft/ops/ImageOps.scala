@@ -231,8 +231,19 @@ object ImageOps {
     */
   def dhashNearDups(spark: SparkSession, images: DataFrame,
                     maxHamming: Int = 3): DataFrame = {
-    val sigs = extractFeatures(spark, images)
-      .select(col("image_id"), col("dhash"))
+    import spark.implicits._
+    // lean signature pass (decode + dhash only — no channel means), then an
+    // EAGER localCheckpoint: the self-join consumes the signature table
+    // twice, and without materialization both sides would re-decode every
+    // image; localCheckpoint (not persist) so no cache handle leaks to the
+    // session (blocks free when the checkpointed RDD is GC'd)
+    val sigs = images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions(_.map { case (id, bytes, w, h, fmt) =>
+        (id, ImageCodec.dhashPack(
+          ImageCodec.dhashBits(ImageCodec.decode(bytes, fmt, w, h), w, h)))
+      }).toDF("image_id", "dhash")
+      .localCheckpoint()
     val chunked = sigs.select(col("image_id"), col("dhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("dhash"), i * 16).bitwiseAND(0xFFFFL)): _*))

@@ -55,13 +55,19 @@ class KernelExprsSpec extends AnyFunSuite {
     assert(!g.isNullAt(4) && g.isNullAt(5))
   }
 
-  test("pca_resid: ~0 for planar rings, > 0 for a bent ring") {
+  test("pca_resid: ~0 for planar rings, null (ungated) for a bent ring") {
     val planar = df(sq, tilt).select(pca_resid(col("ext")))
       .collect().map(_.getDouble(0))
     assert(planar.forall(_ < 1e-9))
+    // non-planar rings are EXCLUDED from the residual gate (null on both
+    // engines) rather than compared against a 0.0 pin they can't meet —
+    // see PcaResidExpr scaladoc
     val bent = Seq(Pt(0, 0, 0), Pt(2, 0, 0), Pt(2, 2, 1), Pt(0, 2, 0), Pt(0, 0, 0))
-    val r = df(bent).select(pca_resid(col("ext"))).head().getDouble(0)
-    assert(r > 0.1)
+    assert(df(bent).select(pca_resid(col("ext"))).head().isNullAt(0))
+    // ...but the underlying PCA kernel itself still reports the bend
+    val (a, b, c, d) = Geom.planeFitPCA(bent.map(_.v).toIndexedSeq)
+    val worst = bent.map(p => math.abs(a * p.x + b * p.y + c * p.z + d)).max
+    assert(worst > 0.1)
   }
 
   test("weighted_centroid: center of a rectangle; matches Geom on a fan") {
