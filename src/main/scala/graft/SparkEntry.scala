@@ -855,7 +855,12 @@ object SparkEntry {
                     generate_subscripts(${O.open("c")}, 1) AS corner
                   FROM ex),
           vd AS (SELECT cls, p,
-                   MIN(building_ord * 1000000 + poly_ord * 1000 + corner) AS fk
+                   -- struct MIN = lexicographic first occurrence; no packed-
+                   -- integer key (multiplier packing collides once poly_ord
+                   -- or ring arity exceeds the radix — e.g. byte-offset
+                   -- building_ords from chunked ingest)
+                   MIN(struct_pack(b := building_ord, po := poly_ord,
+                                   co := corner)) AS fk
                  FROM pts GROUP BY cls, p),
           ordn AS (SELECT cls, p,
                      ROW_NUMBER() OVER (PARTITION BY cls ORDER BY fk) AS ordinal

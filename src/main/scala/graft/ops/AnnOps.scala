@@ -148,7 +148,6 @@ object AnnOps {
     */
   def ivfTrain(embeddings: DataFrame, dim: Int, nlist: Int,
                iters: Int): Array[Array[Double]] = {
-    import org.apache.spark.sql.expressions.Window
     val seed = embeddings
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(nlist)

@@ -281,8 +281,22 @@ object SpatialOps {
       reach *= (if (roundNo == 0) 2 else 4) // 0.5, 1, 4, 16, … cells
       roundNo += 1
     }
-    // nRemaining > 0 here ⇔ zero centroids exist anywhere (the final round
-    // explored the full domain): those probes correctly contribute no rows.
+    if (nRemaining > 0) {
+      // Only reachable when a caller-supplied maxRounds capped the ladder
+      // before the whole-domain round (autoRounds always gets there — then
+      // nRemaining > 0 ⇔ zero centroids exist and there is nothing to do).
+      // The EXACT contract must hold for any maxRounds, so finish the
+      // stragglers with one explicit whole-domain round: level 0, reach =
+      // world ⇒ safe = ∞ ⇒ every probe with ≥ 1 candidate resolves.
+      val ranked = knnTopK(
+        knnRoundCandidates(remaining, cents, world, 0, level),
+        k, useAgg).persist(StorageLevel.MEMORY_AND_DISK)
+      rankedCaches += ranked
+      results += ranked.join(meta, Seq("surface_id")).select(out: _*)
+      if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
+        System.err.println(f"[knn] capped-rounds finisher (whole domain) " +
+          f"stragglers $nRemaining t=${System.nanoTime() / 1e9}%.2f")
+    }
     val union = results.reduce(_.unionByName(_))
       .persist(StorageLevel.MEMORY_AND_DISK)
     union.count() // materialize so every per-round cache can be freed NOW

@@ -54,16 +54,23 @@ object GmlSink {
                                  prefix: String): String = {
     import org.apache.hadoop.fs.Path
     val docs = graft.sources.GmlXml.render(translated)
+    // ship the DRIVER's Hadoop conf — a bare new Configuration() in the task
+    // loses every spark.hadoop.* setting (credentials, fs overrides)
+    val confMap = graft.HadoopConfs.pack(
+      translated.sparkSession.sessionState.newHadoopConf())
     docs.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = graft.HadoopConfs.unpack(confMap)
         // raw FS: skip the local ChecksumFileSystem's .crc sidecar files
         val fs = new Path(outDir).getFileSystem(conf) match {
           case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
           case f => f
         }
         rows.foreach { r =>
-          val p = new Path(s"$outDir/${prefix}_${r.getString(0)}_local_.gml")
+          // building_id flows from untrusted gml:id — sanitize before it
+          // becomes a path segment (jesc's filesystem twin)
+          val bid = graft.HadoopConfs.fileSafe(r.getString(0))
+          val p = new Path(s"$outDir/${prefix}_${bid}_local_.gml")
           val os = fs.create(p, true)
           os.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
           os.close()
@@ -85,7 +92,8 @@ object GmlSink {
     Files.createDirectories(Paths.get(outDir))
     val docs = graft.sources.GmlXml.render(translated)
       .collect().map(r => (r.getString(0), r.getString(1)))
-    val paths = docs.map { case (bid, xml) =>
+    val paths = docs.map { case (bid0, xml) =>
+      val bid = graft.HadoopConfs.fileSafe(bid0)
       val p = Paths.get(s"$outDir/${prefix}_${bid}_local_.gml")
       Files.writeString(p, xml)
       p.toString

@@ -163,11 +163,8 @@ object ChunkedGml {
               capturing = false
               pendingClose = false
               body = null
-              if (captureStart >= end || winOffset + i >= end) {
-                // the building we were finishing reached past our range —
-                // nothing later can still open before `end`… unless we are
-                // still before it; recheck via the normal loop
-              }
+              // whether anything later can still open before `end` is
+              // rechecked by the normal loop (the `abs >= end` guard)
             }
             i += 1
           }
@@ -217,9 +214,12 @@ object ChunkedGml {
         (s.getPath.toString, st, math.min(st + chunkBytes, len)))
     }
     val nPart = math.max(1, splits.size)
+    // ship the driver's Hadoop conf — a bare new Configuration() in the
+    // task loses every spark.hadoop.* setting (credentials, fs overrides)
+    val confMap = graft.HadoopConfs.pack(conf)
     val frags = spark.createDataset(splits).repartition(nPart)
       .mapPartitions { it =>
-        val hconf = new org.apache.hadoop.conf.Configuration()
+        val hconf = graft.HadoopConfs.unpack(confMap)
         it.flatMap { case (pathStr, start, end) =>
           val path = new Path(pathStr)
           val tfs = path.getFileSystem(hconf)

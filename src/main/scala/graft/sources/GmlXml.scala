@@ -120,6 +120,12 @@ object GmlXml {
       var attrBuf: StringBuilder = null
       var polyAttrs = Map.empty[String, String]
       var bldgAttrs = Map.empty[String, String]
+      // polys emitted for the CURRENT building: their battrs are patched at
+      // </Building>, when the building's attribute set is COMPLETE — the
+      // reference reads attributes via xpath findall, which is document-
+      // order independent, so an attribute element placed after the last
+      // boundedBy must still reach every polygon of the building
+      var bldgFirstPoly = 0
 
       def gmlId(): String = {
         var i = 0
@@ -146,6 +152,7 @@ object GmlXml {
                 building = Option(gmlId()).getOrElse(f"${docId}_b$buildingSeq%04d")
                 buildingDepth = depth
                 bldgAttrs = Map.empty
+                bldgFirstPoly = out.length
               } else if (SemanticClasses(ln) || OpeningClasses(ln)) {
                 classStack += ln
               }
@@ -217,7 +224,16 @@ object GmlXml {
             } else if (isBldgNs(ns)) {
               if ((SemanticClasses(ln) || OpeningClasses(ln)) &&
                 classStack.lastOption.contains(ln)) classStack.remove(classStack.length - 1)
-              else if (ln == "Building") building = null
+              else if (ln == "Building") {
+                // patch the finished building's polys with its complete
+                // attribute set (order-independence; see bldgFirstPoly)
+                var pi = bldgFirstPoly
+                while (pi < out.length) {
+                  out(pi) = out(pi).copy(battrs = bldgAttrs)
+                  pi += 1
+                }
+                building = null
+              }
             }
             depth -= 1
           case _ =>

@@ -116,6 +116,39 @@ class GmlXmlSpec extends AnyFunSuite {
       Map("yearlyIrradiation" -> 12345.5))
   }
 
+  test("building attribute AFTER the geometry still reaches every polygon") {
+    // the reference reads attributes via xpath findall — document-order
+    // independent — so an attribute element placed after the last boundedBy
+    // (legal placement) must reach polygons emitted BEFORE it was seen
+    val doc =
+      """<core:CityModel xmlns:core="http://www.opengis.net/citygml/2.0"
+        |  xmlns:gml="http://www.opengis.net/gml"
+        |  xmlns:bldg="http://www.opengis.net/citygml/building/2.0">
+        | <bldg:Building gml:id="BA">
+        |  <bldg:boundedBy><bldg:RoofSurface>
+        |   <gml:Polygon gml:id="P1"><gml:exterior><gml:LinearRing>
+        |    <gml:posList>0 0 5 1 0 5 1 1 5 0 0 5</gml:posList>
+        |   </gml:LinearRing></gml:exterior></gml:Polygon>
+        |  </bldg:RoofSurface></bldg:boundedBy>
+        |  <core:yearlyIrradiation>77.5</core:yearlyIrradiation>
+        |  <bldg:boundedBy><bldg:WallSurface>
+        |   <gml:Polygon gml:id="P2"><gml:exterior><gml:LinearRing>
+        |    <gml:posList>0 0 0 1 0 0 1 0 3 0 0 0</gml:posList>
+        |   </gml:LinearRing></gml:exterior></gml:Polygon>
+        |  </bldg:WallSurface></bldg:boundedBy>
+        |  <core:lateAttr>5.25</core:lateAttr>
+        | </bldg:Building>
+        |</core:CityModel>""".stripMargin
+    val (ok, _) = GmlXml.ingest(Seq(("t2", doc)).toDF("doc_id", "xml"))
+    val rows = ok.collect()
+    val expect = Map("yearlyIrradiation" -> 77.5, "lateAttr" -> 5.25)
+    Seq("P1", "P2").foreach { sid =>
+      val r = rows.find(_.getAs[String]("surface_id") == sid).get
+      assert(r.getAs[Map[String, Double]]("battrs") === expect,
+        s"$sid missing late building attrs")
+    }
+  }
+
   test("attrs round-trip: render writes them, parse recovers them bit-exact") {
     val surf = Synth.surfaces(spark, 4L).toDF
     val (ok, _) = GmlXml.ingest(GmlXml.render(surf))
