@@ -27,15 +27,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ChunkedGml {
 
-  /** Marker bytes for `<tag` / `</tag` with a boundary check so
-    * `<bldg:Building` never matches `<bldg:BuildingPart`.
-    */
+  /** Tag-name boundary so `…:Building` never matches `…:BuildingPart`. */
   private def isBoundary(b: Int): Boolean =
     b == ' ' || b == '>' || b == '/' || b == '\t' || b == '\n' || b == '\r'
 
+  private def isNameChar(b: Int): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_' || b == '-' || b == '.'
+
   /** Extract the root element's open tag (with all xmlns declarations) and
-    * name from the head bytes of a document. Never throws: returns a
-    * namespace-less fallback envelope when the head is garbage.
+    * name from the head bytes of a document, skipping XML declarations,
+    * processing instructions, comments, and DOCTYPE (a `<foo>` inside a
+    * leading comment must NOT be taken as the root). Never throws: returns
+    * a namespace-less fallback envelope when the head is garbage.
     */
   private[sources] def rootEnvelope(head: Array[Byte]): (String, String) = {
     val s = new String(head, java.nio.charset.StandardCharsets.UTF_8)
@@ -43,15 +47,29 @@ object ChunkedGml {
     while (i >= 0 && i < s.length) {
       i = s.indexOf('<', i)
       if (i >= 0) {
-        val c = if (i + 1 < s.length) s.charAt(i + 1) else ' '
-        if (c.isLetter || c == '_') {
-          val close = s.indexOf('>', i)
-          if (close > 0) {
-            val open = s.substring(i, close + 1)
-            val name = open.drop(1).takeWhile(ch => !ch.isWhitespace && ch != '>' && ch != '/')
-            return (open, name)
-          } else return ("<CityModel>", "CityModel")
-        } else i += 1
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i)
+          if (e < 0) return ("<CityModel>", "CityModel")
+          i = e + 3
+        } else if (s.startsWith("<?", i)) {
+          val e = s.indexOf("?>", i)
+          if (e < 0) return ("<CityModel>", "CityModel")
+          i = e + 2
+        } else if (s.startsWith("<!", i)) { // DOCTYPE etc.
+          val e = s.indexOf('>', i)
+          if (e < 0) return ("<CityModel>", "CityModel")
+          i = e + 1
+        } else {
+          val c = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+          if (c.isLetter || c == '_') {
+            val close = s.indexOf('>', i)
+            if (close > 0) {
+              val open = s.substring(i, close + 1)
+              val name = open.drop(1).takeWhile(ch => !ch.isWhitespace && ch != '>' && ch != '/')
+              return (open, name)
+            } else return ("<CityModel>", "CityModel")
+          } else i += 1
+        }
       }
     }
     ("<CityModel>", "CityModel")
@@ -66,8 +84,17 @@ object ChunkedGml {
                                  end: Long, tag: String,
                                  envelope: (String, String),
                                  bufSize: Int = 1 << 20): Iterator[(Long, String)] = {
-    val openPat = ("<" + tag).getBytes("UTF-8")
-    val closePat = ("</" + tag).getBytes("UTF-8")
+    // PREFIX-AGNOSTIC matching: the building namespace may be bound to any
+    // prefix (or the default namespace), so the scanner matches
+    // '<' [/] [NCName ':'] <localName> <boundary> — the per-fragment StAX
+    // parse still verifies the namespace URI itself (wrong-ns `Building`
+    // elements contribute a balanced, harmless capture and zero rows).
+    val local = { val c = tag.indexOf(':'); if (c >= 0) tag.substring(c + 1) else tag }
+    val localPat = local.getBytes("UTF-8")
+    val Comment = "<!--".getBytes("UTF-8")
+    val CommentEnd = "-->".getBytes("UTF-8")
+    val Cdata = "<![CDATA[".getBytes("UTF-8")
+    val CdataEnd = "]]>".getBytes("UTF-8")
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     val buf = new Array[Byte](bufSize)
     var carry = Array.empty[Byte]     // tail bytes re-scanned across blocks
@@ -76,28 +103,66 @@ object ChunkedGml {
     var depth = 0
     var captureStart = 0L
     var body: ByteArrayOutputStream = null
-    var pendingClose = false          // saw closePat, waiting for its '>'
+    var pendingClose = false          // matched a depth-0 close, waiting for '>'
+    var skipEnd: Array[Byte] = null   // inside a comment / CDATA section
+    var inBldgTag = false             // inside a matched open tag '<…Building …'
+    var inQuote = 0                   // quote char (34/39) while inBldgTag
+    var lastTagByte = 0               // last unquoted byte seen while inBldgTag
     var eof = false
     var stop = false
 
-    def matchesAt(a: Array[Byte], i: Int, pat: Array[Byte], limit: Int): Int = {
-      // 1 = match, 0 = no match, -1 = need more bytes
-      if (i + pat.length + 1 > limit) {
-        var j = 0
-        var ok = true
-        while (ok && j < pat.length && i + j < limit) {
-          if (a(i + j) != pat(j)) ok = false
-          j += 1
-        }
-        if (ok) -1 else 0
-      } else {
-        var j = 0
-        while (j < pat.length) {
-          if (a(i + j) != pat(j)) return 0
-          j += 1
-        }
-        if (isBoundary(a(i + pat.length) & 0xFF)) 1 else 0
+    // plain byte-pattern match (no boundary): 1 / 0 / -1 = need more bytes
+    def matchesPlain(a: Array[Byte], i: Int, pat: Array[Byte], limit: Int): Int = {
+      var j = 0
+      while (j < pat.length) {
+        if (i + j >= limit) return -1
+        if (a(i + j) != pat(j)) return 0
+        j += 1
       }
+      1
+    }
+
+    // '<'[/]<prefix:>?<localName><boundary> — returns (code, tokenLen) where
+    // tokenLen spans '<' through the last localName byte
+    def matchTag(a: Array[Byte], i: Int, limit: Int, isClose: Boolean): (Int, Int) = {
+      var j = i + 1
+      if (isClose) {
+        if (j >= limit) return (if (eof) 0 else -1, 0)
+        if (a(j) != '/') return (0, 0)
+        j += 1
+      }
+      // optional prefix run (bounded: names longer than 256 aren't tags)
+      var k = j
+      while (k < limit && k - j < 256 && isNameChar(a(k) & 0xFF)) k += 1
+      if (k >= limit && !eof) return (-1, 0)
+      if (k < limit && a(k) == ':') {
+        val ln = k + 1
+        if (ln + localPat.length + 1 > limit) {
+          if (!eof) return (-1, 0)
+          if (ln + localPat.length > limit) return (0, 0)
+        }
+        if (matchesPlain(a, ln, localPat, limit) != 1) return (0, 0)
+        val after = ln + localPat.length
+        if (after < limit && isBoundary(a(after) & 0xFF)) (1, after - i)
+        else if (after >= limit) (if (eof) 0 else -1, 0)
+        else (0, 0)
+      } else {
+        // no prefix: the name run itself must equal localName
+        if (k - j != localPat.length) return (0, 0)
+        if (matchesPlain(a, j, localPat, limit) != 1) return (0, 0)
+        if (k < limit && isBoundary(a(k) & 0xFF)) (1, k - i)
+        else if (k >= limit) (if (eof) 0 else -1, 0)
+        else (0, 0)
+      }
+    }
+
+    def emit(): Unit = {
+      val frag = new String(body.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+      out += ((captureStart, envelope._1 + frag + s"</${envelope._2}>"))
+      capturing = false
+      pendingClose = false
+      body = null
     }
 
     while (!stop && (!eof || carry.nonEmpty)) {
@@ -116,56 +181,113 @@ object ChunkedGml {
       var consumed = limit // how far we can safely discard (default: all)
       var done = false
       while (!done && i < limit) {
-        if (!capturing) {
-          if (win(i) == '<') {
-            matchesAt(win, i, openPat, limit) match {
+        val b = win(i) & 0xFF
+        if (skipEnd != null) {
+          // inside comment/CDATA: tag text here is DATA, not structure —
+          // copy verbatim (when capturing) until the terminator
+          if (b == (skipEnd(0) & 0xFF)) {
+            matchesPlain(win, i, skipEnd, limit) match {
               case 1 =>
-                val abs = winOffset + i
-                if (abs >= end) { stop = true; done = true }
-                else {
-                  capturing = true
-                  depth = 1
-                  captureStart = abs
-                  body = new ByteArrayOutputStream(1 << 16)
-                  body.write(openPat)
-                  i += openPat.length
-                }
-              case -1 if !eof => consumed = i; done = true // re-scan next block
-              case _ => i += 1
+                if (capturing) body.write(win, i, skipEnd.length)
+                i += skipEnd.length
+                skipEnd = null
+              case -1 if !eof => consumed = i; done = true
+              case _ => if (capturing) body.write(b); i += 1
+            }
+          } else { if (capturing) body.write(b); i += 1 }
+        } else if (inBldgTag) {
+          // inside '<…Building …': quote-aware scan for the closing '>' so
+          // '>' or '/' INSIDE attribute values can't end the tag, and a
+          // self-closing '/>' closes the element it opened
+          if (capturing) body.write(b)
+          if (inQuote != 0) {
+            if (b == inQuote) inQuote = 0
+          } else if (b == '"' || b == '\'') {
+            inQuote = b
+          } else if (b == '>') {
+            inBldgTag = false
+            if (lastTagByte == '/') {
+              depth -= 1
+              if (depth == 0 && capturing) emit()
+            }
+          }
+          if (inQuote == 0 && b != '>') lastTagByte = b
+          i += 1
+        } else if (!capturing) {
+          if (b == '<') {
+            var handled = false
+            matchesPlain(win, i, Comment, limit) match {
+              case 1 => skipEnd = CommentEnd; i += Comment.length; handled = true
+              case -1 if !eof => consumed = i; done = true; handled = true
+              case _ =>
+            }
+            if (!handled) matchesPlain(win, i, Cdata, limit) match {
+              case 1 => skipEnd = CdataEnd; i += Cdata.length; handled = true
+              case -1 if !eof => consumed = i; done = true; handled = true
+              case _ =>
+            }
+            if (!handled) {
+              val (code, len) = matchTag(win, i, limit, isClose = false)
+              code match {
+                case 1 =>
+                  val abs = winOffset + i
+                  if (abs >= end) { stop = true; done = true }
+                  else {
+                    capturing = true
+                    depth = 1
+                    captureStart = abs
+                    body = new ByteArrayOutputStream(1 << 16)
+                    body.write(win, i, len)
+                    i += len
+                    inBldgTag = true; inQuote = 0; lastTagByte = 0
+                  }
+                case -1 => consumed = i; done = true
+                case _ => i += 1
+              }
             }
           } else i += 1
         } else {
-          // capturing: copy bytes while watching for nested opens / closes
-          if (win(i) == '<') {
-            matchesAt(win, i, openPat, limit) match {
+          // capturing element text: copy bytes, watch for comments/CDATA,
+          // nested opens, and closes
+          if (b == '<') {
+            var handled = false
+            matchesPlain(win, i, Comment, limit) match {
               case 1 =>
-                depth += 1
-                body.write(win, i, openPat.length); i += openPat.length
-              case -1 if !eof => consumed = i; done = true
+                body.write(win, i, Comment.length)
+                skipEnd = CommentEnd; i += Comment.length; handled = true
+              case -1 if !eof => consumed = i; done = true; handled = true
               case _ =>
-                matchesAt(win, i, closePat, limit) match {
-                  case 1 =>
-                    depth -= 1
-                    body.write(win, i, closePat.length); i += closePat.length
-                    if (depth == 0) pendingClose = true
-                  case -1 if !eof => consumed = i; done = true
-                  case _ => body.write(win(i).toInt); i += 1
-                }
+            }
+            if (!handled) matchesPlain(win, i, Cdata, limit) match {
+              case 1 =>
+                body.write(win, i, Cdata.length)
+                skipEnd = CdataEnd; i += Cdata.length; handled = true
+              case -1 if !eof => consumed = i; done = true; handled = true
+              case _ =>
+            }
+            if (!handled) {
+              val (oc, olen) = matchTag(win, i, limit, isClose = false)
+              oc match {
+                case 1 =>
+                  depth += 1
+                  body.write(win, i, olen); i += olen
+                  inBldgTag = true; inQuote = 0; lastTagByte = 0
+                case -1 => consumed = i; done = true
+                case _ =>
+                  val (cc, clen) = matchTag(win, i, limit, isClose = true)
+                  cc match {
+                    case 1 =>
+                      depth -= 1
+                      body.write(win, i, clen); i += clen
+                      if (depth == 0) pendingClose = true
+                    case -1 => consumed = i; done = true
+                    case _ => body.write(b); i += 1
+                  }
+              }
             }
           } else {
-            body.write(win(i).toInt)
-            if (pendingClose && win(i) == '>') {
-              // end of </tag …> — emit the completed fragment
-              val frag = new String(body.toByteArray,
-                java.nio.charset.StandardCharsets.UTF_8)
-              out += ((captureStart,
-                envelope._1 + frag + s"</${envelope._2}>"))
-              capturing = false
-              pendingClose = false
-              body = null
-              // whether anything later can still open before `end` is
-              // rechecked by the normal loop (the `abs >= end` guard)
-            }
+            body.write(b)
+            if (pendingClose && b == '>') emit()
             i += 1
           }
         }
@@ -182,10 +304,7 @@ object ChunkedGml {
       if (!capturing && carryOffset >= end && carry.isEmpty) stop = true
       if (eof && capturing && carry.isEmpty) {
         // truncated document: salvage what was captured (never-fail)
-        val frag = new String(body.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8)
-        out += ((captureStart, envelope._1 + frag + s"</${envelope._2}>"))
-        capturing = false
+        emit()
       }
     }
     out.iterator

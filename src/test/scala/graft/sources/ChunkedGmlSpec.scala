@@ -76,6 +76,90 @@ class ChunkedGmlSpec extends AnyFunSuite {
     }
   }
 
+  test("decoy tags inside comments and CDATA don't corrupt the scan") {
+    // a commented-out building open tag used to increment the depth count
+    // and swallow every subsequent building into one fragment; CDATA decoys
+    // likewise. The scanner must treat both as opaque data — at EVERY chunk
+    // size (terminators straddling split/window boundaries included).
+    def bldg(i: Int, extra: String = "") =
+      s"""<core:cityObjectMember><bldg:Building gml:id="d$i">$extra<bldg:boundedBy><bldg:RoofSurface><gml:Polygon gml:id="d$i-p0"><gml:exterior><gml:LinearRing><gml:posList>0 0 5 1 0 5 1 1 5 0 0 5</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon></bldg:RoofSurface></bldg:boundedBy></bldg:Building></core:cityObjectMember>"""
+    val doc =
+      s"""<?xml version="1.0"?>
+<!-- preamble decoy: <bldg:Building gml:id="ghost0"> -->
+<core:CityModel xmlns:core="http://www.opengis.net/citygml/2.0" xmlns:gml="http://www.opengis.net/gml" xmlns:bldg="http://www.opengis.net/citygml/building/2.0">
+${bldg(0, "<!-- inner decoy: <bldg:Building gml:id=\"ghost1\"> not real -->")}
+<!-- between-buildings decoy: </bldg:Building> ${"pad" * 40} <bldg:Building -->
+${bldg(1, "<gml:description><![CDATA[ <bldg:Building gml:id=\"ghost2\"> </bldg:Building> ]]></gml:description>")}
+${bldg(2)}
+</core:CityModel>"""
+    val dir = Files.createTempDirectory("chunked_gml_decoy")
+    val f = dir.resolve("decoy.gml")
+    Files.writeString(f, doc)
+    val whole = GmlXml.ingest(Seq(("decoy", doc)).toDF("doc_id", "xml"))._1
+      .select("surface_id").orderBy("surface_id").collect().map(_.getString(0)).toSeq
+    assert(whole === Seq("d0-p0", "d1-p0", "d2-p0"))
+    for (chunk <- Seq(1L << 16, 300L, 97L)) {
+      val got = ChunkedGml.ingestFiles(spark, f.toString,
+        chunkBytes = math.max(chunk, 1L << 16))._1
+        .select("surface_id").orderBy("surface_id").collect().map(_.getString(0)).toSeq
+      assert(got === whole, s"chunkBytes=$chunk diverged")
+    }
+    // window-boundary straddling: scan directly with tiny read buffers so
+    // comment terminators and tag tokens split across EVERY byte position
+    for (buf <- Seq(7, 64)) {
+      val in = new java.io.ByteArrayInputStream(doc.getBytes("UTF-8"))
+      val frags = ChunkedGml.scanSplit(in, 0L, doc.length.toLong,
+        "bldg:Building", ("<r>", "r"), bufSize = buf).toSeq
+      assert(frags.length === 3, s"bufSize=$buf found ${frags.length} buildings")
+      assert(!frags.exists(_._2.contains("ghost1\"> not real</")),
+        "decoy comment parsed as structure")
+    }
+  }
+
+  test("prefix-divergent and default-namespace documents ingest chunked") {
+    // the building namespace bound to a DIFFERENT prefix, and as the
+    // default namespace: byte-literal '<bldg:Building' matching would find
+    // nothing and silently return zero rows
+    val pfx =
+      """<core:CityModel xmlns:core="http://www.opengis.net/citygml/2.0" xmlns:gml="http://www.opengis.net/gml" xmlns:b="http://www.opengis.net/citygml/building/2.0">
+<core:cityObjectMember><b:Building gml:id="px0"><b:boundedBy><b:RoofSurface><gml:Polygon gml:id="px0-p0"><gml:exterior><gml:LinearRing><gml:posList>0 0 5 1 0 5 1 1 5 0 0 5</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon></b:RoofSurface></b:boundedBy></b:Building></core:cityObjectMember>
+</core:CityModel>"""
+    val dflt =
+      """<core:CityModel xmlns:core="http://www.opengis.net/citygml/2.0" xmlns:gml="http://www.opengis.net/gml" xmlns="http://www.opengis.net/citygml/building/2.0">
+<core:cityObjectMember><Building gml:id="df0"><boundedBy><RoofSurface><gml:Polygon gml:id="df0-p0"><gml:exterior><gml:LinearRing><gml:posList>0 0 5 1 0 5 1 1 5 0 0 5</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon></RoofSurface></boundedBy></Building></core:cityObjectMember>
+</core:CityModel>"""
+    val dir = Files.createTempDirectory("chunked_gml_ns")
+    for ((name, doc, sid) <- Seq(("pfx.gml", pfx, "px0-p0"), ("dflt.gml", dflt, "df0-p0"))) {
+      val f = dir.resolve(name)
+      Files.writeString(f, doc)
+      val got = ChunkedGml.ingestFiles(spark, f.toString)._1
+        .select("surface_id").collect().map(_.getString(0)).toSeq
+      assert(got === Seq(sid), s"$name: got $got")
+    }
+    // ...and BuildingPart still never matches
+    val part = pfx.replace("b:Building ", "b:BuildingPart ")
+      .replace("b:Building>", "b:BuildingPart>")
+    val f2 = dir.resolve("part.gml")
+    Files.writeString(f2, part)
+    assert(ChunkedGml.ingestFiles(spark, f2.toString)._1.count() === 0)
+  }
+
+  test("self-closing Building elements keep the depth count balanced") {
+    // '<bldg:Building ... />' previously left depth at 1 forever, swallowing
+    // every later building into the first fragment
+    val doc =
+      """<core:CityModel xmlns:core="http://www.opengis.net/citygml/2.0" xmlns:gml="http://www.opengis.net/gml" xmlns:bldg="http://www.opengis.net/citygml/building/2.0">
+<core:cityObjectMember><bldg:Building gml:id="empty0" core:note="a/b"/></core:cityObjectMember>
+<core:cityObjectMember><bldg:Building gml:id="real0"><bldg:boundedBy><bldg:RoofSurface><gml:Polygon gml:id="real0-p0"><gml:exterior><gml:LinearRing><gml:posList>0 0 5 1 0 5 1 1 5 0 0 5</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon></bldg:RoofSurface></bldg:boundedBy></bldg:Building></core:cityObjectMember>
+</core:CityModel>"""
+    val dir = Files.createTempDirectory("chunked_gml_selfclose")
+    val f = dir.resolve("sc.gml")
+    Files.writeString(f, doc)
+    val got = ChunkedGml.ingestFiles(spark, f.toString)._1
+      .select("surface_id").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("real0-p0"))
+  }
+
   test("256 MB single document streams through in bounded memory") {
     val dir = Files.createTempDirectory("chunked_gml_big")
     val f = dir.resolve("huge.gml")
