@@ -481,6 +481,27 @@ object SparkEntry {
       ImageOps.dhashNearDups(s, all, maxHamming = 3)
         .orderBy("img_a", "img_b")
     }),
+    "q52_region_part_revenue" -> ((s, d) => {
+      // TPC-H Q5/Q9-flavored multi-dimension star join — covers the
+      // remaining relational tables (region, supplier, part): one fact
+      // shuffle, every dimension broadcast (the 100 TB plan shape).
+      val li = s.read.parquet(p(d, "lineitem"))
+      val sup = s.read.parquet(p(d, "supplier"))
+      val nat = s.read.parquet(p(d, "nation"))
+      val reg = s.read.parquet(p(d, "region"))
+      val prt = s.read.parquet(p(d, "part"))
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .join(broadcast(prt), li("l_partkey") === prt("p_partkey"))
+        .where(col("p_size") <= 25)
+        .groupBy(col("r_name"), col("p_brand"))
+        .agg(countDistinct(col("s_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("r_name", "p_brand")
+    }),
     "q41_ngram_jaccard" -> ((s, d) => {
       // demo-scale exact n-gram Jaccard with length-bucket blocking (the
       // LSH path is the 100 TB variant) — fully SQL-recomputable
@@ -1388,6 +1409,18 @@ object SparkEntry {
            COUNT(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q52_region_part_revenue" ->
+      """SELECT r_name, p_brand,
+           COUNT(DISTINCT s_suppkey) AS n_suppliers,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 25
+         GROUP BY r_name, p_brand ORDER BY r_name, p_brand""",
     "q02_join_topn" ->
       """SELECT o_orderkey, c_name, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey
