@@ -67,6 +67,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q52 star join: every dimension broadcasts, no shuffle join") {
+    val p = plan(graft.SparkEntry.queries("q52_region_part_revenue")(spark, sfDir))
+    // formatted explain lists each node in the tree AND the details section
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"expected 4 broadcast dims (supplier/nation/region/part):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a dimension fell back to a shuffle join:\n$p")
+  }
+
   test("PIP predicate does not break whole-stage codegen on the probe side") {
     val imgs = graft.model.Synth.withAnchors(
       graft.model.Synth.images(spark, 1024L, 64L).toDF, 64L)
