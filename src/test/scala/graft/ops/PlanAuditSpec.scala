@@ -60,6 +60,10 @@ class PlanAuditSpec extends AnyFunSuite {
       s"default plan still salt-replicates the build side:\n$p")
   }
 
+  test("flagship entry executes with rows > 0 (driver smoke contract)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q01 aggregation is partial (map-side) before the exchange") {
     val p = plan(graft.SparkEntry.queries("q01_pricing_agg")(spark, sfDir))
     assertContains(p, "HashAggregate", "Exchange")
