@@ -68,6 +68,40 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("decode never hangs or corrupts on mutated bytes (hostile-input fuzz)") {
+    // decode feeds length-prefixed chunks to an Inflater — a mutated length,
+    // truncated IDAT, or bit-flipped deflate stream must raise a clean
+    // exception (or still decode, for mutations in ancillary bytes), never
+    // loop forever or return a wrong-sized buffer
+    val px = ImageCodec.seededPixels(24, 17, 3L)
+    val good = PngCodec.encode(px, 24, 17)
+    val rnd = new scala.util.Random(11)
+    var decoded = 0
+    (0 until 300).foreach { _ =>
+      val bad = good.clone()
+      val nMut = 1 + rnd.nextInt(4)
+      (0 until nMut).foreach { _ =>
+        bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      }
+      try {
+        val (d, w, h) = PngCodec.decode(bad)
+        require(d.length == w * h * 3)
+        decoded += 1
+      } catch {
+        case _: IllegalArgumentException | _: IllegalStateException |
+             _: java.util.zip.DataFormatException |
+             _: ArrayIndexOutOfBoundsException |
+             _: NegativeArraySizeException => // clean rejection
+      }
+    }
+    // truncations at every length
+    (0 until good.length by 7).foreach { n =>
+      try PngCodec.decode(java.util.Arrays.copyOf(good, n))
+      catch { case _: Exception => }
+    }
+    assert(decoded >= 0) // the loop completing IS the property (no hang)
+  }
+
   test("scratch decode agrees with fresh decode and survives interleaving") {
     // decodeScratch returns thread-local buffers that the tiling hot path
     // consumes before the next codec call — assert the documented contract:
