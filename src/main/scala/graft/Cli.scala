@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ObjPipeline, SpatialOps, Translate}
+import graft.sink.{GmlSink, MtlSink, ObjWriter}
+import graft.sources.ChunkedGml
+
+/** Reference-compatible command line (CityGML2OBJs.py:196-253): a user of
+  * the reference can point the same flags at this engine.
+  *
+  * {{{
+  * spark-submit --class graft.Cli <jar> -i in/ -o out/ -s 1 -g 1 -a 1 -t 1
+  * }}}
+  *
+  *  - `-i/-o`  input dir of .gml/.xml files / output dir (required)
+  *  - `-s 1`   one OBJ per semantic class (plus the 'All' union)
+  *  - `-g 1`   `o <building>` object records            (:642-659, 717-723)
+  *  - `-a 1|2|3` attribute→material: the reference's hard-coded irradiation
+  *             configurations (:384-394) — 1 = polygon `irradiation`
+  *             350..1300 + building `yearlyIrradiation`, 2 = polygon
+  *             `totalIrradiation` 157.0136575..83371.4359245, 3 =
+  *             building-level only, 24925..103454. Writes colormap.mtl,
+  *             the colorbar legend PNG, and `mtllib`/`usemtl` lines.
+  *  - `-v 1`   report the reject count (validation is ALWAYS on in this
+  *             engine — invalid rings route to a rejects table instead of
+  *             crashing mid-run; documented divergence)
+  *  - `-t 1`   translate vertices so the smallest is at the origin
+  *  - `-p 1`   SKIPTRI: n-ary faces, no triangulation   (:137-148)
+  *  - `-tC/-tCw 1` translate the CityGML into a local CRS first; `-tCw`
+  *             additionally writes `*_local_.gml` per building + the
+  *             `_parameters.txt` sidecar (CityGMLTranslation.py). Envelope
+  *             lower corners are derived from building AABBs (the ingest is
+  *             building-granular; documented divergence).
+  *  - `-sepC 1` component separation: one OBJ per BUILDING (filename =
+  *             sanitized id; the reference writes per-feature files —
+  *             documented granularity divergence), openings included
+  *  - `-appW 1` (with -sepC) windows/doors approximated by convex hulls
+  *  - `-addBB 1` (with -sepC) corner triangles of the buffered AABB
+  *  - `-importBB <file>` use bounding boxes from a bbox.json instead
+  *  - `-addBBJSON 1` write the bbox.json sidecar
+  *  - `-tbw`   accepted and ignored (unfinished in the reference, :248)
+  */
+object Cli {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val k = args(i)
+      if (!k.startsWith("-")) { System.err.println(s"unexpected arg $k"); sys.exit(2) }
+      if (i + 1 < args.length && !args(i + 1).startsWith("-")) {
+        m += k -> args(i + 1); i += 2
+      } else { m += k -> "1"; i += 1 }
+    }
+    m.toMap
+  }
+
+  /** The reference's hard-coded attribute configurations (:384-394). */
+  private[graft] def attrConfig(mode: String): (String, String, Double, Double) =
+    mode match {
+      case "1" => ("irradiation", "yearlyIrradiation", 350.0, 1300.0)
+      case "2" => ("totalIrradiation", "totalIrradiation", 157.0136575, 83371.4359245)
+      case "3" => ("__building_only__", "yearlyIrradiation", 24925.0, 103454.0)
+      case m => System.err.println(s"unknown -a mode $m"); sys.exit(2)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    val in = a.getOrElse("-i", a.getOrElse("--directory",
+      { System.err.println("missing -i <dir>"); sys.exit(2) }))
+    val out = a.getOrElse("-o", a.getOrElse("--results",
+      { System.err.println("missing -o <dir>"); sys.exit(2) }))
+    def on(f: String) = a.get(f).contains("1")
+
+    val builder = SparkSession.builder().appName("citygml2objv2spark")
+    // standalone convenience: default master only when spark-submit didn't set one
+    if (!new org.apache.spark.SparkConf(true).contains("spark.master"))
+      builder.master("local[*]")
+    val spark = builder
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    run(spark, in, out, a).foreach(println)
+  }
+
+  /** The whole pipeline, returned as printed summary lines (separated from
+    * main so the spec can drive it without forking a JVM).
+    */
+  def run(spark: SparkSession, in: String, out: String,
+          a: Map[String, String]): Seq[String] = {
+    def on(f: String) = a.get(f).contains("1")
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // ---- ingest (chunked byte-range scan: any file size, any prefix) ----
+    val (raw, rejects) = ChunkedGml.ingestFiles(spark, s"$in/*.{gml,xml}")
+    if (on("-v")) {
+      val nr = rejects.count()
+      msgs += s"validation: $nr invalid polygon(s) routed to rejects"
+    }
+
+    // ---- optional CRS translation BEFORE further processing (EP-3) ----
+    val (surfaces, transParams) =
+      if (on("-tC") || on("-tCw")) {
+        val bb = SpatialOps.buildingBBoxes(raw, buffer = 0.0)
+        val env = bb.select(struct(col("ymin").as("a"), col("xmin").as("b"))
+          .as("lower_corner"))
+        val p = Translate.translationParams(env).head()
+        val dy = p.getDecimal(0); val dx = p.getDecimal(1)
+        val t = Translate.applySurfaces(raw, dx.doubleValue, dy.doubleValue, 0.0)
+        if (on("-tCw")) {
+          val pp = GmlSink.writeTranslatedDistributed(t, dy, dx, out, "citygml")
+          msgs += s"translated CityGML + $pp"
+        }
+        msgs += s"CRS translation applied: dy=$dy dx=$dx"
+        (t, Some((dx.doubleValue, dy.doubleValue)))
+      } else (raw, None)
+
+    val attr = a.get("-a").filter(_ != "0").map(attrConfig)
+    val buildingAttrs = attr.map { case (_, bAttr, _, _) =>
+      surfaces.groupBy(col("building_id"))
+        .agg(max(element_at(col("battrs"), bAttr)).as("batt"))
+    }
+
+    if (on("-sepC")) {
+      // ---- EP-2: component separation — one OBJ per building ----
+      val (ok, _) = ObjPipeline.validated(surfaces)
+      val thematic = ObjPipeline.withoutOpenings(ok)
+      val openings = ok.where(col("surface_class").isin("Window", "Door"))
+      val openTris =
+        if (on("-appW")) {
+          val ords = openings.select("building_id", "surface_id",
+            "surface_class", "building_ord", "poly_ord").distinct()
+          SpatialOps.windowHulls(openings)
+            .join(ords, Seq("building_id", "surface_id"))
+            .select(col("building_id"), col("surface_id"), col("surface_class"),
+              col("building_ord"), col("poly_ord"), col("tri_idx"), col("tri"))
+        } else SpatialOps.triangles(openings)
+      val bboxes = a.get("-importBB") match {
+        case Some(path) =>
+          msgs += s"bounding boxes imported from $path"
+          GmlSink.readBboxJson(spark, path)
+            .select(col("building_id"),
+              col("min_x").as("xmin"), col("max_x").as("xmax"),
+              col("min_y").as("ymin"), col("max_y").as("ymax"),
+              col("min_z").as("zmin"), col("max_z").as("zmax"))
+        case None => SpatialOps.buildingBBoxes(ok)
+      }
+      val bbTris =
+        if (on("-addBB") || a.contains("-importBB")) {
+          val ords = ok.groupBy("building_id")
+            .agg(min(col("building_ord")).as("building_ord"))
+          SpatialOps.cornerTriangles(bboxes)
+            .join(ords, Seq("building_id"))
+            .withColumn("surface_id", concat(col("building_id"), lit("_bbox")))
+            .withColumn("surface_class", lit("BBox"))
+            .withColumn("poly_ord", lit(1000000L) + col("tri_idx"))
+            .select(col("building_id"), col("surface_id"), col("surface_class"),
+              col("building_ord"), col("poly_ord"), col("tri_idx"), col("tri"))
+        } else spark.emptyDataFrame
+      var faceRows = SpatialOps.triangles(thematic)
+        .select(col("building_id"), col("surface_id"), col("surface_class"),
+          col("building_ord"), col("poly_ord"), col("tri_idx"), col("tri"))
+        .unionByName(openTris)
+      if (on("-addBB") || a.contains("-importBB"))
+        faceRows = faceRows.unionByName(bbTris)
+      // bin per building instead of per class: filename = sanitized id
+      val cs = ObjPipeline.corners(faceRows, semantics = false)
+        .withColumn("cls",
+          regexp_replace(col("building_id"), "[^A-Za-z0-9_-]", "_"))
+      val (v0, f) = ObjPipeline.dictionaryEncode(cs)
+      val v = if (on("-t")) ObjPipeline.translateToMin(v0) else v0
+      val lines = ObjPipeline.objLines(v, f)
+      val files = ObjWriter.writeIndexedDistributed(lines, out, "component")
+      msgs += s"component separation: ${files.size} OBJ file(s) under $out"
+    } else {
+      // ---- EP-1: plain conversion with the full flag surface ----
+      val (v, f, _) = ObjPipeline.runFlags(spark, surfaces,
+        semantics = on("-s"), translate = on("-t"), skipTri = on("-p"),
+        attribute = attr.map { case (pAttr, _, lo, hi) => (pAttr, lo, hi) },
+        buildingAttrs = buildingAttrs)
+      val lines = ObjPipeline.objLines(v, f,
+        objects = on("-g"), mtllib = attr.nonEmpty)
+      val files = ObjWriter.writeIndexedDistributed(lines, out, "citygml")
+      msgs += s"wrote ${files.size} OBJ file(s) under $out"
+      if (attr.nonEmpty) {
+        msgs += s"materials: ${MtlSink.write(out)}"
+        msgs += s"colorbar: ${MtlSink.colorbarPng(out)}"
+      }
+    }
+
+    if (on("-addBBJSON")) {
+      val (ok, _) = ObjPipeline.validated(surfaces)
+      val (dx, dy) = transParams.getOrElse((0.0, 0.0))
+      val sidecar = GmlSink.bboxSidecar(
+        SpatialOps.buildingBBoxes(ok), dx, dy, 0.0)
+      msgs += s"bbox sidecar: ${GmlSink.writeBboxJson(sidecar, out)}"
+    }
+    if (a.contains("-tbw"))
+      msgs += "-tbw: unfinished in the reference (CityGML2OBJs.py:248) — ignored"
+    msgs.toSeq
+  }
+}

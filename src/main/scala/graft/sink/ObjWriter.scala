@@ -144,10 +144,15 @@ object MtlSink {
   val bins: IndexedSeq[Double] =
     (0 to 100).map(i => math.rint(i / 100.0 * 10000) / 10000)
 
-  /** O-35: normalized value → nearest-bin material label column. */
+  /** O-35: normalized value → nearest-bin material label column. The
+    * reference picks `min(linspace(0,1,101), key=|x−v|)` (CityGML2OBJs.py:
+    * 401-411), which CLAMPS out-of-range values to the nearest end bin —
+    * mirror that, or an attribute past max_value would emit a material
+    * (e.g. mat1.05) that colormap.mtl doesn't define.
+    */
   def materialFor(att: org.apache.spark.sql.Column,
                   minV: Double, maxV: Double): org.apache.spark.sql.Column = {
-    val norm = (att - minV) / (maxV - minV)
+    val norm = least(greatest((att - minV) / (maxV - minV), lit(0.0)), lit(1.0))
     // nearest bin of linspace(0,1,101) = round(norm*100)/100, rounded 4dp
     val snapped = round(round(norm * 100) / 100.0, 4)
     format_string("mat%s", snapped.cast("string"))

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Synth
+import graft.sources.GmlXml
+
+/** End-to-end drive of the reference-compatible CLI (graft.Cli): render the
+  * synth city to .gml files on disk, run the flag surface, and check the
+  * OUTPUT FILES — the underlying operators are oracle-gated elsewhere; this
+  * gates the glue (ingest → flags → writers → sidecars).
+  */
+class CliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cityDir(n: Long): Path = {
+    val dir = Files.createTempDirectory("cli_city")
+    GmlXml.render(Synth.surfaces(spark, n).toDF).collect().foreach { r =>
+      Files.writeString(dir.resolve(s"${r.getString(0)}.gml"), r.getString(1))
+    }
+    dir
+  }
+
+  private def lines(p: Path): Seq[String] =
+    Files.readAllLines(p).asScala.toSeq
+
+  test("EP-1: -s -g -a -t produces per-class OBJs with objects + materials") {
+    val in = cityDir(6L)
+    val out = Files.createTempDirectory("cli_out1")
+    val msgs = Cli.run(spark, in.toString, out.toString,
+      Map("-s" -> "1", "-g" -> "1", "-a" -> "1", "-t" -> "1", "-v" -> "1"))
+    assert(msgs.exists(_.contains("OBJ file(s)")))
+    val all = out.resolve("citygml.obj")
+    assert(Files.exists(all), s"missing All-bin OBJ; msgs=$msgs")
+    assert(Files.exists(out.resolve("citygml-RoofSurface.obj")))
+    assert(Files.exists(out.resolve("colormap.mtl")))
+    assert(Files.exists(out.resolve("colormap.png"))) // colorbar legend
+    val ls = lines(all)
+    val nv = ls.count(_.startsWith("v "))
+    val fls = ls.filter(_.startsWith("f "))
+    assert(nv > 0 && fls.nonEmpty)
+    // -g: one object record per building in the All bin
+    assert(ls.count(_.startsWith("o ")) === 6)
+    // -a: mtllib header everywhere; usemtl on the colored class bin (the
+    // reference's mode 1 colors RoofSurface polygons; the All bin needs a
+    // building-level yearlyIrradiation, which the synth city doesn't carry)
+    assert(ls.head === "mtllib colormap.mtl")
+    val roof = lines(out.resolve("citygml-RoofSurface.obj"))
+    val mats = roof.filter(_.startsWith("usemtl mat"))
+    assert(mats.nonEmpty)
+    // clamped to the 101-bin grid even when the attribute exceeds max_value
+    mats.foreach { m =>
+      val v = m.stripPrefix("usemtl mat").toDouble
+      assert(v >= 0.0 && v <= 1.0, s"material outside the bin grid: $m")
+    }
+    // -t: vertices translated to the origin corner (all coords ≥ 0, min = 0)
+    val coords = ls.filter(_.startsWith("v ")).map(_.split(" ")(1).toDouble)
+    assert(coords.min === 0.0 || coords.exists(_ == 0.0))
+    // every face index resolves within the dictionary
+    fls.foreach { f =>
+      f.split(" ").drop(1).foreach(ix => assert(ix.toLong >= 1 && ix.toLong <= nv))
+    }
+  }
+
+  test("EP-1: -p emits n-ary faces (no triangulation)") {
+    val in = cityDir(4L)
+    val out = Files.createTempDirectory("cli_out2")
+    Cli.run(spark, in.toString, out.toString, Map("-p" -> "1"))
+    val fl = lines(out.resolve("citygml.obj")).filter(_.startsWith("f "))
+    assert(fl.exists(_.split(" ").length > 4), "no n-ary face found under -p")
+  }
+
+  test("EP-2: -sepC -appW -addBB -addBBJSON writes per-building components") {
+    val in = cityDir(4L)
+    val out = Files.createTempDirectory("cli_out3")
+    val msgs = Cli.run(spark, in.toString, out.toString,
+      Map("-sepC" -> "1", "-appW" -> "1", "-addBB" -> "1", "-addBBJSON" -> "1"))
+    val objs = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("component-")).toSeq
+    assert(objs.size === 4, s"expected one OBJ per building; msgs=$msgs")
+    // corner triangles present: ≥ 8 bbox faces on top of the building's own
+    val f0 = lines(objs.head).count(_.startsWith("f "))
+    assert(f0 > 8)
+    val bbox = out.resolve("bbox.json")
+    assert(Files.exists(bbox))
+    // the sidecar round-trips through the importBB reader
+    assert(graft.sink.GmlSink.readBboxJson(spark, bbox.toString).count() === 4)
+    // ...and drives -importBB end to end
+    val out2 = Files.createTempDirectory("cli_out3b")
+    Cli.run(spark, in.toString, out2.toString,
+      Map("-sepC" -> "1", "-importBB" -> bbox.toString))
+    val objs2 = Files.list(out2).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("component-")).toSeq
+    assert(objs2.size === 4)
+  }
+
+  test("EP-3: -tC -tCw translates and writes local GML + parameters") {
+    val in = cityDir(4L)
+    val out = Files.createTempDirectory("cli_out4")
+    val msgs = Cli.run(spark, in.toString, out.toString,
+      Map("-tC" -> "1", "-tCw" -> "1"))
+    assert(msgs.exists(_.contains("CRS translation applied")))
+    assert(Files.exists(out.resolve("citygml_parameters.txt")))
+    val gmls = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.endsWith("_local_.gml")).toSeq
+    assert(gmls.size === 4)
+    // translated OBJ coordinates sit near the origin, not at the synth
+    // city's 100+ offsets
+    val ls = lines(out.resolve("citygml.obj"))
+    val xs = ls.filter(_.startsWith("v ")).map(_.split(" ")(1).toDouble)
+    assert(xs.max < Synth.Ox0, s"translation not applied: max x = ${xs.max}")
+  }
+}
