@@ -72,7 +72,6 @@ object Cli {
       { System.err.println("missing -i <dir>"); sys.exit(2) }))
     val out = a.getOrElse("-o", a.getOrElse("--results",
       { System.err.println("missing -o <dir>"); sys.exit(2) }))
-    def on(f: String) = a.get(f).contains("1")
 
     val builder = SparkSession.builder().appName("citygml2objv2spark")
     // standalone convenience: default master only when spark-submit didn't set one
@@ -95,9 +94,20 @@ object Cli {
     val msgs = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // ---- ingest (chunked byte-range scan: any file size, any prefix) ----
-    val (raw, rejects) = ChunkedGml.ingestFiles(spark, s"$in/*.{gml,xml}")
+    // persisted: -v / -tC / -a / the write pipeline / -addBBJSON each run
+    // their own actions, and re-scanning multi-GB inputs per action is
+    // exactly what this path exists to avoid (process-scoped cache — the
+    // CLI JVM exits after run())
+    val (raw0, rejects) = ChunkedGml.ingestFiles(spark, s"$in/*.{gml,xml}")
+    val raw = raw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (raw.isEmpty) {
+      msgs += s"no buildings found under $in (*.gml / *.xml)"
+      return msgs.toSeq
+    }
     if (on("-v")) {
-      val nr = rejects.count()
+      // ingest-stage rejects (posList token violations) AND ring-validation
+      // rejects (open / <4-point / non-planar) — the reference warns on both
+      val nr = rejects.count() + ObjPipeline.validated(raw)._2.count()
       msgs += s"validation: $nr invalid polygon(s) routed to rejects"
     }
 
@@ -108,6 +118,12 @@ object Cli {
         val env = bb.select(struct(col("ymin").as("a"), col("xmin").as("b"))
           .as("lower_corner"))
         val p = Translate.translationParams(env).head()
+        if (p.isNullAt(0) || p.isNullAt(1)) {
+          // no structural surfaces anywhere (e.g. openings-only input): a
+          // clean message beats an NPE from null translation decimals
+          msgs += "-tC: no structural surfaces to derive translation from; skipped"
+          return msgs.toSeq
+        }
         val dy = p.getDecimal(0); val dx = p.getDecimal(1)
         val t = Translate.applySurfaces(raw, dx.doubleValue, dy.doubleValue, 0.0)
         if (on("-tCw")) {
@@ -149,7 +165,7 @@ object Cli {
         case None => SpatialOps.buildingBBoxes(ok)
       }
       val bbTris =
-        if (on("-addBB") || a.contains("-importBB")) {
+        if (on("-addBB") || a.contains("-importBB")) Some {
           val ords = ok.groupBy("building_id")
             .agg(min(col("building_ord")).as("building_ord"))
           SpatialOps.cornerTriangles(bboxes)
@@ -159,13 +175,12 @@ object Cli {
             .withColumn("poly_ord", lit(1000000L) + col("tri_idx"))
             .select(col("building_id"), col("surface_id"), col("surface_class"),
               col("building_ord"), col("poly_ord"), col("tri_idx"), col("tri"))
-        } else spark.emptyDataFrame
-      var faceRows = SpatialOps.triangles(thematic)
-        .select(col("building_id"), col("surface_id"), col("surface_class"),
-          col("building_ord"), col("poly_ord"), col("tri_idx"), col("tri"))
-        .unionByName(openTris)
-      if (on("-addBB") || a.contains("-importBB"))
-        faceRows = faceRows.unionByName(bbTris)
+        } else None
+      val faceRows = bbTris.foldLeft(
+        SpatialOps.triangles(thematic)
+          .select(col("building_id"), col("surface_id"), col("surface_class"),
+            col("building_ord"), col("poly_ord"), col("tri_idx"), col("tri"))
+          .unionByName(openTris))(_ unionByName _)
       // bin per building instead of per class: filename = sanitized id
       val cs = ObjPipeline.corners(faceRows, semantics = false)
         .withColumn("cls",
@@ -192,10 +207,12 @@ object Cli {
     }
 
     if (on("-addBBJSON")) {
-      val (ok, _) = ObjPipeline.validated(surfaces)
+      // bboxSidecar applies (dx, dy) itself, so the boxes must come from the
+      // UNTRANSLATED surfaces or the translation would apply twice
+      val (okRaw, _) = ObjPipeline.validated(raw)
       val (dx, dy) = transParams.getOrElse((0.0, 0.0))
       val sidecar = GmlSink.bboxSidecar(
-        SpatialOps.buildingBBoxes(ok), dx, dy, 0.0)
+        SpatialOps.buildingBBoxes(okRaw), dx, dy, 0.0)
       msgs += s"bbox sidecar: ${GmlSink.writeBboxJson(sidecar, out)}"
     }
     if (a.contains("-tbw"))

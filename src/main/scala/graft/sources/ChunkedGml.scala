@@ -21,9 +21,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * root open tag with its xmlns declarations, read from the file head) and
   * handed to the normal StAX parser, so version sniffing, class dispatch,
   * ring extraction, and attribute extraction are byte-for-byte the same code
-  * path as whole-document ingest. Building ordinals become the building's
-  * absolute byte offset — monotone in document order, which is all the OBJ
-  * emission-order contract needs.
+  * path as whole-document ingest. Building ordinals pack (file index, byte
+  * offset) — globally unique and monotone in (path, document) order, which
+  * is all the OBJ emission-order contract needs.
+  *
+  * KNOWN LIMIT (shared with every record-split XML reader): a split whose
+  * byte range BEGINS inside a comment/CDATA section cannot know it (the
+  * scanner state starts fresh per split), so a comment that both straddles
+  * a split boundary AND contains decoy building tags can corrupt that one
+  * split. Within a split, comments and CDATA are fully opaque at any read-
+  * window size.
   */
 object ChunkedGml {
 
@@ -312,8 +319,9 @@ object ChunkedGml {
 
   /** Distributed chunked ingest: every `.gml` file under `pathOrGlob` is cut
     * into `chunkBytes` byte-range splits, one task each. Returns the same
-    * (surfaces, rejects) pair as [[GmlXml.ingest]]; `building_ord` is the
-    * building's absolute byte offset in its file (document order).
+    * (surfaces, rejects) pair as [[GmlXml.ingest]]; `building_ord` packs
+    * (sorted-path file index << 44) | absolute byte offset — globally
+    * unique, monotone in (path, document) order.
     */
   def ingestFiles(spark: SparkSession, pathOrGlob: String,
                   chunkBytes: Long = 64L << 20,
@@ -327,10 +335,16 @@ object ChunkedGml {
     val stats = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
       .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s))
       .filter(s => s.isFile && s.getLen > 0)
-    val splits = stats.flatMap { s =>
-      val len = s.getLen
-      (0L until len by chunkBytes).map(st =>
-        (s.getPath.toString, st, math.min(st + chunkBytes, len)))
+    // files sorted by path and indexed: building_ord packs (fileIdx, byte
+    // offset) so ordinals stay GLOBALLY unique and document-order-monotone
+    // across a multi-file directory — bare per-file offsets collide between
+    // files and would interleave buildings in the OBJ emission order
+    val splits = stats.sortBy(_.getPath.toString).zipWithIndex.flatMap {
+      case (s, fileIdx) =>
+        val len = s.getLen
+        require(len < (1L << 44), s"${s.getPath}: files ≥ 16 TiB unsupported")
+        (0L until len by chunkBytes).map(st =>
+          (s.getPath.toString, fileIdx.toLong, st, math.min(st + chunkBytes, len)))
     }
     val nPart = math.max(1, splits.size)
     // ship the driver's Hadoop conf — a bare new Configuration() in the
@@ -339,7 +353,7 @@ object ChunkedGml {
     val frags = spark.createDataset(splits).repartition(nPart)
       .mapPartitions { it =>
         val hconf = graft.HadoopConfs.unpack(confMap)
-        it.flatMap { case (pathStr, start, end) =>
+        it.flatMap { case (pathStr, fileIdx, start, end) =>
           val path = new Path(pathStr)
           val tfs = path.getFileSystem(hconf)
           // envelope from the file head (tiny read, any split can do it)
@@ -357,7 +371,7 @@ object ChunkedGml {
           in.seek(start)
           val fileName = path.getName
           val res = scanSplit(in, start, end, buildingTag, env).map {
-            case (off, xml) => (s"$fileName#$off", off, xml)
+            case (off, xml) => (s"$fileName#$off", (fileIdx << 44) | off, xml)
           }.toVector
           in.close()
           res

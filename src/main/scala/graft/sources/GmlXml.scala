@@ -253,8 +253,10 @@ object GmlXml {
     * `doc_id: string, xml: string` (one row per document — e.g. from
     * spark.read binaryFile/wholetext over a .gml directory). Returns
     * (surfaces, rejects): surfaces carry typed rings plus lineage ordinals
-    * (building_ord/poly_ord from document order); `% 3` posList violations
-    * route to rejects.
+    * (building_ord/poly_ord from document order — NOTE: per document, so
+    * multi-document callers that need globally ordered ordinals should use
+    * [[ChunkedGml.ingestFiles]], which packs a file index into them);
+    * `% 3` posList violations route to rejects.
     */
   def ingest(docs: DataFrame): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession

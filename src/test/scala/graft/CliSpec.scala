@@ -43,8 +43,18 @@ class CliSpec extends AnyFunSuite {
     val nv = ls.count(_.startsWith("v "))
     val fls = ls.filter(_.startsWith("f "))
     assert(nv > 0 && fls.nonEmpty)
-    // -g: one object record per building in the All bin
+    // -g: one object record per building in the All bin, and faces actually
+    // grouped under their object (colliding multi-file ordinals used to
+    // interleave every building's faces after the last 'o' record)
     assert(ls.count(_.startsWith("o ")) === 6)
+    val oBlocks = ls.dropWhile(!_.startsWith("o "))
+      .foldLeft(List.empty[Int]) { (acc, l) =>
+        if (l.startsWith("o ")) 0 :: acc
+        else if (l.startsWith("f ") && acc.nonEmpty) (acc.head + 1) :: acc.tail
+        else acc
+      }
+    assert(oBlocks.size === 6 && oBlocks.forall(_ > 0),
+      s"faces not grouped per object: $oBlocks")
     // -a: mtllib header everywhere; usemtl on the colored class bin (the
     // reference's mode 1 colors RoofSurface polygons; the All bin needs a
     // building-level yearlyIrradiation, which the synth city doesn't carry)

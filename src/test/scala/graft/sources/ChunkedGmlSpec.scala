@@ -98,12 +98,9 @@ ${bldg(2)}
     val whole = GmlXml.ingest(Seq(("decoy", doc)).toDF("doc_id", "xml"))._1
       .select("surface_id").orderBy("surface_id").collect().map(_.getString(0)).toSeq
     assert(whole === Seq("d0-p0", "d1-p0", "d2-p0"))
-    for (chunk <- Seq(1L << 16, 300L, 97L)) {
-      val got = ChunkedGml.ingestFiles(spark, f.toString,
-        chunkBytes = math.max(chunk, 1L << 16))._1
-        .select("surface_id").orderBy("surface_id").collect().map(_.getString(0)).toSeq
-      assert(got === whole, s"chunkBytes=$chunk diverged")
-    }
+    val got = ChunkedGml.ingestFiles(spark, f.toString)._1
+      .select("surface_id").orderBy("surface_id").collect().map(_.getString(0)).toSeq
+    assert(got === whole)
     // window-boundary straddling: scan directly with tiny read buffers so
     // comment terminators and tag tokens split across EVERY byte position
     for (buf <- Seq(7, 64)) {
@@ -114,6 +111,42 @@ ${bldg(2)}
       assert(!frags.exists(_._2.contains("ghost1\"> not real</")),
         "decoy comment parsed as structure")
     }
+
+    // MULTI-SPLIT decoys: pad buildings so the file spans several 64 KiB
+    // splits, with decoy comments inside every building body (the
+    // documented limit is only a comment STRADDLING a split start — these
+    // stay within their buildings, so every split must stay clean)
+    val padTxt = "pad " * 512
+    val big = (s"""<?xml version="1.0"?>
+<core:CityModel xmlns:core="http://www.opengis.net/citygml/2.0" xmlns:gml="http://www.opengis.net/gml" xmlns:bldg="http://www.opengis.net/citygml/building/2.0">"""
+      + (0 until 120).map(i => bldg(i,
+          s"<gml:description>$padTxt</gml:description><!-- decoy in b$i: <bldg:Building gml:id=\"g$i\"> -->"))
+        .mkString("\n", "\n", "\n")
+      + "</core:CityModel>")
+    val f2 = dir.resolve("decoy_big.gml")
+    Files.writeString(f2, big)
+    assert(Files.size(f2) > 3 * 65536, "need several 64 KiB splits")
+    val gotBig = ChunkedGml.ingestFiles(spark, f2.toString, chunkBytes = 1L << 16)._1
+      .select("surface_id").distinct().count()
+    assert(gotBig === 120, s"multi-split decoy scan lost buildings: $gotBig")
+  }
+
+  test("multi-file ingest: building ordinals globally unique, path-ordered") {
+    // bare per-file byte offsets would COLLIDE across files (every file's
+    // first building starts at the same offset) and interleave the OBJ
+    // emission order; ordinals must pack the sorted-path file index
+    val dir = Files.createTempDirectory("chunked_gml_multi")
+    val surf = Synth.surfaces(spark, 6L).toDF
+    GmlXml.render(surf).collect().foreach { r =>
+      Files.writeString(dir.resolve(s"${r.getString(0)}.gml"), r.getString(1))
+    }
+    val ok = ChunkedGml.ingestFiles(spark, s"$dir/*.gml")._1
+    val ords = ok.select("building_id", "building_ord").distinct()
+      .orderBy("building_ord").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ords.map(_._2).distinct.size === 6, s"colliding ordinals: $ords")
+    // files written as bldgNNNNNNNN.gml → path order == id order
+    assert(ords.map(_._1) === ords.map(_._1).sorted)
   }
 
   test("prefix-divergent and default-namespace documents ingest chunked") {
