@@ -37,11 +37,18 @@ object ObjWriter {
     val n = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val tmp = s"$outDir/_obj_parts"
-    lines
-      .repartitionByRange(n, col("cls"), col("line_no"))
-      .sortWithinPartitions("cls", "line_no")
-      .select(col("cls"), col("line"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cls").text(tmp)
+    // persist the slim projection first: repartitionByRange SAMPLES its
+    // child to derive bounds, which would execute the whole render subtree
+    // (joins + windows) twice
+    val slim = lines.select(col("cls"), col("line_no"), col("line"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      slim
+        .repartitionByRange(n, col("cls"), col("line_no"))
+        .sortWithinPartitions("cls", "line_no")
+        .select(col("cls"), col("line"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cls").text(tmp)
+    } finally slim.unpersist(blocking = false)
     val conf = spark.sessionState.newHadoopConf()
     // raw FS: skip the local ChecksumFileSystem's .crc sidecar files
     val fs = new Path(tmp).getFileSystem(conf) match {

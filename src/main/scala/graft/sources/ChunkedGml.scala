@@ -346,7 +346,11 @@ object ChunkedGml {
         (0L until len by chunkBytes).map(st =>
           (s.getPath.toString, fileIdx.toLong, st, math.min(st + chunkBytes, len)))
     }
-    val nPart = math.max(1, splits.size)
+    // batch small files: one task PER SPLIT turns a 2000-tile directory into
+    // 2000 scheduler round-trips; cap at 4× the core count (a split is still
+    // never shared between tasks, so the boundary protocol is unchanged)
+    val nPart = math.max(1, math.min(splits.size,
+      spark.sparkContext.defaultParallelism * 4))
     // ship the driver's Hadoop conf — a bare new Configuration() in the
     // task loses every spark.hadoop.* setting (credentials, fs overrides)
     val confMap = graft.HadoopConfs.pack(conf)
