@@ -141,19 +141,50 @@ object Cli {
     }
 
     if (on("-sepC")) {
-      // ---- EP-2: component separation — one OBJ per building ----
-      val (ok, _) = ObjPipeline.validated(surfaces)
+      // ---- EP-2: component separation — one OBJ per building, one per
+      // installation feature (componentseparationmodule.py:621-624), plus
+      // the 'Other' bin for non-building city objects (which the reference's
+      // sepC run still routes through its plain write path) ----
+      if (attr.nonEmpty)
+        msgs += "-a has no effect with -sepC (reference parity: the sepC " +
+          "building loop continues before any material logic, CityGML2OBJs.py:616-637)"
+      // untrusted gml:id → safe path segment, collision-proofed: whenever
+      // sanitization/truncation changed the id, append a stable hash so
+      // distinct ids ('b.1' vs 'b_1') can never merge into one file
+      def safeSeg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val s = substring(regexp_replace(c, "[^A-Za-z0-9_-]", "_"), 1, 200)
+        when(s === c, s)
+          .otherwise(concat(s, lit("_h"), lower(hex(crc32(c.cast("binary"))))))
+      }
+      val instSeq = graft.sources.GmlXml.InstallationClasses.toSeq
+      val isOtherObj =
+        if (surfaces.columns.contains("object_kind"))
+          !col("object_kind").isin("Building", "None")
+        else lit(false)
+      val fidOr =
+        if (surfaces.columns.contains("feature_id"))
+          coalesce(when(col("feature_id") =!= "", col("feature_id")),
+            col("surface_class"))
+        else col("surface_class")
+      val withComp = surfaces.withColumn("component",
+        when(isOtherObj, lit("Other"))
+          .when(col("surface_class").isin(instSeq: _*),
+            safeSeg(concat(col("building_id"), lit("__"), fidOr)))
+          .otherwise(safeSeg(col("building_id"))))
+      val (ok, _) = ObjPipeline.validated(withComp)
       val thematic = ObjPipeline.withoutOpenings(ok)
       val openings = ok.where(col("surface_class").isin("Window", "Door"))
+      val faceCols = Seq(col("building_id"), col("surface_id"),
+        col("surface_class"), col("building_ord"), col("poly_ord"),
+        col("tri_idx"), col("tri"), col("component"))
       val openTris =
         if (on("-appW")) {
           val ords = openings.select("building_id", "surface_id",
-            "surface_class", "building_ord", "poly_ord").distinct()
+            "surface_class", "building_ord", "poly_ord", "component").distinct()
           SpatialOps.windowHulls(openings)
             .join(ords, Seq("building_id", "surface_id"))
-            .select(col("building_id"), col("surface_id"), col("surface_class"),
-              col("building_ord"), col("poly_ord"), col("tri_idx"), col("tri"))
-        } else SpatialOps.triangles(openings)
+            .select(faceCols: _*)
+        } else SpatialOps.triangles(openings).select(faceCols: _*)
       val bboxes = a.get("-importBB") match {
         case Some(path) =>
           msgs += s"bounding boxes imported from $path"
@@ -173,23 +204,33 @@ object Cli {
             .withColumn("surface_id", concat(col("building_id"), lit("_bbox")))
             .withColumn("surface_class", lit("BBox"))
             .withColumn("poly_ord", lit(1000000L) + col("tri_idx"))
-            .select(col("building_id"), col("surface_id"), col("surface_class"),
-              col("building_ord"), col("poly_ord"), col("tri_idx"), col("tri"))
+            .withColumn("component", safeSeg(col("building_id")))
+            .select(faceCols: _*)
         } else None
       val faceRows = bbTris.foldLeft(
-        SpatialOps.triangles(thematic)
-          .select(col("building_id"), col("surface_id"), col("surface_class"),
-            col("building_ord"), col("poly_ord"), col("tri_idx"), col("tri"))
+        SpatialOps.triangles(thematic).select(faceCols: _*)
           .unionByName(openTris))(_ unionByName _)
-      // bin per building instead of per class: filename = sanitized id
+      // corners bins by the pre-computed `component` column
       val cs = ObjPipeline.corners(faceRows, semantics = false)
-        .withColumn("cls",
-          regexp_replace(col("building_id"), "[^A-Za-z0-9_-]", "_"))
       val (v0, f) = ObjPipeline.dictionaryEncode(cs)
       val v = if (on("-t")) ObjPipeline.translateToMin(v0) else v0
       val lines = ObjPipeline.objLines(v, f)
-      val files = ObjWriter.writeIndexedDistributed(lines, out, "component")
-      msgs += s"component separation: ${files.size} OBJ file(s) under $out"
+      // component-class cardinality scales with the BUILDING count, so the
+      // per-class executor-side writer applies, not the ≤13-file stitch
+      val nFiles = ObjWriter.writePerClassDistributed(lines, out, "component")
+      // index.json: obj filename → tag / parentID / gmlID
+      // (add_identifier_to_json contract); the 'Other' bin gets one entry
+      val comps = withComp.select(
+        concat(lit("component-"), col("component"), lit(".obj")).as("filename"),
+        when(isOtherObj, lit("Other"))
+          .when(col("surface_class").isin(instSeq: _*), col("surface_class"))
+          .otherwise(lit("Building")).as("tag"),
+        when(isOtherObj, lit("")).otherwise(col("building_id")).as("parent_id"),
+        when(isOtherObj, lit(""))
+          .when(col("surface_class").isin(instSeq: _*), fidOr)
+          .otherwise(col("building_id")).as("gml_id")).distinct()
+      msgs += s"component index: ${GmlSink.writeIndexJson(comps, out)}"
+      msgs += s"component separation: $nFiles OBJ file(s) under $out"
     } else {
       // ---- EP-1: plain conversion with the full flag surface ----
       val (v, f, _) = ObjPipeline.runFlags(spark, surfaces,

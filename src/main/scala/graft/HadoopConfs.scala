@@ -39,6 +39,16 @@ object HadoopConfs {
       case c if c.isLetterOrDigit || c == '-' || c == '_' => c
       case _ => '_' // incl. '.', '/', '\\': no ".." segments or separators
     }.mkString
-    if (cleaned.isEmpty) "_" else cleaned.take(200)
+    val base = if (cleaned.isEmpty) "_" else cleaned.take(200)
+    // distinct raw ids must never map to one path (e.g. 'b.1' vs 'b_1', or
+    // two ids sharing a 200-char prefix — the second write would silently
+    // overwrite the first): whenever sanitization or truncation CHANGED the
+    // id, disambiguate with a short stable hash of the raw id
+    if (base == s) base
+    else {
+      val h = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
+      s"${base}_h$h"
+    }
   }
 }

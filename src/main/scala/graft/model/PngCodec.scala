@@ -197,7 +197,12 @@ object PngCodec {
         w = getInt(bytes, pos + 8); h = getInt(bytes, pos + 12)
         require(bytes(pos + 16) == 8 && bytes(pos + 17) == 2,
           "only RGB8 supported")
-        require(w >= 0 && h >= 0 && (1L + w * 3L) * h <= Int.MaxValue,
+        // bound each dimension BEFORE multiplying: (1+w*3)*h on Longs can
+        // itself wrap when w,h are both near 2^31 and sneak past a product
+        // check, turning the fuzz contract's clean IAE into wrapped-Int
+        // allocation errors downstream
+        require(w >= 0 && h >= 0 && w < (1 << 29) && h < (1 << 29) &&
+          (1L + w * 3L) * h <= Int.MaxValue,
           "implausible dimensions")
         rawLen = h * (1 + w * 3)
         s.raw = s.grow(s.raw, rawLen)

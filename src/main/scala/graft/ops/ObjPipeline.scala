@@ -62,7 +62,7 @@ object ObjPipeline {
     * point list) instead of a `tri` struct.
     */
   def polygonFaces(thematic: DataFrame): DataFrame = {
-    val extra = Seq("material_all", "material_cls")
+    val extra = Seq("material_all", "material_cls", "component")
       .filter(thematic.columns.contains(_)).map(col)
     thematic.select(Seq(col("building_id"), col("surface_id"),
       col("surface_class"), col("building_ord"), col("poly_ord"),
@@ -89,9 +89,24 @@ object ObjPipeline {
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast("string"))
     }
+    // 'Other' rows (non-building city objects) go ONLY to the 'Other' bin,
+    // never 'All' (CityGML2OBJs.py:772-784 converts them with cl='Other';
+    // they are outside the per-building 'All' loop). Classes the reference's
+    // semantic loop doesn't know (installations, unwrapped LOD1 polys → 'None')
+    // go to 'All' only even with semantics on (CityGML2OBJs.py:560-562).
+    val knownCls = (graft.sources.GmlXml.SemanticClasses ++
+      graft.sources.GmlXml.OpeningClasses).toSeq
+    // a pre-computed `component` column overrides class routing entirely —
+    // the `-sepC` path bins by (building | installation feature | 'Other')
     val classes =
-      if (semantics) array(lit("All"), col("surface_class"))
-      else array(lit("All"))
+      if (faces.columns.contains("component")) array(col("component"))
+      else when(col("surface_class") === "Other", array(lit("Other")))
+        .otherwise(
+          if (semantics)
+            when(col("surface_class").isin(knownCls: _*),
+              array(lit("All"), col("surface_class")))
+              .otherwise(array(lit("All")))
+          else array(lit("All")))
     withMat
       .withColumn("cls", explode(classes))
       .withColumn("material",

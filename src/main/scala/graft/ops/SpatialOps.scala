@@ -32,7 +32,7 @@ object SpatialOps {
     * pass through when present (columnar lineage — never a re-attach join).
     */
   def triangles(surfaces: DataFrame): DataFrame = {
-    val extra = Seq("material_all", "material_cls")
+    val extra = Seq("material_all", "material_cls", "component")
       .filter(surfaces.columns.contains(_)).map(col)
     surfaces
       .withColumn("tris", ear_clip(col("ext"), col("holes")))

@@ -36,18 +36,27 @@ object Translate {
       (-truncTowardZero(avg(col("lower_corner.b")))).as("dx"))
   }
 
-  /** O-61/O-62: apply (dx, dy, dz) to every surface coordinate. Implicit
-    * geometries (reference skip contract) are excluded by the caller via
-    * filter. Double-typed surfaces get the params as exact-decimal-derived
-    * doubles; decimal-typed coordinate tables add losslessly.
+  /** O-61/O-62: apply (dx, dy, dz) to every surface coordinate. Rows marked
+    * `implicit_geom` (template geometry) keep their coordinates untouched —
+    * the reference's translation skips ImplicitGeometry children
+    * (CityGMLTranslation.py:288-298); surfaces without the column translate
+    * unconditionally. Double-typed surfaces get the params as
+    * exact-decimal-derived doubles; decimal-typed coordinate tables add
+    * losslessly.
     */
   def applySurfaces(surfaces: DataFrame, dx: Double, dy: Double, dz: Double): DataFrame = {
     def shift(p: org.apache.spark.sql.Column) = struct(
       (p.getField("x") + dx).as("x"),
       (p.getField("y") + dy).as("y"),
       (p.getField("z") + dz).as("z"))
+    val keep =
+      if (surfaces.columns.contains("implicit_geom")) col("implicit_geom")
+      else lit(false)
     surfaces
-      .withColumn("ext", transform(col("ext"), p => shift(p)))
-      .withColumn("holes", transform(col("holes"), h => transform(h, p => shift(p))))
+      .withColumn("ext",
+        when(keep, col("ext")).otherwise(transform(col("ext"), p => shift(p))))
+      .withColumn("holes",
+        when(keep, col("holes"))
+          .otherwise(transform(col("holes"), h => transform(h, p => shift(p)))))
   }
 }

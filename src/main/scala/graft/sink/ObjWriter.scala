@@ -61,10 +61,14 @@ object ObjWriter {
       val cls = java.net.URLDecoder.decode(dir.getName.stripPrefix("cls="), "UTF-8")
       val target = new Path(
         s"$outDir/$prefix${if (cls == "All") "" else s"-$cls"}.obj")
-      // part ids are zero-padded and assigned in range order, so lexical
-      // file order == global (cls, line_no) order
+      // part ids are assigned in range order; sort by the NUMERIC part index
+      // (lexical order breaks past 99,999 parts — Spark pads to %05d only)
       val parts = fs.listStatus(dir).map(_.getPath)
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .filter(_.getName.startsWith("part-"))
+        .sortBy(p => p.getName.stripPrefix("part-").takeWhile(_.isDigit) match {
+          case "" => Long.MaxValue
+          case d => d.toLong
+        })
       val os = fs.create(target, true)
       val buf = new Array[Byte](1 << 20)
       parts.foreach { p =>
@@ -78,6 +82,56 @@ object ObjWriter {
     }.toSeq
     fs.delete(new Path(tmp), true)
     outs
+  }
+
+  /** HIGH-CARDINALITY class path (`-sepC`: one class per building or per
+    * installation feature — potentially millions of classes): write each
+    * class's OBJ file EXECUTOR-SIDE instead of stitching through the driver.
+    * One shuffle hash-partitions the lines by cls; each task walks its
+    * partition sorted by (cls, line_no) and streams one file per class
+    * through the Hadoop FileSystem — the driver relays zero output bytes
+    * (the [[writeIndexedDistributed]] stitch is a driver-serial byte relay,
+    * fine for ≤ ~13 class files, wrong for a country-scale component run).
+    * Memory per task is O(write buffer); returns the number of files.
+    */
+  def writePerClassDistributed(lines: DataFrame, outDir: String,
+                               prefix: String, partitions: Int = 0): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = lines.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val confMap = graft.HadoopConfs.pack(spark.sessionState.newHadoopConf())
+    val count = spark.sparkContext.longAccumulator("obj_files_written")
+    lines.select(col("cls"), col("line_no"), col("line"))
+      .repartition(n, col("cls"))
+      .sortWithinPartitions("cls", "line_no")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val conf = graft.HadoopConfs.unpack(confMap)
+          val fs = new Path(outDir).getFileSystem(conf) match {
+            case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+            case f => f
+          }
+          var cur: String = null
+          var os: java.io.OutputStream = null
+          rows.foreach { r =>
+            val cls = r.getString(0)
+            if (cls != cur) {
+              if (os != null) os.close()
+              cur = cls
+              // cls is pre-sanitized by the caller (safe path segment)
+              val target = new Path(
+                s"$outDir/$prefix${if (cls == "All") "" else s"-$cls"}.obj")
+              os = new java.io.BufferedOutputStream(fs.create(target, true), 1 << 16)
+              count.add(1L)
+            }
+            os.write(r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            os.write('\n')
+          }
+          if (os != null) os.close()
+        }
+      }
+    count.value
   }
 
   /** TEST-SCALE helper (byte-exact goldens): indexed mode via an ordered

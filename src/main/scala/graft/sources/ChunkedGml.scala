@@ -88,16 +88,34 @@ object ChunkedGml {
     * buffer plus the bytes of the building currently being captured.
     */
   private[sources] def scanSplit(in: java.io.InputStream, fileStart: Long,
-                                 end: Long, tag: String,
+                                 end: Long, tags: Seq[String],
                                  envelope: (String, String),
                                  bufSize: Int = 1 << 20): Iterator[(Long, String)] = {
-    // PREFIX-AGNOSTIC matching: the building namespace may be bound to any
-    // prefix (or the default namespace), so the scanner matches
-    // '<' [/] [NCName ':'] <localName> <boundary> — the per-fragment StAX
-    // parse still verifies the namespace URI itself (wrong-ns `Building`
+    // PREFIX-AGNOSTIC matching: the city-object namespaces may be bound to
+    // any prefix (or the default namespace), so the scanner matches
+    // '<' [/] [NCName ':'] <localName-in-set> <boundary> — the per-fragment
+    // StAX parse still verifies the namespace URI itself (wrong-ns decoy
     // elements contribute a balanced, harmless capture and zero rows).
-    val local = { val c = tag.indexOf(':'); if (c >= 0) tag.substring(c + 1) else tag }
-    val localPat = local.getBytes("UTF-8")
+    val localPats: Array[Array[Byte]] = tags.map { tag =>
+      val c = tag.indexOf(':')
+      (if (c >= 0) tag.substring(c + 1) else tag).getBytes("UTF-8")
+    }.toArray
+    // cheap two-level pre-filter for the set-membership check: name length
+    // and first byte (the scanner tests every element name in the document)
+    val patLens: Array[Int] = localPats.map(_.length)
+    def nameInSet(a: Array[Byte], start: Int, len: Int): Boolean = {
+      var t = 0
+      while (t < localPats.length) {
+        if (patLens(t) == len && a(start) == localPats(t)(0)) {
+          val p = localPats(t)
+          var j = 1
+          while (j < len && a(start + j) == p(j)) j += 1
+          if (j == len) return true
+        }
+        t += 1
+      }
+      false
+    }
     val Comment = "<!--".getBytes("UTF-8")
     val CommentEnd = "-->".getBytes("UTF-8")
     val Cdata = "<![CDATA[".getBytes("UTF-8")
@@ -129,8 +147,8 @@ object ChunkedGml {
       1
     }
 
-    // '<'[/]<prefix:>?<localName><boundary> — returns (code, tokenLen) where
-    // tokenLen spans '<' through the last localName byte
+    // '<'[/]<prefix:>?<localName-in-set><boundary> — returns (code, tokenLen)
+    // where tokenLen spans '<' through the last localName byte
     def matchTag(a: Array[Byte], i: Int, limit: Int, isClose: Boolean): (Int, Int) = {
       var j = i + 1
       if (isClose) {
@@ -142,25 +160,16 @@ object ChunkedGml {
       var k = j
       while (k < limit && k - j < 256 && isNameChar(a(k) & 0xFF)) k += 1
       if (k >= limit && !eof) return (-1, 0)
+      var nameStart = j
       if (k < limit && a(k) == ':') {
-        val ln = k + 1
-        if (ln + localPat.length + 1 > limit) {
-          if (!eof) return (-1, 0)
-          if (ln + localPat.length > limit) return (0, 0)
-        }
-        if (matchesPlain(a, ln, localPat, limit) != 1) return (0, 0)
-        val after = ln + localPat.length
-        if (after < limit && isBoundary(a(after) & 0xFF)) (1, after - i)
-        else if (after >= limit) (if (eof) 0 else -1, 0)
-        else (0, 0)
-      } else {
-        // no prefix: the name run itself must equal localName
-        if (k - j != localPat.length) return (0, 0)
-        if (matchesPlain(a, j, localPat, limit) != 1) return (0, 0)
-        if (k < limit && isBoundary(a(k) & 0xFF)) (1, k - i)
-        else if (k >= limit) (if (eof) 0 else -1, 0)
-        else (0, 0)
+        nameStart = k + 1
+        k = nameStart
+        while (k < limit && k - nameStart < 256 && isNameChar(a(k) & 0xFF)) k += 1
+        if (k >= limit && !eof) return (-1, 0)
       }
+      if (k >= limit) return (0, 0) // name runs to EOF: no boundary byte
+      if (!isBoundary(a(k) & 0xFF)) return (0, 0)
+      if (nameInSet(a, nameStart, k - nameStart)) (1, k - i) else (0, 0)
     }
 
     def emit(): Unit = {
@@ -317,6 +326,14 @@ object ChunkedGml {
     out.iterator
   }
 
+  /** Every city-object root tag the scanner extracts: buildings plus the
+    * reference's 'Other' route (Road/PlantCover/GenericCityObject/
+    * CityFurniture/Relief/Tunnel/WaterBody/Bridge, CityGML2OBJs.py:597-603).
+    * Prefix-agnostic local names; the StAX parse verifies namespaces.
+    */
+  val CityObjectTags: Seq[String] =
+    "Building" +: graft.sources.GmlXml.OtherRootClasses.toSeq.sorted
+
   /** Distributed chunked ingest: every `.gml` file under `pathOrGlob` is cut
     * into `chunkBytes` byte-range splits, one task each. Returns the same
     * (surfaces, rejects) pair as [[GmlXml.ingest]]; `building_ord` packs
@@ -325,7 +342,7 @@ object ChunkedGml {
     */
   def ingestFiles(spark: SparkSession, pathOrGlob: String,
                   chunkBytes: Long = 64L << 20,
-                  buildingTag: String = "bldg:Building"): (DataFrame, DataFrame) = {
+                  tags: Seq[String] = CityObjectTags): (DataFrame, DataFrame) = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
     require(chunkBytes >= (1L << 16), "chunkBytes must be at least 64 KiB")
@@ -339,6 +356,12 @@ object ChunkedGml {
     // offset) so ordinals stay GLOBALLY unique and document-order-monotone
     // across a multi-file directory — bare per-file offsets collide between
     // files and would interleave buildings in the OBJ emission order
+    // building_ord packs (fileIdx << 44) | offset into a signed Long:
+    // 19 bits of file index, 44 bits of offset — both must be range-checked
+    // or the packed ordinal silently wraps and breaks global monotonicity
+    require(stats.size < (1 << 19),
+      s"${stats.size} input files: ≥ 524288 files per ingest unsupported " +
+        "(building_ord packs a 19-bit file index)")
     val splits = stats.sortBy(_.getPath.toString).zipWithIndex.flatMap {
       case (s, fileIdx) =>
         val len = s.getLen
@@ -374,7 +397,7 @@ object ChunkedGml {
           val in = tfs.open(path)
           in.seek(start)
           val fileName = path.getName
-          val res = scanSplit(in, start, end, buildingTag, env).map {
+          val res = scanSplit(in, start, end, tags, env).map {
             case (off, xml) => (s"$fileName#$off", (fileIdx << 44) | off, xml)
           }.toVector
           in.close()

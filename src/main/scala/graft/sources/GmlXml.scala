@@ -5,7 +5,7 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Pt
@@ -50,7 +50,10 @@ object GmlXml {
       battrs: Map[String, String],
       citygml_version: Int,
       building_seq: Long,
-      poly_seq: Long)
+      poly_seq: Long,
+      object_kind: String,
+      feature_id: String,
+      implicit_geom: Boolean)
 
   /** The reference's semantic boundary classes (CityGML2OBJs.py:560-562). */
   val SemanticClasses: Set[String] = Set(
@@ -58,6 +61,27 @@ object GmlXml {
     "CeilingSurface", "InteriorWallSurface", "FloorSurface",
     "OuterCeilingSurface", "OuterFloorSurface")
   val OpeningClasses: Set[String] = Set("Window", "Door")
+
+  /** Non-building city-object roots the reference routes to the 'Other' OBJ
+    * bin (CityGML2OBJs.py:597-603): all of their polygons convert with class
+    * 'Other' (CityGML2OBJs.py:772-784), never entering 'All' or any semantic
+    * bin. Tag names are the reference's EXACT match list — note it matches
+    * `Relief`, not the CityGML 2.0 `ReliefFeature` root, so a standard DEM
+    * export is dropped by the reference too (parity kept; `ReliefFeature` is
+    * accepted additionally as a documented engine extension).
+    */
+  val OtherRootClasses: Set[String] = Set(
+    "Road", "PlantCover", "GenericCityObject", "CityFurniture", "Relief",
+    "ReliefFeature", "Tunnel", "WaterBody", "Bridge")
+
+  /** Component-path extended surface list (componentseparationmodule.py:
+    * 621-624): installation features separate into their own component files
+    * under `-sepC`; in the plain converter their polygons go to 'All' only
+    * (they are absent from CityGML2OBJs.py:560-562's class list).
+    */
+  val InstallationClasses: Set[String] = Set(
+    "BuildingInstallation", "BuildingConstructiveElement",
+    "outerBuildingInstallation")
 
   private def isGmlNs(uri: String): Boolean =
     uri != null && (uri == "http://www.opengis.net/gml" ||
@@ -70,6 +94,12 @@ object GmlXml {
   private def isCoreNs(uri: String): Boolean =
     uri != null && uri.startsWith("http://www.opengis.net/citygml/") &&
       !uri.substring("http://www.opengis.net/citygml/".length).contains("/")
+  /** Any CityGML module namespace (transportation, vegetation, generics,
+    * cityfurniture, relief, tunnel, waterbody, bridge, …) — version-family
+    * matching like the building namespace, so 1.0/2.0/3.0 all dispatch.
+    */
+  private def isCityModuleNs(uri: String): Boolean =
+    uri != null && uri.startsWith("http://www.opengis.net/citygml/")
   private def versionOf(rootNs: String): Int =
     if (rootNs == null) 2
     else if (rootNs.endsWith("/1.0")) 1
@@ -100,9 +130,17 @@ object GmlXml {
       var version = 2
       var sawRoot = false
       var building: String = null
+      var objectKind: String = null // "Building" | an OtherRootClasses tag
       var buildingSeq = -1L
       var polySeq = 0L
-      val classStack = ArrayBuffer.empty[String]
+      // (class name, feature gml:id) — the id is captured for installation
+      // features only (component-path separation key), null otherwise
+      val classStack = ArrayBuffer.empty[(String, String)]
+      // nesting count of core:ImplicitGeometry elements: polygons inside are
+      // TEMPLATE geometry — converted at template coordinates like the
+      // reference, but excluded from CRS translation
+      // (CityGMLTranslation.py:288-298 skip contract)
+      var implicitNest = 0
       // polygon state
       var inPoly = false
       var polyId: String = null
@@ -150,11 +188,14 @@ object GmlXml {
                 buildingSeq += 1
                 polySeq = 0
                 building = Option(gmlId()).getOrElse(f"${docId}_b$buildingSeq%04d")
+                objectKind = "Building"
                 buildingDepth = depth
                 bldgAttrs = Map.empty
                 bldgFirstPoly = out.length
               } else if (SemanticClasses(ln) || OpeningClasses(ln)) {
-                classStack += ln
+                classStack += ((ln, null))
+              } else if (InstallationClasses(ln)) {
+                classStack += ((ln, gmlId()))
               }
             } else if (isGmlNs(ns)) {
               ln match {
@@ -173,6 +214,11 @@ object GmlXml {
                   captured = new StringBuilder
                 case _ =>
               }
+            } else if (isCoreNs(ns) && ln == "ImplicitGeometry") {
+              // checked BEFORE attr capture: ImplicitGeometry can be a direct
+              // core-ns child of a city object and must mark geometry, not
+              // masquerade as an attribute extension
+              implicitNest += 1
             } else if (isCoreNs(ns) &&
               ((inPoly && depth == polyDepth + 1) ||
                 (!inPoly && building != null && depth == buildingDepth + 1))) {
@@ -182,6 +228,18 @@ object GmlXml {
               attrName = ln
               attrDepth = depth
               attrBuf = new StringBuilder
+            } else if (building == null && !inPoly && isCityModuleNs(ns) &&
+              OtherRootClasses(ln)) {
+              // non-building city-object root (Road/PlantCover/…): its
+              // polygons convert with class 'Other' (CityGML2OBJs.py:597-603,
+              // 772-784); reuse the building slot as the object identity
+              buildingSeq += 1
+              polySeq = 0
+              building = Option(gmlId()).getOrElse(f"${docId}_b$buildingSeq%04d")
+              objectKind = ln
+              buildingDepth = depth
+              bldgAttrs = Map.empty
+              bldgFirstPoly = out.length
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
             if (capturing) captured.append(r.getText)
@@ -196,6 +254,8 @@ object GmlXml {
               else bldgAttrs += (attrName -> v)
               attrName = null
             }
+            if (isCoreNs(ns) && ln == "ImplicitGeometry" && implicitNest > 0)
+              implicitNest -= 1
             if (isGmlNs(ns)) {
               ln match {
                 case "posList" | "pos" if capturing =>
@@ -213,17 +273,32 @@ object GmlXml {
                   inPoly = false
                   val bid = Option(building).getOrElse(s"${docId}_nobldg")
                   val sid = Option(polyId).getOrElse(f"${bid}_p$polySeq%04d")
-                  val cls = classStack.lastOption.getOrElse("Other")
+                  // other-object polygons: always class 'Other' (reference
+                  // poly_to_obj(poly, 'Other')); building polygons: innermost
+                  // semantic/opening/installation wrapper, or 'None' (the
+                  // reference bins those to 'All' only)
+                  val cls =
+                    if (objectKind != null && objectKind != "Building") "Other"
+                    else classStack.lastOption.map(_._1).getOrElse("None")
+                  // innermost installation feature's gml:id, if any (the
+                  // `-sepC` extended-component key)
+                  val fid = classStack.reverseIterator
+                    .find(e => InstallationClasses(e._1))
+                    .map(e => Option(e._2).getOrElse("")).orNull
                   if (rings.nonEmpty)
                     out += RawPoly(bid, sid, cls, rings.head,
                       rings.tail.toSeq, polyAttrs, bldgAttrs, version,
-                      math.max(buildingSeq, 0L), polySeq)
+                      math.max(buildingSeq, 0L), polySeq,
+                      Option(objectKind).getOrElse("None"), fid,
+                      implicitNest > 0)
                   polySeq += 1
                 case _ =>
               }
             } else if (isBldgNs(ns)) {
-              if ((SemanticClasses(ln) || OpeningClasses(ln)) &&
-                classStack.lastOption.contains(ln)) classStack.remove(classStack.length - 1)
+              if ((SemanticClasses(ln) || OpeningClasses(ln) ||
+                InstallationClasses(ln)) &&
+                classStack.lastOption.exists(_._1 == ln))
+                classStack.remove(classStack.length - 1)
               else if (ln == "Building") {
                 // patch the finished building's polys with its complete
                 // attribute set (order-independence; see bldgFirstPoly)
@@ -233,7 +308,19 @@ object GmlXml {
                   pi += 1
                 }
                 building = null
+                objectKind = null
               }
+            } else if (objectKind != null && objectKind != "Building" &&
+              ln == objectKind && depth == buildingDepth && isCityModuleNs(ns)) {
+              // close of a non-building city-object root: patch battrs like
+              // </Building> (attribute order-independence) and clear identity
+              var pi = bldgFirstPoly
+              while (pi < out.length) {
+                out(pi) = out(pi).copy(battrs = bldgAttrs)
+                pi += 1
+              }
+              building = null
+              objectKind = null
             }
             depth -= 1
           case _ =>
@@ -279,15 +366,38 @@ object GmlXml {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
-  /** Render one building's surfaces as a CityGML 2.0 document (thematic
-    * classes under boundedBy, Window/Door under boundedBy/WallSurface/
-    * opening — the element paths the reference dispatches on). Coordinates
-    * print via Double.toString (shortest round-trip repr), so
-    * parse(render(x)) == x exactly.
+  /** CityGML module namespace prefix per non-building object kind (the
+    * reference's ns_tran/ns_veg/… set, CityGML2OBJs.py:597-603).
     */
+  val KindPrefix: Map[String, (String, String)] = Map(
+    "Road" -> ("tran", "http://www.opengis.net/citygml/transportation/2.0"),
+    "PlantCover" -> ("veg", "http://www.opengis.net/citygml/vegetation/2.0"),
+    "GenericCityObject" -> ("gen", "http://www.opengis.net/citygml/generics/2.0"),
+    "CityFurniture" -> ("frn", "http://www.opengis.net/citygml/cityfurniture/2.0"),
+    "Relief" -> ("dem", "http://www.opengis.net/citygml/relief/2.0"),
+    "ReliefFeature" -> ("dem", "http://www.opengis.net/citygml/relief/2.0"),
+    "Tunnel" -> ("tun", "http://www.opengis.net/citygml/tunnel/2.0"),
+    "WaterBody" -> ("wtr", "http://www.opengis.net/citygml/waterbody/2.0"),
+    "Bridge" -> ("brid", "http://www.opengis.net/citygml/bridge/2.0"))
+
+  /** Back-compat renderer: buildings only, no installation features. */
   def buildingDocument(buildingId: String,
                        surfaces: Seq[(String, String, Seq[Pt], Seq[Seq[Pt]],
-                         Map[String, Double])]): String = {
+                         Map[String, Double])]): String =
+    objectDocument(buildingId, "Building",
+      surfaces.map(s => (s._1, s._2, s._3, s._4, s._5, null: String, false)))
+
+  /** Render one city object's surfaces as a CityGML 2.0 document (thematic
+    * classes under boundedBy, Window/Door under boundedBy/WallSurface/
+    * opening, installation features as their own elements, non-building
+    * kinds under their module namespace — the element paths the reference
+    * dispatches on). Coordinates print via Double.toString (shortest
+    * round-trip repr), so parse(render(x)) == x exactly. Per-surface tuple:
+    * (surface_id, class, ext, holes, attrs, feature_id, implicit_geom).
+    */
+  def objectDocument(objectId: String, kind: String,
+                     surfaces: Seq[(String, String, Seq[Pt], Seq[Seq[Pt]],
+                       Map[String, Double], String, Boolean)]): String = {
     def posList(ring: Seq[Pt]): String =
       ring.map(p => s"${p.x} ${p.y} ${p.z}").mkString(" ")
     def polygon(sid: String, ext: Seq[Pt], holes: Seq[Seq[Pt]],
@@ -307,44 +417,83 @@ object GmlXml {
       }.mkString
       s"""<gml:Polygon gml:id="${esc(sid)}"><gml:exterior><gml:LinearRing><gml:posList>${posList(ext)}</gml:posList></gml:LinearRing></gml:exterior>$hs$as</gml:Polygon>"""
     }
-    def wrap(cls: String, body: String): String =
+    def wrapImplicit(body: String, isImplicit: Boolean): String =
+      if (isImplicit)
+        s"<core:ImplicitGeometry><core:relativeGMLGeometry>$body</core:relativeGMLGeometry></core:ImplicitGeometry>"
+      else body
+    def wrap(cls: String, fid: String, body: String): String =
       if (OpeningClasses(cls))
         s"""<bldg:boundedBy><bldg:WallSurface><bldg:opening><bldg:$cls><bldg:lod3MultiSurface><gml:MultiSurface><gml:surfaceMember>$body</gml:surfaceMember></gml:MultiSurface></bldg:lod3MultiSurface></bldg:$cls></bldg:opening></bldg:WallSurface></bldg:boundedBy>"""
-      else
+      else if (InstallationClasses(cls)) {
+        val id = if (fid != null && fid.nonEmpty) s""" gml:id="${esc(fid)}"""" else ""
+        s"""<bldg:$cls$id><bldg:lod2Geometry><gml:MultiSurface><gml:surfaceMember>$body</gml:surfaceMember></gml:MultiSurface></bldg:lod2Geometry></bldg:$cls>"""
+      } else if (SemanticClasses(cls))
         s"""<bldg:boundedBy><bldg:$cls><bldg:lod2MultiSurface><gml:MultiSurface><gml:surfaceMember>$body</gml:surfaceMember></gml:MultiSurface></bldg:lod2MultiSurface></bldg:$cls></bldg:boundedBy>"""
-    val members = surfaces.map { case (sid, cls, ext, holes, attrs) =>
-      wrap(cls, polygon(sid, ext, holes, attrs))
-    }.mkString("\n   ")
-    s"""<?xml version="1.0" encoding="UTF-8"?>
+      else // 'None' (no semantic wrapper — e.g. LOD1 geometry)
+        s"""<bldg:lod1MultiSurface><gml:MultiSurface><gml:surfaceMember>$body</gml:surfaceMember></gml:MultiSurface></bldg:lod1MultiSurface>"""
+    if (kind == "Building") {
+      val members = surfaces.map { case (sid, cls, ext, holes, attrs, fid, imp) =>
+        wrapImplicit(wrap(cls, fid, polygon(sid, ext, holes, attrs)), imp)
+      }.mkString("\n   ")
+      s"""<?xml version="1.0" encoding="UTF-8"?>
 <core:CityModel xmlns:core="http://www.opengis.net/citygml/2.0" xmlns:gml="http://www.opengis.net/gml" xmlns:bldg="http://www.opengis.net/citygml/building/2.0">
  <core:cityObjectMember>
-  <bldg:Building gml:id="${esc(buildingId)}">
+  <bldg:Building gml:id="${esc(objectId)}">
    $members
   </bldg:Building>
  </core:cityObjectMember>
 </core:CityModel>"""
+    } else {
+      // non-building city object: polygons directly under the module-ns root
+      // (class is forced to 'Other' at parse, so no semantic wrapping)
+      val (pfx, uri) = KindPrefix.getOrElse(kind,
+        ("gen", "http://www.opengis.net/citygml/generics/2.0"))
+      val members = surfaces.map { case (sid, _, ext, holes, attrs, _, imp) =>
+        wrapImplicit(
+          s"<gml:MultiSurface><gml:surfaceMember>${polygon(sid, ext, holes, attrs)}</gml:surfaceMember></gml:MultiSurface>",
+          imp)
+      }.mkString("\n   ")
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+<core:CityModel xmlns:core="http://www.opengis.net/citygml/2.0" xmlns:gml="http://www.opengis.net/gml" xmlns:bldg="http://www.opengis.net/citygml/building/2.0" xmlns:$pfx="$uri">
+ <core:cityObjectMember>
+  <$pfx:$kind gml:id="${esc(objectId)}">
+   $members
+  </$pfx:$kind>
+ </core:cityObjectMember>
+</core:CityModel>"""
+    }
   }
 
-  /** surfaces → one CityGML document per building: (doc_id, xml). Grouping
-    * is a single shuffle on building_id; rendering is per-group, bounded by
-    * the surfaces of one building.
+  /** surfaces → one CityGML document per city object: (doc_id, xml).
+    * Grouping is a single shuffle on building_id; rendering is per-group,
+    * bounded by the surfaces of one object. `object_kind` / `feature_id` /
+    * `implicit_geom` columns are honored when present (mixed-city render),
+    * defaulted to plain building surfaces otherwise.
     */
   def render(surfaces: DataFrame): DataFrame = {
     val spark = surfaces.sparkSession
     import spark.implicits._
-    val withAttrs =
-      if (surfaces.columns.contains("attrs")) surfaces
-      else surfaces.withColumn("attrs",
-        map().cast("map<string,double>"))
+    def defaulted(df: DataFrame, c: String, d: Column): DataFrame =
+      if (df.columns.contains(c)) df else df.withColumn(c, d)
+    val withAttrs = defaulted(defaulted(defaulted(defaulted(surfaces,
+      "attrs", map().cast("map<string,double>")),
+      "object_kind", lit("Building")),
+      "feature_id", lit(null).cast("string")),
+      "implicit_geom", lit(false))
     withAttrs
       .select(col("building_id"), col("surface_id"), col("surface_class"),
-        col("poly_ord"), col("ext"), col("holes"), col("attrs"))
-      .as[(String, String, String, Long, Seq[Pt], Seq[Seq[Pt]], Map[String, Double])]
+        col("poly_ord"), col("ext"), col("holes"), col("attrs"),
+        col("object_kind"), col("feature_id"), col("implicit_geom"))
+      .as[(String, String, String, Long, Seq[Pt], Seq[Seq[Pt]],
+        Map[String, Double], String, String, Boolean)]
       .groupByKey(_._1)
       .mapGroups { (bid, it) =>
         val rows = it.toSeq.sortBy(_._4)
-        (bid, buildingDocument(bid,
-          rows.map(r => (r._2, r._3, r._5, r._6, Option(r._7).getOrElse(Map.empty)))))
+        val kind = rows.headOption.map(r => Option(r._8).getOrElse("Building"))
+          .getOrElse("Building")
+        (bid, objectDocument(bid, kind,
+          rows.map(r => (r._2, r._3, r._5, r._6,
+            Option(r._7).getOrElse(Map.empty), r._9, r._10))))
       }
       .toDF("doc_id", "xml")
   }

@@ -106,7 +106,7 @@ ${bldg(2)}
     for (buf <- Seq(7, 64)) {
       val in = new java.io.ByteArrayInputStream(doc.getBytes("UTF-8"))
       val frags = ChunkedGml.scanSplit(in, 0L, doc.length.toLong,
-        "bldg:Building", ("<r>", "r"), bufSize = buf).toSeq
+        Seq("bldg:Building"), ("<r>", "r"), bufSize = buf).toSeq
       assert(frags.length === 3, s"bufSize=$buf found ${frags.length} buildings")
       assert(!frags.exists(_._2.contains("ghost1\"> not real</")),
         "decoy comment parsed as structure")
