@@ -31,6 +31,7 @@ object SparkEntry {
 
   def nBuildings(sf: Double): Long = math.max(16L, (4000 * sf).toLong)
   def nImages(sf: Double): Long = math.max(256L, (400000 * sf).toLong)
+  def nOther(sf: Double): Long = math.max(16L, nBuildings(sf) / 2)
 
   private def synthSurfaces(s: SparkSession, dir: String): DataFrame =
     Synth.surfaces(s, nBuildings(sfOf(dir))).toDF
@@ -92,6 +93,12 @@ object SparkEntry {
     w(s.createDataFrame(ivf.toSeq.zipWithIndex.map { case (c, j) => (j, c.toSeq) })
       .toDF("list_id", "centroid"), "ivf_centroids")
     w(Synth.envelopes(s, 16L), "envelopes")
+    // mixed-city PRE-RENDER surfaces: q53's oracle recomputes the round
+    // trip's per-kind counts/checksums and the -tC translation from these
+    w(Synth.mixedCity(s, nBuildings(sfOf(sfDir)), nOther(sfOf(sfDir)))
+      .select(col("building_id"), col("surface_id"), col("surface_class"),
+        col("ext"), col("object_kind"), col("implicit_geom")),
+      "mixed_surfaces")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -480,6 +487,35 @@ object SparkEntry {
         .unionByName(ImageOps.perturbedDups(s, imgs))
       ImageOps.dhashNearDups(s, all, maxHamming = 3)
         .orderBy("img_a", "img_b")
+    }),
+    "q53_mixed_city" -> ((s, d) => {
+      // MIXED-CITY round trip (round-4 'Other' route): buildings +
+      // installation features + non-building city objects render to CityGML
+      // (module namespaces, ImplicitGeometry wrappers) and parse back
+      // through the full StAX path; per-kind poly/point counts + raw AND
+      // CRS-translated coordinate checksums (params derived from structural
+      // building AABBs exactly like `-tC`; implicit template geometry stays
+      // untranslated) are all recomputed by the oracle from the dumped
+      // pre-render surfaces — losslessness and translation parity in one.
+      val sf = sfOf(d)
+      val mixed = graft.model.Synth.mixedCity(s, nBuildings(sf), nOther(sf))
+      val (ok, _) = graft.sources.GmlXml.ingest(graft.sources.GmlXml.render(mixed))
+      val bb = SpatialOps.buildingBBoxes(ok, buffer = 0.0)
+      val env = bb.select(struct(col("ymin").as("a"), col("xmin").as("b"))
+        .as("lower_corner"))
+      val pr = Translate.translationParams(env).head()
+      val dyT = pr.getDecimal(0).doubleValue; val dxT = pr.getDecimal(1).doubleValue
+      val t = Translate.applySurfaces(ok, dxT, dyT, 0.0)
+      val raw = ok
+        .select(col("object_kind"), col("surface_id"), explode(col("ext")).as("p"))
+        .groupBy("object_kind")
+        .agg(countDistinct(col("surface_id")).as("n_polys"),
+          count(lit(1)).as("n_points"),
+          dsum(col("p.x") + col("p.y") + col("p.z")).as("coord_checksum"))
+      val tx = t.select(col("object_kind"), explode(col("ext")).as("p"))
+        .groupBy("object_kind")
+        .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
+      raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
     "q52_region_part_revenue" -> ((s, d) => {
       // TPC-H Q5/Q9-flavored multi-dimension star join — covers the
@@ -1409,6 +1445,25 @@ object SparkEntry {
            COUNT(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q53_mixed_city" ->
+      s"""WITH pts AS (SELECT object_kind, surface_id, implicit_geom,
+                         unnest(ext) AS p FROM ${O.inp("mixed_surfaces")}),
+          bpts AS (SELECT building_id, unnest(ext) AS p
+                   FROM ${O.inp("mixed_surfaces")}
+                   WHERE surface_class IN $StructuralClasses),
+          bb AS (SELECT building_id, MIN(p.x) AS xmin, MIN(p.y) AS ymin
+                 FROM bpts GROUP BY building_id),
+          pr AS (SELECT -trunc(avg(ymin)) AS dy, -trunc(avg(xmin)) AS dx
+                 FROM bb)
+          SELECT object_kind,
+                 COUNT(DISTINCT surface_id) AS n_polys,
+                 COUNT(*) AS n_points,
+                 CAST(SUM(CAST(p.x + p.y + p.z AS DECIMAL(28,6))) AS DOUBLE)
+                   AS coord_checksum,
+                 CAST(SUM(CAST(CASE WHEN implicit_geom THEN p.x + p.y + p.z
+                      ELSE ((p.x + dx) + (p.y + dy)) + p.z END
+                      AS DECIMAL(28,6))) AS DOUBLE) AS tx_checksum
+          FROM pts, pr GROUP BY object_kind ORDER BY object_kind""",
     "q52_region_part_revenue" ->
       """SELECT r_name, p_brand,
            COUNT(DISTINCT s_suppkey) AS n_suppliers,

@@ -72,6 +72,78 @@ object Synth {
     * deliberately invalid polygon cycling the four invalidity modes of
     * isPolyValid (polygon3dmodule.py:70-102).
     */
+  /** Mixed-city surface row: [[Surface]] plus the ingest schema extensions
+    * (object_kind / feature_id / implicit_geom) of GmlXml.RawPoly.
+    */
+  final case class MixedSurface(
+      building_id: String,
+      surface_id: String,
+      surface_class: String,
+      ext: Seq[Pt],
+      holes: Seq[Seq[Pt]],
+      attrs: Map[String, Double],
+      building_ord: Long,
+      poly_ord: Long,
+      object_kind: String,
+      feature_id: String,
+      implicit_geom: Boolean)
+
+  /** Non-building object kinds, cycling in the mixed city (the reference's
+    * 'Other' route, CityGML2OBJs.py:597-603).
+    */
+  val OtherKinds: Seq[String] = Seq("Road", "PlantCover", "GenericCityObject",
+    "CityFurniture", "Relief", "Tunnel", "WaterBody", "Bridge")
+
+  /** Mixed city (round-4 'Other' route): the building grid, plus a
+    * BuildingInstallation feature on every 8th building (the `-sepC`
+    * extended component path), plus `nOther` non-building city objects —
+    * kind cycling through [[OtherKinds]], one flat quad each, placed on the
+    * inter-house grid; every CityFurniture object is IMPLICIT geometry
+    * (template — excluded from CRS translation). All coordinates are
+    * integers so cross-engine double sums are exact.
+    */
+  def mixedCity(spark: SparkSession, nBuildings: Long, nOther: Long): DataFrame = {
+    import spark.implicits._
+    val side = gridSide(nBuildings)
+    val b = surfaces(spark, nBuildings).toDF
+      .withColumn("object_kind", lit("Building"))
+      .withColumn("feature_id", lit(null).cast("string"))
+      .withColumn("implicit_geom", lit(false))
+    val inst = spark.range(0L, nBuildings, 1L,
+        math.max(1, math.min(64, nBuildings / 16 + 1)).toInt).as[Long]
+      .filter(_ % 8 == 0)
+      .map { bi =>
+        val gx = bi % side; val gy = bi / side
+        val x0 = Ox0 + gx * Pitch; val y0 = Oy0 + gy * Pitch
+        val bid = f"bldg$bi%08d"
+        // awning quad cantilevered off the south wall, above the window
+        val awn = Seq(Pt(x0 + 3, y0 - 2, 5), Pt(x0 + 9, y0 - 2, 5),
+          Pt(x0 + 9, y0, 5), Pt(x0 + 3, y0, 5), Pt(x0 + 3, y0 - 2, 5))
+        MixedSurface(bid, f"$bid-inst", "BuildingInstallation", awn, Nil,
+          Map.empty, bi, 90L, "Building", f"inst$bi%08d", implicit_geom = false)
+      }.toDF
+    val others = spark.range(0L, nOther, 1L,
+        math.max(1, math.min(64, nOther / 16 + 1)).toInt).as[Long]
+      .map { j =>
+        val kind = OtherKinds((j % 8).toInt)
+        val gx = j % side; val gy = j / side
+        // offset +25/+25 sits in the street gap between houses
+        val x0 = Ox0 + gx * Pitch + 25; val y0 = Oy0 + gy * Pitch + 25
+        val oid = f"oth$j%08d"
+        val z = (j % 3).toDouble // vary height
+        val ext =
+          if (kind == "Bridge" || kind == "Tunnel") // vertical quad (XZ)
+            Seq(Pt(x0, y0, z), Pt(x0 + 8, y0, z), Pt(x0 + 8, y0, z + 4),
+              Pt(x0, y0, z + 4), Pt(x0, y0, z))
+          else // horizontal quad (XY)
+            Seq(Pt(x0, y0, z), Pt(x0 + 10, y0, z), Pt(x0 + 10, y0 + 6, z),
+              Pt(x0, y0 + 6, z), Pt(x0, y0, z))
+        MixedSurface(oid, f"$oid-p00", "Other", ext, Nil, Map.empty,
+          nBuildings + j, 0L, kind, null, implicit_geom = kind == "CityFurniture")
+      }.toDF
+    b.unionByName(inst).unionByName(others)
+  }
+
   def surfaces(spark: SparkSession, nBuildings: Long): Dataset[Surface] = {
     import spark.implicits._
     val sideL = gridSide(nBuildings)
