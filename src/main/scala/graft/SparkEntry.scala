@@ -1254,18 +1254,22 @@ object SparkEntry {
                          UNION ALL
                          SELECT image_id, w, h, px FROM ${O.inp("dup_pixels")}),
           $dhashCtes,
-          ch AS (SELECT image_id, bits, ci.ci AS ci,
+          g AS (SELECT bits, MIN(image_id) AS rep FROM dh_bits GROUP BY bits),
+          gp AS (SELECT g.rep AS img_a, d.image_id AS img_b, 0 AS hamming
+                 FROM dh_bits d JOIN g USING (bits) WHERE d.image_id <> g.rep),
+          ch AS (SELECT rep, bits, ci.ci AS ci,
                    substr(bits, ci * 16 + 1, 16) AS chunk
-                 FROM dh_bits, range(0, 4) AS ci(ci)),
-          cand AS (SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b,
+                 FROM g, range(0, 4) AS ci(ci)),
+          cand AS (SELECT DISTINCT a.rep AS img_a, b.rep AS img_b,
                      a.bits AS ba, b.bits AS bb
                    FROM ch a JOIN ch b ON a.ci = b.ci AND a.chunk = b.chunk
-                     AND a.image_id < b.image_id),
+                     AND a.rep < b.rep),
           hm AS (SELECT img_a, img_b,
                    len(list_filter(range(1, 65),
                      hb -> substr(ba, hb, 1) <> substr(bb, hb, 1))) AS hamming
                  FROM cand)
           SELECT img_a, img_b, hamming FROM hm WHERE hamming <= 3
+          UNION ALL SELECT img_a, img_b, hamming FROM gp
           ORDER BY img_a, img_b"""
   )
 
@@ -1330,11 +1334,18 @@ object SparkEntry {
           SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
           WHERE jac >= 0.5 ORDER BY doc_a, doc_b""",
     "q22_simhash" ->
-      s"""WITH s AS (SELECT * FROM ${O.inp("simhash_sigs")})
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 bit_count(xor(a.sim, b.sim)) AS hamming
-          FROM s a JOIN s b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      // hot-bucket-hardened semantics (HammingBlocking): identical
+      // signatures → member→rep dup-group edges (hamming 0); distinct
+      // signatures → exact-hamming rep→rep edges
+      s"""WITH s AS (SELECT * FROM ${O.inp("simhash_sigs")}),
+          g AS (SELECT sim, MIN(doc_id) AS rep FROM s GROUP BY sim),
+          gp AS (SELECT g.rep AS doc_a, s.doc_id AS doc_b, 0 AS hamming
+                 FROM s JOIN g USING (sim) WHERE s.doc_id <> g.rep),
+          cp AS (SELECT a.rep AS doc_a, b.rep AS doc_b,
+                   bit_count(xor(a.sim, b.sim)) AS hamming
+                 FROM g a JOIN g b ON a.rep < b.rep
+                 WHERE bit_count(xor(a.sim, b.sim)) <= 3)
+          SELECT * FROM gp UNION ALL SELECT * FROM cp
           ORDER BY doc_a, doc_b""",
     "q23_fingerprints" ->
       s"""SELECT doc_id,

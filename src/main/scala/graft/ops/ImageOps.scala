@@ -230,7 +230,7 @@ object ImageOps {
     * (chunk, dhash) pairs, 16 bytes a row.
     */
   def dhashNearDups(spark: SparkSession, images: DataFrame,
-                    maxHamming: Int = 3): DataFrame = {
+                    maxHamming: Int = 3, maxBucket: Int = 0): DataFrame = {
     import spark.implicits._
     // lean signature pass (decode + dhash only — no channel means), then an
     // EAGER localCheckpoint: the self-join consumes the signature table
@@ -244,19 +244,11 @@ object ImageOps {
           ImageCodec.dhashBits(ImageCodec.decode(bytes, fmt, w, h), w, h)))
       }).toDF("image_id", "dhash")
       .localCheckpoint()
-    val chunked = sigs.select(col("image_id"), col("dhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("dhash"), i * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"),
-      col("image_id").as("img_a"), col("dhash").as("dh_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"),
-      col("image_id").as("img_b"), col("dhash").as("dh_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .where(col("img_a") < col("img_b"))
-      .select(col("img_a"), col("img_b"),
-        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("long").as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
+    // hot-bucket-hardened pigeonhole blocking (flat/near-black crawl images
+    // produce IDENTICAL dhashes in the millions): identical signatures
+    // become member→rep dup-group edges, distinct signatures chunk-block +
+    // exact-verify — see HammingBlocking
+    HammingBlocking.nearDupPairs(sigs, "image_id", "dhash", "img_a", "img_b",
+      maxHamming, longHamming = true, maxBucket = maxBucket)
   }
 }

@@ -159,23 +159,14 @@ object TextOps {
     */
   def simhash(text: Column): Column = graft.expr.TextFunctions.simhash64(text)
 
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Int = 0): DataFrame = {
     val sigs = documents.select(col("doc_id"), simhash(col("text")).as("sim"))
-    // block on 4 16-bit chunks: within hamming ≤ 3, at least one chunk equal
-    val chunked = sigs.select(col("doc_id"), col("sim"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sim"), i * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
+    // hot-bucket-hardened pigeonhole blocking: identical signatures become
+    // member→rep dup-group edges (O(m), never the m² clique), distinct
+    // signatures chunk-block + exact-verify — see HammingBlocking
+    HammingBlocking.nearDupPairs(sigs, "doc_id", "sim", "doc_a", "doc_b",
+      maxHamming, longHamming = false, maxBucket = maxBucket)
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs from a cheap
