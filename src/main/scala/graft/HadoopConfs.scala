@@ -29,6 +29,33 @@ object HadoopConfs {
     c
   }
 
+  /** Driver-side sidecar write through the Hadoop FileSystem of `path`:
+    * with a non-local output dir (hdfs://, s3a://) a java.nio write would
+    * land the sidecar on the driver's LOCAL disk while the main outputs go
+    * to the remote FS — the whole output tree must resolve through one FS.
+    * Resolves the conf from the active SparkSession (falls back to
+    * classpath defaults when none is up, e.g. pure-JVM tests).
+    */
+  def writeSideBytes(path: String, bytes: Array[Byte]): String = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    // raw FS: skip the local ChecksumFileSystem's .crc sidecar files
+    val fs = p.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    val os = fs.create(p, true)
+    os.write(bytes)
+    os.close()
+    p.toString
+  }
+
+  def writeSideText(path: String, content: String): String =
+    writeSideBytes(path, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Untrusted-id → safe path segment: gml:id flows into output file names
     * (`<prefix>_<building_id>_local_.gml`), so path separators, traversal
     * dots, and control characters must not survive (hostile-input

@@ -77,10 +77,10 @@ object GmlSink {
         }
       }
     }
-    val pp = Paths.get(s"$outDir/${prefix}_parameters.txt")
-    Files.createDirectories(pp.getParent)
-    Files.writeString(pp, s"$dy\n$dx\n")
-    pp.toString
+    // through the same FS as the documents (a java.nio write would land
+    // driver-local when outDir is hdfs:// or s3a://)
+    graft.HadoopConfs.writeSideText(
+      s"$outDir/${prefix}_parameters.txt", s"$dy\n$dx\n")
   }
 
   /** TEST-SCALE helper (goldens): driver-side collect variant of the sink.
@@ -126,10 +126,7 @@ object GmlSink {
       val bid = jesc(r.getString(0))
       s"""  "$bid": {"axis_aligned_bbox": {"min_point": "[${r.getDouble(1)}, ${r.getDouble(2)}, ${r.getDouble(3)}]", "max_point": "[${r.getDouble(4)}, ${r.getDouble(5)}, ${r.getDouble(6)}]", "translation_parameters": {"d_x": "${r.getDouble(7)}", "d_y": "${r.getDouble(8)}", "d_z": "${r.getDouble(9)}"}}}"""
     }.mkString(",\n")
-    val p = Paths.get(s"$outDir/bbox.json")
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, s"{\n$body\n}\n")
-    p.toString
+    graft.HadoopConfs.writeSideText(s"$outDir/bbox.json", s"{\n$body\n}\n")
   }
 
   /** Re-import a bbox.json written by [[writeBboxJson]] (the reference's
@@ -172,10 +169,7 @@ object GmlSink {
     val body = rows.map { r =>
       s"""  "${jesc(r.getString(0))}": {"srsName": "${jesc(r.getString(1))}", "srsDimension": "${jesc(r.getString(2))}"}"""
     }.mkString(",\n")
-    val p = Paths.get(s"$outDir/crs.json")
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, s"{\n$body\n}\n")
-    p.toString
+    graft.HadoopConfs.writeSideText(s"$outDir/crs.json", s"{\n$body\n}\n")
   }
 
   /** Write `<outDir>/index.json`: obj component filename → tag / parentID /
@@ -187,9 +181,6 @@ object GmlSink {
     val body = rows.map { r =>
       s"""  "${jesc(r.getString(0))}": {"tag": "${jesc(r.getString(1))}", "parentID": "${jesc(r.getString(2))}", "gmlID": "${jesc(r.getString(3))}"}"""
     }.mkString(",\n")
-    val p = Paths.get(s"$outDir/index.json")
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, s"{\n$body\n}\n")
-    p.toString
+    graft.HadoopConfs.writeSideText(s"$outDir/index.json", s"{\n$body\n}\n")
   }
 }

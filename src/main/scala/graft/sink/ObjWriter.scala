@@ -227,12 +227,9 @@ object MtlSink {
     }.mkString
   }
 
-  def write(outDir: String): String = {
-    val p = java.nio.file.Paths.get(s"$outDir/colormap.mtl")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, colormapMtl())
-    p.toString
-  }
+  def write(outDir: String): String =
+    // Hadoop FS, not java.nio: the .mtl must land next to the OBJs on ANY FS
+    graft.HadoopConfs.writeSideText(s"$outDir/colormap.mtl", colormapMtl())
 
   /** Colorbar legend companion (plotcolorbar.py:1-76): the afmhot ramp as a
     * PNG strip next to colormap.mtl — one `binWidth`-px column per material
@@ -257,9 +254,7 @@ object MtlSink {
       }
       x += 1
     }
-    val p = java.nio.file.Paths.get(s"$outDir/colormap.png")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, graft.model.PngCodec.encode(px, w, height))
-    p.toString
+    graft.HadoopConfs.writeSideBytes(s"$outDir/colormap.png",
+      graft.model.PngCodec.encode(px, w, height))
   }
 }

