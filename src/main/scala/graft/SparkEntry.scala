@@ -517,6 +517,26 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q54_resume" -> ((s, d) => {
+      // RESUMABLE-RESTART EQUIVALENCE under the gate (round-4 #7): process 1
+      // commits the first two pipeline stages then "dies" (stopAfter);
+      // process 2 restarts over the same root — Lineage.stage short-circuits
+      // on the committed _SUCCESS markers and finishes the rest; a fresh
+      // single-shot run is the control. Output = the RESUMED run's per-cell
+      // counts plus an `identical` multiset-equality flag vs the control;
+      // the oracle recomputes the counts from inputs and pins identical =
+      // true, so any restart drift turns the row red.
+      val surf = synthSurfaces(s, d)
+      val imgs = synthImages(s, d)
+      val rootA = java.nio.file.Files.createTempDirectory("graft_q54_resume").toString
+      val rootB = java.nio.file.Files.createTempDirectory("graft_q54_fresh").toString
+      Lineage.runPipeline(s, rootA, surf, imgs, stopAfter = "image_cells")
+      val resumed = Lineage.runPipeline(s, rootA, surf, imgs)
+      val fresh = Lineage.runPipeline(s, rootB, surf, imgs)
+      val identical =
+        resumed.exceptAll(fresh).isEmpty && fresh.exceptAll(resumed).isEmpty
+      resumed.withColumn("identical", lit(identical)).orderBy("cell_id")
+    }),
     "q52_region_part_revenue" -> ((s, d) => {
       // TPC-H Q5/Q9-flavored multi-dimension star join — covers the
       // remaining relational tables (region, supplier, part): one fact
@@ -1475,6 +1495,19 @@ object SparkEntry {
                       ELSE ((p.x + dx) + (p.y + dy)) + p.z END
                       AS DECIMAL(28,6))) AS DOUBLE) AS tx_checksum
           FROM pts, pr GROUP BY object_kind ORDER BY object_kind""",
+    "q54_resume" ->
+      // same cell-count math as q16 (the triangles input is gated there);
+      // `identical` pinned TRUE — restart drift in the engine turns it false
+      s"""WITH i AS (SELECT image_id, ${O.cell("anchor_x", "anchor_y", 14)}
+                       AS cell_id, anchor_x, anchor_y FROM ${O.inp("images")}),
+          m AS (SELECT i.cell_id, i.image_id, t.surface_id
+                FROM i JOIN ${O.inp("triangles")} t
+                  ON ${O.pip("i.anchor_x", "i.anchor_y", "t.")})
+          SELECT cell_id, COUNT(*) AS n_matches,
+                 COUNT(DISTINCT image_id) AS n_images,
+                 COUNT(DISTINCT surface_id) AS n_surfaces,
+                 TRUE AS identical
+          FROM m GROUP BY cell_id ORDER BY cell_id""",
     "q52_region_part_revenue" ->
       """SELECT r_name, p_brand,
            COUNT(DISTINCT s_suppkey) AS n_suppliers,

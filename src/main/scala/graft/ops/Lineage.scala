@@ -60,14 +60,19 @@ object Lineage {
 
   /** The full spatial pipeline as named, resumable stages — kill it after
     * any stage and a rerun picks up from the last committed checkpoint.
+    * `stopAfter` simulates exactly that kill: commit stages up to and
+    * including the named one, then return its output without running the
+    * rest (q54's process-1 leg).
     */
   def runPipeline(spark: SparkSession, root: String,
-                  surfaces: DataFrame, images: DataFrame): DataFrame = {
+                  surfaces: DataFrame, images: DataFrame,
+                  stopAfter: String = ""): DataFrame = {
     val tri = stage(spark, root, "triangles") {
       val (ok, rejects) = ObjPipeline.validated(surfaces)
       rejects.write.mode(SaveMode.Overwrite).parquet(s"$root/rejects")
       SpatialOps.triangleCells(SpatialOps.triangles(ObjPipeline.withoutOpenings(ok)))
     }
+    if (stopAfter == "triangles") return tri
     val img = stage(spark, root, "image_cells") {
       // checkpoint only what the join consumes — carrying the binary payload
       // through this stage would double the corpus footprint per run at
@@ -76,10 +81,12 @@ object Lineage {
       SpatialOps.imageCells(images)
         .select("image_id", "anchor_x", "anchor_y", "cell_id")
     }
+    if (stopAfter == "image_cells") return img
     val joined = stage(spark, root, "spatial_join") {
       SpatialOps.spatialJoin(img, tri)
         .select("image_id", "cell_id", "surface_id", "surface_class", "building_id")
     }
+    if (stopAfter == "spatial_join") return joined
     stage(spark, root, "cell_counts") {
       joined.groupBy("cell_id").agg(
         count(lit(1)).as("n_matches"),
