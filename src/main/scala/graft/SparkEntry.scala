@@ -517,6 +517,20 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q55_ivf_sq" -> ((s, d) => {
+      // IVF-SQ8 (round-4 stretch): same coarse centroids as q45, but the
+      // list payload is 8-bit scalar-quantized codes; candidates rank by
+      // approximate cosine over the dequantized codes and only the
+      // shortlist re-ranks on full floats. The oracle recomputes quantizer
+      // stats, codes, reconstruction, probe selection, shortlist, and the
+      // exact re-rank — all from embeddings + the dumped centroid table.
+      val emb = s.read.parquet(p(d, "embeddings"))
+      val cents = AnnOps.ivfTrain(emb, dim = 64, nlist = 16, iters = 2)
+      val (mn, mx) = AnnOps.sqTrain(emb, dim = 64)
+      AnnOps.ivfSqTopK(emb, Seq(0L, 1L, 2L), cents, mn, mx,
+        nprobe = 4, k = 5, shortlist = 32)
+        .orderBy("query_id", "rk")
+    }),
     "q54_resume" -> ((s, d) => {
       // RESUMABLE-RESTART EQUIVALENCE under the gate (round-4 #7): process 1
       // commits the first two pipeline stages then "dies" (stopAfter);
@@ -1508,6 +1522,58 @@ object SparkEntry {
                  COUNT(DISTINCT surface_id) AS n_surfaces,
                  TRUE AS identical
           FROM m GROUP BY cell_id ORDER BY cell_id""",
+    "q55_ivf_sq" ->
+      // full IVF-SQ8 replay: per-dim min/max → scale/inv → codes →
+      // reconstruction (list ordered by dimension) → probe lists →
+      // approx-cosine shortlist (ark ≤ 32) → exact re-rank (rk ≤ 5)
+      s"""WITH ct AS (SELECT list_id, centroid FROM ${O.inp("ivf_centroids")}),
+          asg AS (SELECT vec_id, list_id FROM (
+                    SELECT e.vec_id, ct.list_id,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${O.cos("e.embedding", "ct.centroid")} DESC,
+                                 ct.list_id ASC) AS rn
+                    FROM embeddings e CROSS JOIN ct) WHERE rn = 1),
+          mm AS (SELECT di.di AS di,
+                   MIN(e.embedding[di.di]::DOUBLE) AS mn,
+                   MAX(e.embedding[di.di]::DOUBLE) AS mx
+                 FROM embeddings e, range(1, 65) AS di(di) GROUP BY di.di),
+          sc AS (SELECT di, mn, mx,
+                   CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END AS scale,
+                   (mx - mn) / 256.0 AS inv
+                 FROM mm),
+          r AS (SELECT e.vec_id, s.di,
+                  s.mn + (least(greatest(floor((e.embedding[s.di]::DOUBLE - s.mn)
+                    * s.scale), 0.0), 255.0) + 0.5) * s.inv AS xr
+                FROM embeddings e, sc s),
+          x AS (SELECT vec_id, list(xr ORDER BY di) AS recon
+                FROM r GROUP BY vec_id),
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < 3),
+          ql AS (SELECT query_id, list_id FROM (
+                   SELECT q.query_id, ct.list_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ${O.cos("q.q_emb", "ct.centroid")} DESC,
+                                ct.list_id ASC) AS rn
+                   FROM q CROSS JOIN ct) WHERE rn <= 4),
+          sl AS (SELECT query_id, vec_id, ca FROM (
+                   SELECT ql.query_id, a.vec_id,
+                     ${O.cos("x.recon", "q.q_emb")} AS ca,
+                     ROW_NUMBER() OVER (PARTITION BY ql.query_id
+                       ORDER BY ${O.cos("x.recon", "q.q_emb")} DESC,
+                                a.vec_id ASC) AS ark
+                   FROM ql JOIN asg a USING (list_id)
+                           JOIN x ON x.vec_id = a.vec_id
+                           JOIN q ON q.query_id = ql.query_id
+                   WHERE a.vec_id <> ql.query_id) WHERE ark <= 32),
+          d AS (SELECT sl.query_id, sl.vec_id, sl.ca,
+                  ${O.cos("e.embedding", "q.q_emb")} AS cos_raw
+                FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+                        JOIN q ON q.query_id = sl.query_id)
+          SELECT query_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, vec_id ASC) AS rk,
+                 vec_id, round(cos_raw, 6) AS cos, round(ca, 6) AS cos_approx
+          FROM d QUALIFY rk <= 5 ORDER BY query_id, rk""",
     "q52_region_part_revenue" ->
       """SELECT r_name, p_brand,
            COUNT(DISTINCT s_suppkey) AS n_suppliers,

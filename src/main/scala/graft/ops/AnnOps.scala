@@ -180,6 +180,20 @@ object AnnOps {
     (-array_max(array(packed.toIndexedSeq: _*)).getField("nid")).cast("int")
   }
 
+  /** (query_id, q_emb, list_id) — each query's `nprobe` nearest lists by
+    * centroid cosine (nlist struct literals sorted per row). Broadcast side
+    * of every IVF search join.
+    */
+  private def probeLists(embeddings: DataFrame, queryIds: Seq[Long],
+                         cents: Array[Array[Double]], nprobe: Int): DataFrame =
+    embeddings.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        slice(reverse(array_sort(array(cents.zipWithIndex.map { case (c, j) =>
+          struct(cosineToLit(col("embedding"), c).as("cos"), lit(-j).as("nid"))
+        }.toIndexedSeq: _*))), 1, nprobe).as("near"))
+      .select(col("query_id"), col("q_emb"),
+        explode(transform(col("near"), s => -s.getField("nid"))).as("list_id"))
+
   /** IVF-Flat top-k search: assign the corpus to lists map-side, pick each
     * query's `nprobe` nearest lists (by centroid cosine), exact-rerank only
     * inside those lists. One equi-join on the short list_id key — the same
@@ -192,21 +206,89 @@ object AnnOps {
       .orderBy(col("cos").desc, col("vec_id").asc)
     val corpus = embeddings
       .withColumn("list_id", ivfAssignExpr(col("embedding"), cents))
-    // nprobe nearest lists per query: nlist struct literals sorted per row
-    val probeLists = embeddings.where(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        slice(reverse(array_sort(array(cents.zipWithIndex.map { case (c, j) =>
-          struct(cosineToLit(col("embedding"), c).as("cos"), lit(-j).as("nid"))
-        }.toIndexedSeq: _*))), 1, nprobe).as("near"))
-      .select(col("query_id"), col("q_emb"),
-        explode(transform(col("near"), s => -s.getField("nid"))).as("list_id"))
-    corpus.join(broadcast(probeLists), Seq("list_id"))
+    corpus.join(broadcast(probeLists(embeddings, queryIds, cents, nprobe)),
+        Seq("list_id"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  // ---- IVF-SQ8 ("IVF-PQ-lite"): 8-bit scalar-quantized list payloads ----
+
+  /** Per-dimension (min, max) quantizer stats — metadata like the IVF
+    * centroids (2×dim doubles); min/max are order-independent, so the stats
+    * are exact at any partitioning and the oracle recomputes them in SQL.
+    */
+  def sqTrain(embeddings: DataFrame, dim: Int): (Array[Double], Array[Double]) = {
+    val row = embeddings.agg(
+      array((0 until dim).map(i =>
+        min(element_at(col("embedding"), i + 1).cast("double"))): _*).as("mn"),
+      array((0 until dim).map(i =>
+        max(element_at(col("embedding"), i + 1).cast("double"))): _*).as("mx"))
+      .head()
+    (row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray)
+  }
+
+  /** SQ8 encode: per-dim `floor((x − mn) · scale)` clamped to [0, 255],
+    * scale = 255/(mx−mn) (0 for a constant dimension). Deterministic
+    * integer math — SQL-recomputable term for term.
+    */
+  def sqEncodeExpr(emb: org.apache.spark.sql.Column,
+                   mn: Array[Double], mx: Array[Double]) =
+    array(mn.indices.map { i =>
+      val scale = if (mx(i) > mn(i)) 255.0 / (mx(i) - mn(i)) else 0.0
+      least(greatest(floor((element_at(emb, i + 1).cast("double") - lit(mn(i)))
+        * lit(scale)), lit(0.0)), lit(255.0)).cast("int")
+    }: _*)
+
+  /** SQ8 reconstruction: per-dim `mn + (code + 0.5) · ((mx − mn)/256)`. */
+  def sqDecodeExpr(codes: org.apache.spark.sql.Column,
+                   mn: Array[Double], mx: Array[Double]) =
+    array(mn.indices.map { i =>
+      val inv = (mx(i) - mn(i)) / 256.0
+      lit(mn(i)) + (element_at(codes, i + 1).cast("double") + lit(0.5)) * lit(inv)
+    }: _*)
+
+  /** IVF-SQ8 top-k: the list payload is (vec_id, list_id, codes) — one byte
+    * per dimension instead of 4 (float) or 8 (double), which is what
+    * dominates IVF storage and scan bandwidth at 100 TB. Search probes
+    * `nprobe` lists, ranks candidates by APPROXIMATE cosine against the
+    * dequantized codes, and exact-reranks only the `shortlist` best per
+    * query from the full-precision table (a vec_id equi-join sized
+    * queries×shortlist). Quantization is deterministic integer math, so the
+    * oracle replays encode, reconstruction, shortlist, and re-rank in SQL.
+    */
+  def ivfSqTopK(embeddings: DataFrame, queryIds: Seq[Long],
+                cents: Array[Array[Double]], mn: Array[Double],
+                mx: Array[Double], nprobe: Int, k: Int,
+                shortlist: Int): DataFrame = {
+    val index = embeddings.select(col("vec_id"),
+      ivfAssignExpr(col("embedding"), cents).as("list_id"),
+      sqEncodeExpr(col("embedding"), mn, mx).as("codes"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_approx").desc, col("vec_id").asc)
+    val short = index
+      .join(broadcast(probeLists(embeddings, queryIds, cents, nprobe)),
+        Seq("list_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_approx",
+        cosine(sqDecodeExpr(col("codes"), mn, mx), col("q_emb")))
+      .withColumn("ark", row_number().over(wA))
+      .where(col("ark") <= shortlist)
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("cos_approx"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    short
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rk", row_number().over(wE))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"),
+        round(col("cos_approx"), 6).as("cos_approx"))
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (dedup flavor of

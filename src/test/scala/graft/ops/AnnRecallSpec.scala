@@ -104,6 +104,36 @@ class AnnRecallSpec extends AnyFunSuite {
     cemb.unpersist(); asg.unpersist()
   }
 
+  test("IVF-SQ8: quantized shortlist + exact re-rank — recall ≥ 0.9 at ≤ 5% candidates") {
+    import org.apache.spark.sql.functions._
+    val cemb = graft.model.Synth.clusteredEmbeddings(spark, 2000L, 64, 50, 0.3)
+      .cache()
+    val cents = AnnOps.ivfTrain(cemb, dim = 64, nlist = 32, iters = 2)
+    val (mn, mx) = AnnOps.sqTrain(cemb, dim = 64)
+    val truth = exactOf(cemb)
+    // exact-rerank candidates = shortlist per query: 64 of 1999 ≈ 3.2%
+    val shortlist = 64
+    val frac = shortlist.toDouble / 1999
+    val got = AnnOps.ivfSqTopK(cemb, qids, cents, mn, mx,
+        nprobe = 4, k = 10, shortlist = shortlist)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val rec = truth.map { case (q, t) =>
+      t.intersect(got.getOrElse(q, Set.empty)).size.toDouble / t.size }.sum / truth.size
+    info(f"ivf-sq8 nlist=32 nprobe=4 shortlist=$shortlist recall=$rec%.3f rerank_frac=$frac%.3f")
+    assert(rec >= 0.9, f"IVF-SQ8 recall too low on clustered corpus: $rec%.3f")
+    assert(frac <= 0.05)
+    // quantized approx cosine tracks the exact one closely (SQ8 error bound)
+    val rows = AnnOps.ivfSqTopK(cemb, qids, cents, mn, mx,
+        nprobe = 4, k = 10, shortlist = shortlist)
+      .select("cos", "cos_approx").collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.05,
+        s"SQ8 approximation drifted: exact=${r.getDouble(0)} approx=${r.getDouble(1)}")
+    }
+    cemb.unpersist()
+  }
+
   test("every LSH hit is a bucketed candidate (subset consistency)") {
     val cand = AnnOps.lshCandidates(emb, qids, 64, 5, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
