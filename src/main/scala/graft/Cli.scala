@@ -33,9 +33,14 @@ import graft.sources.ChunkedGml
   *             `_parameters.txt` sidecar (CityGMLTranslation.py). Envelope
   *             lower corners are derived from building AABBs (the ingest is
   *             building-granular; documented divergence).
-  *  - `-sepC 1` component separation: one OBJ per BUILDING (filename =
-  *             sanitized id; the reference writes per-feature files —
-  *             documented granularity divergence), openings included
+  *  - `-sepC 1` component separation: one OBJ per BUILDING plus one per
+  *             installation feature (BuildingInstallation /
+  *             BuildingConstructiveElement / outerBuildingInstallation,
+  *             componentseparationmodule.py:621-624) plus an 'Other' bin
+  *             for non-building city objects, with index.json rows
+  *             (filename = sanitized id; the reference writes per-feature
+  *             files — documented granularity divergence), openings
+  *             included; files written executor-side
   *  - `-appW 1` (with -sepC) windows/doors approximated by convex hulls
   *  - `-addBB 1` (with -sepC) corner triangles of the buffered AABB
   *  - `-importBB <file>` use bounding boxes from a bbox.json instead
@@ -243,7 +248,10 @@ object Cli {
       msgs += s"wrote ${files.size} OBJ file(s) under $out"
       if (attr.nonEmpty) {
         msgs += s"materials: ${MtlSink.write(out)}"
-        msgs += s"colorbar: ${MtlSink.colorbarPng(out)}"
+        // colorbar annotated over the -a mode's value range (the reference
+        // hardcodes vmin/vmax per configuration, plotcolorbar.py:43-44)
+        val (_, _, lo, hi) = attr.get
+        msgs += s"colorbar: ${MtlSink.colorbarPng(out, vmin = lo, vmax = hi)}"
       }
     }
 

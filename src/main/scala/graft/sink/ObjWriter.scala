@@ -231,16 +231,43 @@ object MtlSink {
     // Hadoop FS, not java.nio: the .mtl must land next to the OBJs on ANY FS
     graft.HadoopConfs.writeSideText(s"$outDir/colormap.mtl", colormapMtl())
 
+  /** 3×5 bitmap glyphs for tick labels ('#' = on). No font libs ship in
+    * this container, so the annotations render through this minimal
+    * built-in face (digits + '.', '-', '>', '=').
+    */
+  private val glyphs: Map[Char, Seq[String]] = Map(
+    '0' -> Seq("###", "# #", "# #", "# #", "###"),
+    '1' -> Seq(" # ", "## ", " # ", " # ", "###"),
+    '2' -> Seq("###", "  #", "###", "#  ", "###"),
+    '3' -> Seq("###", "  #", "###", "  #", "###"),
+    '4' -> Seq("# #", "# #", "###", "  #", "  #"),
+    '5' -> Seq("###", "#  ", "###", "  #", "###"),
+    '6' -> Seq("###", "#  ", "###", "# #", "###"),
+    '7' -> Seq("###", "  #", "  #", "  #", "  #"),
+    '8' -> Seq("###", "# #", "###", "# #", "###"),
+    '9' -> Seq("###", "# #", "###", "  #", "###"),
+    '.' -> Seq("   ", "   ", "   ", "   ", " # "),
+    '-' -> Seq("   ", "   ", "###", "   ", "   "),
+    '>' -> Seq("#  ", " # ", "  #", " # ", "#  "),
+    '=' -> Seq("   ", "###", "   ", "###", "   "))
+
+  /** Extra rows under the ramp: 2 tick + 1 gap + 5 glyph + 1 pad. */
+  val colorbarLabelRows: Int = 9
+
   /** Colorbar legend companion (plotcolorbar.py:1-76): the afmhot ramp as a
     * PNG strip next to colormap.mtl — one `binWidth`-px column per material
-    * bin, low→high left→right. The reference renders it with matplotlib
-    * (ticks + labels); no plotting lib ships in this engine, so the legend
-    * is the bare ramp through the from-scratch PngCodec (documented
-    * divergence: same colors, no axis annotations).
+    * bin, low→high left→right — ANNOTATED with tick marks and numeric
+    * labels on a nice-step grid over [vmin, vmax], the final tick rendered
+    * `>=vmax` exactly like the reference's last-label override
+    * (plotcolorbar.py:69-71). matplotlib's serif face becomes a built-in
+    * 3×5 bitmap font (documented divergence: same information, simpler
+    * glyphs; the axis caption is omitted).
     */
-  def colorbarPng(outDir: String, binWidth: Int = 4, height: Int = 16): String = {
+  def colorbarPng(outDir: String, binWidth: Int = 4, height: Int = 16,
+                  vmin: Double = 350.0, vmax: Double = 1300.0): String = {
     val w = bins.length * binWidth
-    val px = new Array[Byte](w * height * 3)
+    val hTot = height + colorbarLabelRows
+    val px = Array.fill[Byte](w * hTot * 3)(0xFF.toByte) // white canvas
     var x = 0
     while (x < w) {
       val (r, g, b) = afmhot(bins(x / binWidth))
@@ -254,7 +281,47 @@ object MtlSink {
       }
       x += 1
     }
+    def setPx(xx: Int, yy: Int): Unit =
+      if (xx >= 0 && xx < w && yy >= 0 && yy < hTot) {
+        val o = (yy * w + xx) * 3
+        px(o) = 0; px(o + 1) = 0; px(o + 2) = 0
+      }
+    def drawText(s: String, cx: Int, y0: Int): Unit = {
+      val tw = s.length * 4 - 1
+      var x0 = math.max(0, math.min(w - tw, cx - tw / 2))
+      s.foreach { ch =>
+        glyphs.get(ch).foreach { g =>
+          var r = 0
+          while (r < 5) {
+            var c = 0
+            while (c < 3) {
+              if (g(r)(c) == '#') setPx(x0 + c, y0 + r)
+              c += 1
+            }
+            r += 1
+          }
+        }
+        x0 += 4
+      }
+    }
+    def fmtV(v: Double): String =
+      if (v == math.rint(v)) math.rint(v).toLong.toString else v.toString
+    // nice tick step (1/2/2.5/5 × 10^k) targeting ~8 intervals
+    val span = vmax - vmin
+    val rawStep = span / 8.0
+    val mag = math.pow(10, math.floor(math.log10(rawStep)))
+    val step = Seq(1.0, 2.0, 2.5, 5.0, 10.0).map(_ * mag).find(_ >= rawStep)
+      .getOrElse(rawStep)
+    val ticks = Iterator.iterate(math.ceil(vmin / step) * step)(_ + step)
+      .takeWhile(_ <= vmax + 1e-9).toSeq
+    ticks.zipWithIndex.foreach { case (v, i) =>
+      val tx = math.round((v - vmin) / span * (w - 1)).toInt
+      setPx(tx, height); setPx(tx, height + 1)
+      val label =
+        if (i == ticks.length - 1) ">=" + fmtV(vmax) else fmtV(v)
+      drawText(label, tx, height + 3)
+    }
     graft.HadoopConfs.writeSideBytes(s"$outDir/colormap.png",
-      graft.model.PngCodec.encode(px, w, height))
+      graft.model.PngCodec.encode(px, w, hTot))
   }
 }

@@ -80,12 +80,21 @@ class SinksLineageSpec extends AnyFunSuite {
     val p = MtlSink.colorbarPng(dir)
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
     val (px, w, h) = graft.model.PngCodec.decode(bytes)
-    assert(w === 404 && h === 16)
+    assert(w === 404 && h === 16 + MtlSink.colorbarLabelRows)
     // bin 0 = black, bin 100 = white, bin 50 (x=200) = (255, 128, 0)
     def at(x: Int) = (px(x * 3) & 0xFF, px(x * 3 + 1) & 0xFF, px(x * 3 + 2) & 0xFF)
     assert(at(0) === ((0, 0, 0)))
     assert(at(403) === ((255, 255, 255)))
     assert(at(200) === ((255, 128, 0)))
+    // annotation strip: tick marks + 3×5 glyph labels render black pixels on
+    // the white canvas under the ramp (reference ticks/labels parity)
+    val strip = px.drop(404 * 16 * 3)
+    val black = strip.grouped(3).count(g =>
+      (g(0) & 0xFF) == 0 && (g(1) & 0xFF) == 0 && (g(2) & 0xFF) == 0)
+    val white = strip.grouped(3).count(g =>
+      (g(0) & 0xFF) == 255 && (g(1) & 0xFF) == 255 && (g(2) & 0xFF) == 255)
+    assert(black > 50, s"no tick/label pixels rendered (black=$black)")
+    assert(black + white === 404 * MtlSink.colorbarLabelRows)
     // byte-deterministic across calls
     val p2 = MtlSink.colorbarPng(java.nio.file.Files.createTempDirectory("cb2").toString)
     assert(java.util.Arrays.equals(bytes,
