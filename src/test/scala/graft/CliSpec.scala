@@ -149,6 +149,32 @@ class CliSpec extends AnyFunSuite {
     assert(idx.contains("\"component-Other.obj\""))
   }
 
+  test("colliding building ids never merge into one output file") {
+    // 'b.1' and 'b_1' sanitize to the same segment — the hash suffix must
+    // keep them apart in BOTH the -sepC components and the -tCw GML files
+    assert(graft.HadoopConfs.fileSafe("b.1") !== graft.HadoopConfs.fileSafe("b_1"))
+    assert(graft.HadoopConfs.fileSafe("b_1") === "b_1") // unchanged id: no suffix
+    val dir = Files.createTempDirectory("cli_collide")
+    val surf = Synth.surfaces(spark, 2L).toDF
+    import org.apache.spark.sql.functions._
+    val renamed = surf.withColumn("building_id",
+      when(col("building_id") === "bldg00000000", "b.1").otherwise("b_1"))
+    GmlXml.render(renamed).collect().zipWithIndex.foreach { case (r, i) =>
+      Files.writeString(dir.resolve(s"city$i.gml"), r.getString(1))
+    }
+    val out = Files.createTempDirectory("cli_collide_out")
+    Cli.run(spark, dir.toString, out.toString, Map("-sepC" -> "1"))
+    val objs = Files.list(out).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("component-")).toSeq
+    assert(objs.size === 2, s"colliding ids merged: $objs")
+    val out2 = Files.createTempDirectory("cli_collide_out2")
+    Cli.run(spark, dir.toString, out2.toString,
+      Map("-tC" -> "1", "-tCw" -> "1"))
+    val gmls = Files.list(out2).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith("_local_.gml")).toSeq
+    assert(gmls.size === 2, s"colliding ids merged in GML sink: $gmls")
+  }
+
   test("EP-3: -tC -tCw translates and writes local GML + parameters") {
     val in = cityDir(4L)
     val out = Files.createTempDirectory("cli_out4")
