@@ -224,8 +224,10 @@ object Cli {
       // per-class executor-side writer applies, not the ≤13-file stitch
       val nFiles = ObjWriter.writePerClassDistributed(lines, out, "component")
       // index.json: obj filename → tag / parentID / gmlID
-      // (add_identifier_to_json contract); the 'Other' bin gets one entry
-      val comps = withComp.select(
+      // (add_identifier_to_json contract); the 'Other' bin gets one entry.
+      // Built from the VALIDATED rows, so a component whose every polygon
+      // was rejected never gets an index row pointing at a missing file
+      val comps = ok.select(
         concat(lit("component-"), col("component"), lit(".obj")).as("filename"),
         when(isOtherObj, lit("Other"))
           .when(col("surface_class").isin(instSeq: _*), col("surface_class"))

@@ -114,21 +114,22 @@ object ObjWriter {
           }
           var cur: String = null
           var os: java.io.OutputStream = null
-          rows.foreach { r =>
-            val cls = r.getString(0)
-            if (cls != cur) {
-              if (os != null) os.close()
-              cur = cls
-              // cls is pre-sanitized by the caller (safe path segment)
-              val target = new Path(
-                s"$outDir/$prefix${if (cls == "All") "" else s"-$cls"}.obj")
-              os = new java.io.BufferedOutputStream(fs.create(target, true), 1 << 16)
-              count.add(1L)
+          try {
+            rows.foreach { r =>
+              val cls = r.getString(0)
+              if (cls != cur) {
+                if (os != null) { os.close(); os = null }
+                cur = cls
+                // cls is pre-sanitized by the caller (safe path segment)
+                val target = new Path(
+                  s"$outDir/$prefix${if (cls == "All") "" else s"-$cls"}.obj")
+                os = new java.io.BufferedOutputStream(fs.create(target, true), 1 << 16)
+                count.add(1L)
+              }
+              os.write(r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              os.write('\n')
             }
-            os.write(r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            os.write('\n')
-          }
-          if (os != null) os.close()
+          } finally if (os != null) os.close() // no handle leak on task failure
         }
       }
     count.value
