@@ -200,7 +200,9 @@ object ChunkedGml {
         val b = win(i) & 0xFF
         if (skipEnd != null) {
           // inside comment/CDATA: tag text here is DATA, not structure —
-          // copy verbatim (when capturing) until the terminator
+          // copy verbatim (when capturing) until the terminator. Bulk-copy
+          // the run up to the next candidate terminator byte (per-byte
+          // writes dominated the scanner profile at ~30 MiB/s/core).
           if (b == (skipEnd(0) & 0xFF)) {
             matchesPlain(win, i, skipEnd, limit) match {
               case 1 =>
@@ -210,7 +212,13 @@ object ChunkedGml {
               case -1 if !eof => consumed = i; done = true
               case _ => if (capturing) body.write(b); i += 1
             }
-          } else { if (capturing) body.write(b); i += 1 }
+          } else {
+            val t0 = skipEnd(0)
+            var j = i + 1
+            while (j < limit && win(j) != t0) j += 1
+            if (capturing) body.write(win, i, j - i)
+            i = j
+          }
         } else if (inBldgTag) {
           // inside '<…Building …': quote-aware scan for the closing '>' so
           // '>' or '/' INSIDE attribute values can't end the tag, and a
@@ -261,7 +269,12 @@ object ChunkedGml {
                 case _ => i += 1
               }
             }
-          } else i += 1
+          } else {
+            // skip the run to the next '<' in one pass (nothing to record)
+            var j = i + 1
+            while (j < limit && win(j) != '<') j += 1
+            i = j
+          }
         } else {
           // capturing element text: copy bytes, watch for comments/CDATA,
           // nested opens, and closes
@@ -301,10 +314,18 @@ object ChunkedGml {
                   }
               }
             }
-          } else {
+          } else if (pendingClose) {
+            // between a depth-0 close-tag name and its '>': byte-at-a-time
+            // (the run is a few bytes at most)
             body.write(b)
-            if (pendingClose && b == '>') emit()
+            if (b == '>') emit()
             i += 1
+          } else {
+            // plain captured text: bulk-copy the run up to the next '<'
+            var j = i + 1
+            while (j < limit && win(j) != '<') j += 1
+            body.write(win, i, j - i)
+            i = j
           }
         }
       }
