@@ -153,29 +153,11 @@ object Cli {
       if (attr.nonEmpty)
         msgs += "-a has no effect with -sepC (reference parity: the sepC " +
           "building loop continues before any material logic, CityGML2OBJs.py:616-637)"
-      // untrusted gml:id → safe path segment, collision-proofed: whenever
-      // sanitization/truncation changed the id, append a stable hash so
-      // distinct ids ('b.1' vs 'b_1') can never merge into one file
-      def safeSeg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val s = substring(regexp_replace(c, "[^A-Za-z0-9_-]", "_"), 1, 200)
-        when(s === c, s)
-          .otherwise(concat(s, lit("_h"), lower(hex(crc32(c.cast("binary"))))))
-      }
       val instSeq = graft.sources.GmlXml.InstallationClasses.toSeq
-      val isOtherObj =
-        if (surfaces.columns.contains("object_kind"))
-          !col("object_kind").isin("Building", "None")
-        else lit(false)
-      val fidOr =
-        if (surfaces.columns.contains("feature_id"))
-          coalesce(when(col("feature_id") =!= "", col("feature_id")),
-            col("surface_class"))
-        else col("surface_class")
+      val isOtherObj = ObjPipeline.isOtherObject(surfaces)
+      val fidOr = ObjPipeline.featureIdOrClass(surfaces)
       val withComp = surfaces.withColumn("component",
-        when(isOtherObj, lit("Other"))
-          .when(col("surface_class").isin(instSeq: _*),
-            safeSeg(concat(col("building_id"), lit("__"), fidOr)))
-          .otherwise(safeSeg(col("building_id"))))
+        ObjPipeline.componentKey(surfaces))
       val (ok, _) = ObjPipeline.validated(withComp)
       val thematic = ObjPipeline.withoutOpenings(ok)
       val openings = ok.where(col("surface_class").isin("Window", "Door"))
@@ -209,7 +191,7 @@ object Cli {
             .withColumn("surface_id", concat(col("building_id"), lit("_bbox")))
             .withColumn("surface_class", lit("BBox"))
             .withColumn("poly_ord", lit(1000000L) + col("tri_idx"))
-            .withColumn("component", safeSeg(col("building_id")))
+            .withColumn("component", ObjPipeline.safeSeg(col("building_id")))
             .select(faceCols: _*)
         } else None
       val faceRows = bbTris.foldLeft(

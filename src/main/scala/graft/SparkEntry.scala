@@ -97,7 +97,8 @@ object SparkEntry {
     // trip's per-kind counts/checksums and the -tC translation from these
     w(Synth.mixedCity(s, nBuildings(sfOf(sfDir)), nOther(sfOf(sfDir)))
       .select(col("building_id"), col("surface_id"), col("surface_class"),
-        col("ext"), col("object_kind"), col("implicit_geom")),
+        col("ext"), col("holes"), col("object_kind"), col("feature_id"),
+        col("implicit_geom")),
       "mixed_surfaces")
   }
 
@@ -516,6 +517,29 @@ object SparkEntry {
         .groupBy("object_kind")
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
+    }),
+    "q56_components" -> ((s, d) => {
+      // `-sepC` COMPONENT SEMANTICS under the gate: the exact component-key
+      // expression the CLI uses (ObjPipeline.componentKey) bins mixed-city
+      // faces into per-building / per-installation / 'Other' components;
+      // per-component vertex-dictionary size, coordinate checksum, and
+      // ear-clip face count are recomputed by the oracle from the dumped
+      // pre-render surfaces (clean → validate → opening anti-join → key
+      // derivation → Euler counts, all in SQL).
+      val sf = sfOf(d)
+      val mixed = graft.model.Synth.mixedCity(s, nBuildings(sf), nOther(sf))
+      val withComp = mixed.withColumn("component",
+        ObjPipeline.componentKey(mixed))
+      val (ok, _) = ObjPipeline.validated(withComp)
+      val tris = SpatialOps.triangles(ObjPipeline.withoutOpenings(ok))
+      val (v, f) = ObjPipeline.dictionaryEncode(
+        ObjPipeline.corners(tris, semantics = false))
+      v.groupBy("cls").agg(
+          max("ordinal").as("n_vertices"),
+          dsum(col("x") + col("y") + col("z")).as("coord_checksum"))
+        .join(f.groupBy("cls").agg(count(lit(1)).as("n_faces")), "cls")
+        .withColumnRenamed("cls", "component")
+        .orderBy("component")
     }),
     "q55_ivf_sq" -> ((s, d) => {
       // IVF-SQ8 (round-4 stretch): same coarse centroids as q45, but the
@@ -1509,6 +1533,43 @@ object SparkEntry {
                       ELSE ((p.x + dx) + (p.y + dy)) + p.z END
                       AS DECIMAL(28,6))) AS DOUBLE) AS tx_checksum
           FROM pts, pr GROUP BY object_kind ORDER BY object_kind""",
+    "q56_components" ->
+      // full -sepC replay over the mixed city: clean → validate → opening
+      // anti-join → component-key CASE (the engine's componentKey — fixture
+      // ids are sanitizer-clean, so no hash suffix arises) → per-component
+      // vertex dictionary + Euler face counts
+      s"""WITH m0 AS (SELECT building_id, surface_id, surface_class,
+                        object_kind, feature_id, ${O.clean("ext")} AS c,
+                        list_transform(holes, h -> ${O.clean("h")}) AS hs
+                      FROM ${O.inp("mixed_surfaces")}),
+          m1 AS (SELECT *, ${O.normalCols("c")} FROM m0),
+          mv AS (SELECT * FROM m1 WHERE ${O.isValid("c")}),
+          op AS (SELECT DISTINCT c AS oc FROM mv
+                 WHERE surface_class IN ('Window','Door')),
+          th AS (SELECT mv.* FROM mv LEFT JOIN op ON mv.c = op.oc
+                 WHERE op.oc IS NULL
+                   AND mv.surface_class NOT IN ('Window','Door')),
+          ck AS (SELECT *, CASE
+                   WHEN object_kind NOT IN ('Building','None') THEN 'Other'
+                   WHEN surface_class IN ('BuildingInstallation',
+                     'BuildingConstructiveElement','outerBuildingInstallation')
+                     THEN building_id || '__'
+                          || COALESCE(NULLIF(feature_id, ''), surface_class)
+                   ELSE building_id END AS comp
+                 FROM th),
+          pv AS (SELECT comp, unnest(list_concat(${O.open("c")},
+                   flatten(list_transform(
+                     list_filter(hs, h -> len(${O.open("h")}) >= 3),
+                     h -> ${O.open("h")})))) AS p FROM ck),
+          vd AS (SELECT DISTINCT comp, p.x AS x, p.y AS y, p.z AS z FROM pv),
+          vs AS (SELECT comp, COUNT(*) AS n_vertices,
+                   CAST(SUM(CAST(x + y + z AS DECIMAL(28,6))) AS DOUBLE)
+                     AS coord_checksum
+                 FROM vd GROUP BY comp),
+          fs AS (SELECT comp, CAST(SUM($eulerT) AS BIGINT) AS n_faces
+                 FROM ck GROUP BY comp)
+          SELECT vs.comp AS component, n_vertices, coord_checksum, n_faces
+          FROM vs JOIN fs USING (comp) ORDER BY component""",
     "q54_resume" ->
       // same cell-count math as q16 (the triangles input is gated there);
       // `identical` pinned TRUE — restart drift in the engine turns it false

@@ -117,6 +117,47 @@ object ObjPipeline {
         posexplode(col("pts")).as(Seq("corner", "v")))
   }
 
+  /** Untrusted-id → safe path segment as COLUMN math, collision-proofed:
+    * whenever sanitization/truncation changed the id, a stable hash suffix
+    * keeps distinct ids ('b.1' vs 'b_1') from merging into one file.
+    * (graft.HadoopConfs.fileSafe's columnar twin.)
+    */
+  def safeSeg(c: Column): Column = {
+    val s = substring(regexp_replace(c, "[^A-Za-z0-9_-]", "_"), 1, 200)
+    when(s === c, s)
+      .otherwise(concat(s, lit("_h"), lower(hex(crc32(c.cast("binary"))))))
+  }
+
+  /** Non-building city-object predicate (requires the ingest's object_kind
+    * column; surfaces without it are all building-owned).
+    */
+  def isOtherObject(df: DataFrame): Column =
+    if (df.columns.contains("object_kind"))
+      !col("object_kind").isin("Building", "None")
+    else lit(false)
+
+  /** Installation feature id, falling back to the class name when the
+    * feature carried no gml:id.
+    */
+  def featureIdOrClass(df: DataFrame): Column =
+    if (df.columns.contains("feature_id"))
+      coalesce(when(col("feature_id") =!= "", col("feature_id")),
+        col("surface_class"))
+    else col("surface_class")
+
+  /** The `-sepC` component key (shared by Cli and the q56 gate): Other
+    * objects → one 'Other' bin; installation features → their own
+    * `<building>__<feature>` component (componentseparationmodule.py:
+    * 621-624); everything else → its building.
+    */
+  def componentKey(df: DataFrame): Column = {
+    val instSeq = graft.sources.GmlXml.InstallationClasses.toSeq
+    when(isOtherObject(df), lit("Other"))
+      .when(col("surface_class").isin(instSeq: _*),
+        safeSeg(concat(col("building_id"), lit("__"), featureIdOrClass(df))))
+      .otherwise(safeSeg(col("building_id")))
+  }
+
   /** O-41 vertex dictionary encoding: per class, distinct vertices get
     * 1-based ordinals in first-occurrence document order.
     * Returns (vertices, faces):
