@@ -100,6 +100,10 @@ object SparkEntry {
         col("ext"), col("holes"), col("object_kind"), col("feature_id"),
         col("implicit_geom")),
       "mixed_surfaces")
+    // per-frame pixel-sum truth from the SOURCE pixels (pre-encode): q57's
+    // oracle replays frame sampling from this, independent of the decoder
+    w(VideoOps.synthVideos(s, nOther(sfOf(sfDir)), nFrames = 12)._2,
+      "video_frames")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -517,6 +521,17 @@ object SparkEntry {
         .groupBy("object_kind")
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
+    }),
+    "q57_frame_sample" -> ((s, d) => {
+      // multimodal frame sampling (the last op of the decode/feature/
+      // resize/frame-sample list): every 3rd REAL PNG frame of each opaque
+      // GVID container decodes to a pixel checksum; the oracle reads the
+      // per-frame truth table dumped from the SOURCE pixels (computed
+      // before encoding — the engine's decode path is not shared) and
+      // replays the sampling predicate in SQL.
+      val (videos, _) = VideoOps.synthVideos(s, nOther(sfOf(d)), nFrames = 12)
+      VideoOps.sampleFrames(s, videos, every = 3)
+        .orderBy("video_id", "frame_idx")
     }),
     "q56_components" -> ((s, d) => {
       // `-sepC` COMPONENT SEMANTICS under the gate: the exact component-key
@@ -1570,6 +1585,11 @@ object SparkEntry {
                  FROM ck GROUP BY comp)
           SELECT vs.comp AS component, n_vertices, coord_checksum, n_faces
           FROM vs JOIN fs USING (comp) ORDER BY component""",
+    "q57_frame_sample" ->
+      s"""SELECT video_id, frame_idx, 8 AS w, 8 AS h, px_sum
+          FROM ${O.inp("video_frames")}
+          WHERE frame_idx % 3 = 0
+          ORDER BY video_id, frame_idx""",
     "q54_resume" ->
       // same cell-count math as q16 (the triangles input is gated there);
       // `identical` pinned TRUE — restart drift in the engine turns it false
