@@ -104,6 +104,9 @@ object SparkEntry {
     // oracle replays frame sampling from this, independent of the decoder
     w(VideoOps.synthVideos(s, nOther(sfOf(sfDir)), nFrames = 12)._2,
       "video_frames")
+    // per-window |sample| sums from the SOURCE samples (pre-pack): q58
+    w(AudioOps.synthClips(s, nOther(sfOf(sfDir)), nSamples = 1600,
+      window = 400)._2, "audio_windows")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -521,6 +524,15 @@ object SparkEntry {
         .groupBy("object_kind")
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
+    }),
+    "q58_audio_energy" -> ((s, d) => {
+      // multimodal audio leg: per-window Σ|sample| energy over opaque
+      // 16-bit PCM clips — exact integer math; the oracle replays windows
+      // from the source-sample truth table (engine decode independent).
+      val (clips, _) = AudioOps.synthClips(s, nOther(sfOf(d)),
+        nSamples = 1600, window = 400)
+      AudioOps.windowEnergy(s, clips, window = 400)
+        .orderBy("clip_id", "window_idx")
     }),
     "q57_frame_sample" -> ((s, d) => {
       // multimodal frame sampling (the last op of the decode/feature/
@@ -1590,6 +1602,10 @@ object SparkEntry {
           FROM ${O.inp("video_frames")}
           WHERE frame_idx % 3 = 0
           ORDER BY video_id, frame_idx""",
+    "q58_audio_energy" ->
+      s"""SELECT clip_id, window_idx, 400 AS n_samples, abs_sum
+          FROM ${O.inp("audio_windows")}
+          ORDER BY clip_id, window_idx""",
     "q54_resume" ->
       // same cell-count math as q16 (the triangles input is gated there);
       // `identical` pinned TRUE — restart drift in the engine turns it false
