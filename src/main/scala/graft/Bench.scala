@@ -55,7 +55,7 @@ object Bench {
     val imgP = s"$base/images.parquet"
     if (!new java.io.File(surfP).exists()) {
       Synth.surfaces(spark, nB).write.mode("overwrite").parquet(surfP)
-      Synth.withAnchors(Synth.images(spark, nI, nB).toDF, nB)
+      Synth.withAnchors(Synth.images(spark, nI, nB).toDF(), nB)
         .write.mode("overwrite").parquet(imgP)
     }
     val surfaces = spark.read.parquet(surfP)

@@ -34,11 +34,11 @@ object SparkEntry {
   def nOther(sf: Double): Long = math.max(16L, nBuildings(sf) / 2)
 
   private def synthSurfaces(s: SparkSession, dir: String): DataFrame =
-    Synth.surfaces(s, nBuildings(sfOf(dir))).toDF
+    Synth.surfaces(s, nBuildings(sfOf(dir))).toDF()
 
   private def synthImages(s: SparkSession, dir: String): DataFrame = {
     val sf = sfOf(dir)
-    Synth.withAnchors(Synth.images(s, nImages(sf), nBuildings(sf)).toDF, nBuildings(sf))
+    Synth.withAnchors(Synth.images(s, nImages(sf), nBuildings(sf)).toDF(), nBuildings(sf))
   }
 
   /** Dump the synthetic INPUT tables under `<outDir>/inputs/` so the DuckDB
