@@ -52,6 +52,49 @@ class HotBucketSpec extends AnyFunSuite {
       ("a0", "b0", 1)))                 // rep→rep cross edge (hamming 1)
   }
 
+  test("property: edges induce exactly the brute-force hamming components") {
+    // 40 seeded corpora with heavy duplication: the rep-group edge set must
+    // (a) contain only true hamming ≤ max pairs and (b) span exactly the
+    // same connected components as the full pairwise hamming graph
+    def find(parent: Array[Int], x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent, parent(x)); parent(x) }
+    for (trial <- 0 until 40) {
+      val n = 6 + (graft.model.Synth.mix64(trial).toInt & 15) // 6..21 docs
+      // few distinct base sigs + bit noise → duplicates and near-dups
+      val sigsArr = Array.tabulate(n) { i =>
+        val base = graft.model.Synth.mix64(trial * 31L + (i % 3))
+        val noise = graft.model.Synth.mix64(trial * 131L + i)
+        // flip 0-2 bits of the base
+        var s = base
+        if ((noise & 3) >= 1) s ^= 1L << ((noise >>> 8) & 63)
+        if ((noise & 3) >= 2) s ^= 1L << ((noise >>> 16) & 63)
+        s
+      }
+      val df = sigsArr.zipWithIndex
+        .map { case (s, i) => (f"d$i%02d", s) }.toSeq.toDF("doc_id", "sim")
+      val edges = HammingBlocking.nearDupPairs(df, "doc_id", "sim",
+        "doc_a", "doc_b", maxHamming = 3)
+        .collect().map(r => (r.getString(0).drop(1).toInt,
+          r.getString(1).drop(1).toInt, r.getInt(2)))
+      // (a) every edge is a true pair
+      edges.foreach { case (a, b, h) =>
+        val real = java.lang.Long.bitCount(sigsArr(a) ^ sigsArr(b))
+        assert(h === real && h <= 3, s"trial $trial: bogus edge ($a,$b,$h)")
+      }
+      // (b) same components as the brute-force graph
+      val pe = Array.tabulate(n)(identity)
+      edges.foreach { case (a, b, _) => pe(find(pe, a)) = find(pe, b) }
+      val pb = Array.tabulate(n)(identity)
+      for (a <- 0 until n; b <- a + 1 until n
+           if java.lang.Long.bitCount(sigsArr(a) ^ sigsArr(b)) <= 3)
+        pb(find(pb, a)) = find(pb, b)
+      def canon(p: Array[Int]) = (0 until n).map(find(p, _))
+        .zipWithIndex.groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+      assert(canon(pe) === canon(pb),
+        s"trial $trial: components diverge from brute force")
+    }
+  }
+
   test("maxBucket cap drops oversized distinct-signature buckets only") {
     // 40 distinct sigs sharing chunk 0 (low 16 bits = 7): a hot bucket of
     // distinct signatures; cap 10 drops that bucket's candidates, but pairs
