@@ -56,6 +56,25 @@ object HadoopConfs {
   def writeSideText(path: String, content: String): String =
     writeSideBytes(path, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Streaming variant: open the sidecar through the output dir's FS and
+    * hand the caller the stream (for sidecars whose row count scales with
+    * the city — the driver should never hold the whole file).
+    */
+  def withSideStream(path: String)(body: java.io.OutputStream => Unit): String = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    val os = fs.create(p, true)
+    try body(os) finally os.close()
+    p.toString
+  }
+
   /** Untrusted-id → safe path segment: gml:id flows into output file names
     * (`<prefix>_<building_id>_local_.gml`), so path separators, traversal
     * dots, and control characters must not survive (hostile-input

@@ -117,17 +117,37 @@ object GmlSink {
       round(col("zmax") + dz, 6).as("max_z"),
       lit(dx).as("d_x"), lit(dy).as("d_y"), lit(dz).as("d_z"))
 
+  /** Stream an ordered DataFrame's rows as one JSON object file: the row
+    * count scales with the city (one entry per building / component), so
+    * the driver must hold ONE PARTITION at a time (`toLocalIterator`,
+    * order-preserving), never the whole sidecar.
+    */
+  private def streamJsonObject(df: DataFrame, path: String)
+                              (entry: Row => String): String = {
+    val it = df.toLocalIterator()
+    graft.HadoopConfs.withSideStream(path) { os =>
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
+      w.write("{\n")
+      var first = true
+      while (it.hasNext) {
+        if (!first) w.write(",\n")
+        first = false
+        w.write(entry(it.next()))
+      }
+      w.write("\n}\n")
+      w.flush()
+    }
+  }
+
   /** Write the bbox sidecar as `<outDir>/bbox.json` — one object per
     * building keyed like the reference's `axis_aligned_bbox` entries.
     */
-  def writeBboxJson(sidecar: DataFrame, outDir: String): String = {
-    val rows = sidecar.orderBy("building_id").collect()
-    val body = rows.map { r =>
+  def writeBboxJson(sidecar: DataFrame, outDir: String): String =
+    streamJsonObject(sidecar.orderBy("building_id"), s"$outDir/bbox.json") { r =>
       val bid = jesc(r.getString(0))
       s"""  "$bid": {"axis_aligned_bbox": {"min_point": "[${r.getDouble(1)}, ${r.getDouble(2)}, ${r.getDouble(3)}]", "max_point": "[${r.getDouble(4)}, ${r.getDouble(5)}, ${r.getDouble(6)}]", "translation_parameters": {"d_x": "${r.getDouble(7)}", "d_y": "${r.getDouble(8)}", "d_z": "${r.getDouble(9)}"}}}"""
-    }.mkString(",\n")
-    graft.HadoopConfs.writeSideText(s"$outDir/bbox.json", s"{\n$body\n}\n")
-  }
+    }
 
   /** Re-import a bbox.json written by [[writeBboxJson]] (the reference's
     * `importBB` path, componentseparationmodule.py:549-593): whole-file JSON
@@ -163,24 +183,18 @@ object GmlSink {
   /** Write `<outDir>/crs.json` from the envelopes table (srsName /
     * srsDimension per file — addCRSToJSON contract).
     */
-  def writeCrsJson(envelopes: DataFrame, outDir: String): String = {
-    val rows = envelopes.select("file_id", "srs_name", "srs_dim")
-      .orderBy("file_id").collect()
-    val body = rows.map { r =>
+  def writeCrsJson(envelopes: DataFrame, outDir: String): String =
+    streamJsonObject(envelopes.select("file_id", "srs_name", "srs_dim")
+      .orderBy("file_id"), s"$outDir/crs.json") { r =>
       s"""  "${jesc(r.getString(0))}": {"srsName": "${jesc(r.getString(1))}", "srsDimension": "${jesc(r.getString(2))}"}"""
-    }.mkString(",\n")
-    graft.HadoopConfs.writeSideText(s"$outDir/crs.json", s"{\n$body\n}\n")
-  }
+    }
 
   /** Write `<outDir>/index.json`: obj component filename → tag / parentID /
     * gmlID (add_identifier_to_json contract). `components` needs columns
     * (filename, tag, parent_id, gml_id).
     */
-  def writeIndexJson(components: DataFrame, outDir: String): String = {
-    val rows = components.orderBy("filename").collect()
-    val body = rows.map { r =>
+  def writeIndexJson(components: DataFrame, outDir: String): String =
+    streamJsonObject(components.orderBy("filename"), s"$outDir/index.json") { r =>
       s"""  "${jesc(r.getString(0))}": {"tag": "${jesc(r.getString(1))}", "parentID": "${jesc(r.getString(2))}", "gmlID": "${jesc(r.getString(3))}"}"""
-    }.mkString(",\n")
-    graft.HadoopConfs.writeSideText(s"$outDir/index.json", s"{\n$body\n}\n")
-  }
+    }
 }
