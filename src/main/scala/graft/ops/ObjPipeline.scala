@@ -218,14 +218,17 @@ object ObjPipeline {
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.groupBy("pid", "cls").count()
-      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    val offsets = counts.keys.toSeq.sorted
-      .map { case (pid, cls) =>
-        val off = counts.collect {
-          case ((p2, c2), n) if c2 == cls && p2 < pid => n
-        }.sum
-        (pid, cls, off)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // one-pass per-class prefix sums over the (cls, pid)-sorted pairs — the
+    // naive per-key rescan is O(k²) in (partition, class) pairs, which the
+    // -sepC path (one class PER COMPONENT — potentially millions) cannot
+    // afford driver-side; this is O(k log k)
+    val offsets = counts.groupBy(_._2).toSeq.flatMap { case (cls, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, n) =>
+        val o = (pid, cls, acc); acc += n; o
       }
+    }
     val offDf = broadcast(
       firstSeen.sparkSession.createDataFrame(offsets).toDF("pid", "cls", "off"))
     sorted

@@ -152,6 +152,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(faces.where(col("cls") === "All").count() === tris.count())
   }
 
+  test("assignOrdinals at component cardinality: 20k classes, dense per-class") {
+    // the -sepC path routes one class PER COMPONENT through the ordinal
+    // assignment — the driver-side offset table must stay O(k log k), not
+    // O(k²) (the naive per-key rescan melted at this cardinality)
+    import spark.implicits._
+    val firstSeen = spark.range(0, 60000)
+      .select(format_string("comp%05d", col("id") % 20000).as("cls"),
+        (col("id") * 7 % 997).cast("double").as("x"),
+        (col("id") * 11 % 991).cast("double").as("y"),
+        lit(0.0).as("z"),
+        struct(col("id").as("building_ord"), lit(0L).as("poly_ord"),
+          lit(0).as("tri_idx"), lit(0).as("corner")).as("first_seen"))
+    val t0 = System.nanoTime()
+    val ords = ObjPipeline.assignOrdinals(firstSeen)
+    val perCls = ords.groupBy("cls").agg(count(lit(1)).as("n"),
+      min("ordinal").as("lo"), max("ordinal").as("hi"),
+      countDistinct("ordinal").as("nd")).collect()
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(perCls.length === 20000)
+    perCls.foreach { r =>
+      assert(r.getInt(2) === 1 && r.getInt(3).toLong === r.getLong(1) &&
+        r.getLong(1) === r.getLong(4), s"non-dense ordinals for ${r.getString(0)}")
+    }
+    assert(dt < 120.0, f"ordinal assignment took $dt%.1f s at 20k classes")
+  }
+
   test("objLines golden for one tiny building") {
     val one = Synth.surfaces(spark, 1L).toDF
     val (v, f, _) = ObjPipeline.run(spark, one, semantics = false)
