@@ -525,6 +525,15 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q59_seq_pack" -> ((s, d) => {
+      // sequence packing (pretraining batch op): concatenate documents in
+      // doc_id order, cut every 2048 tokens — per-doc exclusive start
+      // offset + [first_bin, last_bin]. The engine's prefix sum is
+      // DISTRIBUTED (range-partition + local window + tiny offset table);
+      // the oracle replays it as one SQL window over the documents table.
+      TextOps.packOffsets(s.read.parquet(p(d, "documents")), capacity = 2048)
+        .orderBy("doc_id")
+    }),
     "q58_audio_energy" -> ((s, d) => {
       // multimodal audio leg: per-window Σ|sample| energy over opaque
       // 16-bit PCM clips — exact integer math; the oracle replays windows
@@ -1606,6 +1615,19 @@ object SparkEntry {
       s"""SELECT clip_id, window_idx, 400 AS n_samples, abs_sum
           FROM ${O.inp("audio_windows")}
           ORDER BY clip_id, window_idx""",
+    "q59_seq_pack" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                    FROM documents),
+          c AS (SELECT doc_id, n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t)
+          SELECT doc_id, n_tokens,
+                 CAST(cum - n_tokens AS BIGINT) AS start_offset,
+                 CAST((cum - n_tokens) // 2048 AS BIGINT) AS first_bin,
+                 CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 2048
+                      ELSE (cum - n_tokens) // 2048 END AS BIGINT) AS last_bin
+          FROM c ORDER BY doc_id""",
     "q54_resume" ->
       // same cell-count math as q16 (the triangles input is gated there);
       // `identical` pinned TRUE — restart drift in the engine turns it false

@@ -35,6 +35,51 @@ object TextOps {
         (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
         .as("n_subtokens"))
 
+  /** Sequence packing for pretraining batches: documents are concatenated
+    * in `doc_id` order and cut every `capacity` tokens (the GPT-style
+    * concat-and-chunk sample packing), so each document gets its exclusive
+    * token start offset and the [first_bin, last_bin] range of fixed-size
+    * bins it lands in. The global prefix sum is DISTRIBUTED: range-partition
+    * by doc_id, window-cumsum locally per partition, then add per-partition
+    * offsets from a tiny driver-side table (the assignOrdinals pattern — no
+    * single-reducer global window).
+    */
+  def packOffsets(documents: DataFrame, capacity: Long): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val t = tokenCounts(documents).select(col("doc_id"), col("n_tokens"))
+    // persist: the range partitioner SAMPLES its child (RDD-id-seeded), so
+    // the counts job and the final job must see identical bounds
+    val sorted = t.repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = sorted.groupBy("pid")
+      .agg(sum(col("n_tokens")).as("part_tokens"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      parts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
+    }
+    val offDf = broadcast(documents.sparkSession
+      .createDataFrame(offsets.toSeq).toDF("pid", "part_off"))
+    val local = sum(col("n_tokens"))
+      .over(Window.partitionBy(col("pid")).orderBy(col("doc_id")))
+    val out = sorted
+      .withColumn("cum_incl", local)
+      .join(offDf, Seq("pid"))
+      .withColumn("start_offset", col("part_off") + col("cum_incl") - col("n_tokens"))
+      .withColumn("first_bin", (col("start_offset") / capacity).cast("long"))
+      // empty documents occupy no tokens: they sit AT start_offset and
+      // belong wholly to first_bin
+      .withColumn("last_bin",
+        when(col("n_tokens") > 0,
+          ((col("part_off") + col("cum_incl") - 1) / capacity).cast("long"))
+          .otherwise(col("first_bin")))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("first_bin"), col("last_bin"))
+    out
+  }
+
   /** Quality scoring: length, stopword ratio, mean word length, distinct
     * ratio — the classic cheap pre-filter features.
     */

@@ -80,6 +80,25 @@ class TextAnnSpec extends AnyFunSuite {
     assert(nd.get((0L, 1L)).contains(0))
   }
 
+  test("sequence packing: contiguous offsets, bin math, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val cap = 7L
+    val packed = TextOps.packOffsets(docs, capacity = cap)
+      .orderBy("doc_id").collect()
+    // offsets are the exclusive prefix sum in doc_id order
+    var cum = 0L
+    packed.foreach { r =>
+      assert(r.getLong(2) === cum, s"doc ${r.getLong(0)}: offset gap")
+      cum += r.getInt(1)
+      assert(r.getLong(3) === r.getLong(2) / cap)
+      assert(r.getLong(4) === (cum - 1).max(r.getLong(2)) / cap)
+    }
+    // distributed prefix sum is partition-invariant
+    val repacked = TextOps.packOffsets(docs.repartition(7), capacity = cap)
+      .orderBy("doc_id").collect()
+    assert(repacked.map(_.toSeq).toSeq === packed.map(_.toSeq).toSeq)
+  }
+
   test("ngram jaccard: exact dup pair = 1.0") {
     val pairs = TextOps.ngramJaccardPairs(docs, k = 3, threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
