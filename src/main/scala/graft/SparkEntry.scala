@@ -525,6 +525,13 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q60_shuffle" -> ((s, d) => {
+      // deterministic epoch shuffle: dense rank under a seeded md5
+      // permutation, assigned via the distributed two-pass pattern; the
+      // oracle replays the exact permutation with one SQL window.
+      TextOps.shuffleRanks(s.read.parquet(p(d, "documents")), seed = 42L)
+        .orderBy("doc_id")
+    }),
     "q59_seq_pack" -> ((s, d) => {
       // sequence packing (pretraining batch op): concatenate documents in
       // doc_id order, cut every 2048 tokens — per-doc exclusive start
@@ -1628,6 +1635,12 @@ object SparkEntry {
                  CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 2048
                       ELSE (cum - n_tokens) // 2048 END AS BIGINT) AS last_bin
           FROM c ORDER BY doc_id""",
+    "q60_shuffle" ->
+      s"""SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY
+                   ${O.md5n("doc_id::VARCHAR || '#42'")}, doc_id) AS BIGINT)
+                   AS shuffle_rank
+          FROM documents ORDER BY doc_id""",
     "q54_resume" ->
       // same cell-count math as q16 (the triangles input is gated there);
       // `identical` pinned TRUE — restart drift in the engine turns it false

@@ -80,6 +80,24 @@ object TextOps {
     out
   }
 
+  /** Deterministic training-order shuffle: dense 1-based rank of each
+    * document under a seeded md5 permutation (the epoch-shuffle a training
+    * pipeline applies after packing). Rank assignment is DISTRIBUTED via
+    * the two-pass range-partition + local-rank + offset-table pattern
+    * (ObjPipeline.assignOrdinals) — no global single-reducer window. The
+    * md5 hash is cross-engine (first 15 hex chars as a number), so the
+    * oracle replays the exact permutation in SQL.
+    */
+  def shuffleRanks(documents: DataFrame, seed: Long): DataFrame = {
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(s"#$seed"))), 1, 15), 16, 10).cast("long")
+    val firstSeen = documents.select(col("doc_id"),
+      lit("all").as("cls"),
+      struct(h.as("h"), col("doc_id").as("doc_id")).as("first_seen"))
+    ObjPipeline.assignOrdinals(firstSeen)
+      .select(col("doc_id"), col("ordinal").cast("long").as("shuffle_rank"))
+  }
+
   /** Quality scoring: length, stopword ratio, mean word length, distinct
     * ratio — the classic cheap pre-filter features.
     */

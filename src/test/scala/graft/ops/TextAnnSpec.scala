@@ -99,6 +99,22 @@ class TextAnnSpec extends AnyFunSuite {
     assert(repacked.map(_.toSeq).toSeq === packed.map(_.toSeq).toSeq)
   }
 
+  test("shuffle ranks: a seeded permutation, seed-sensitive, partition-invariant") {
+    val r42 = TextOps.shuffleRanks(docs, seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    // dense 1..n permutation
+    assert(r42.values.toSeq.sorted === (1L to n).toSeq)
+    // a different seed gives a different order
+    val r7 = TextOps.shuffleRanks(docs, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r42 !== r7)
+    // partition-invariant
+    val rp = TextOps.shuffleRanks(docs.repartition(5), seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rp === r42)
+  }
+
   test("ngram jaccard: exact dup pair = 1.0") {
     val pairs = TextOps.ngramJaccardPairs(docs, k = 3, threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
