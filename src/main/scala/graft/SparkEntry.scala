@@ -525,6 +525,18 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q61_mix" -> ((s, d) => {
+      // corpus mixing: per-source keep-fractions via a seeded md5 filter
+      // (no shuffle, no RNG state); per-source kept counts + doc-id sums
+      // prove the EXACT membership set, replayed by the oracle's CASE with
+      // the same integer thresholds.
+      TextOps.mixCorpus(s.read.parquet(p(d, "documents")),
+        weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0),
+        defaultWeight = 1.0, seed = 13L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")
+    }),
     "q60_shuffle" -> ((s, d) => {
       // deterministic epoch shuffle: dense rank under a seeded md5
       // permutation, assigned via the distributed two-pass pattern; the
@@ -1635,6 +1647,15 @@ object SparkEntry {
                  CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 2048
                       ELSE (cum - n_tokens) // 2048 END AS BIGINT) AS last_bin
           FROM c ORDER BY doc_id""",
+    "q61_mix" ->
+      s"""WITH m AS (SELECT source, doc_id,
+                 ${O.md5n("doc_id::VARCHAR || '@13'")} % 1000000 AS hkey,
+                 CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 250000
+                      WHEN 'src2' THEN 0 ELSE 1000000 END AS thr
+               FROM documents)
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(doc_id) AS BIGINT) AS id_sum
+          FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
     "q60_shuffle" ->
       s"""SELECT doc_id,
                  CAST(ROW_NUMBER() OVER (ORDER BY

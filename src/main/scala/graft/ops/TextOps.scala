@@ -80,6 +80,28 @@ object TextOps {
     out
   }
 
+  /** Corpus mixing: deterministic per-source subsampling to the given
+    * keep-fractions (the corpus-weighting knob of every pretraining data
+    * recipe). Membership = seeded cross-engine md5 hash of doc_id mod 10^6
+    * under a per-source integer threshold — pure column math (a FILTER: no
+    * shuffle, no RNG state), identical across engines, partitionings, and
+    * reruns. Thresholds are computed driver-side as integers, so the
+    * oracle's CASE carries the exact same literals.
+    */
+  def mixCorpus(documents: DataFrame, weights: Map[String, Double],
+                defaultWeight: Double = 1.0, seed: Long = 0L): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
+      "weights must be in [0, 1]")
+    val h = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(s"@$seed"))), 1, 15), 16, 10).cast("long"), lit(1000000L))
+    def thr(w: Double): Long = math.floor(w * 1000000.0).toLong
+    val threshold = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(thr(defaultWeight))) { case (acc, (src, w)) =>
+        when(col("source") === src, lit(thr(w))).otherwise(acc)
+      }
+    documents.where(h < threshold)
+  }
+
   /** Deterministic training-order shuffle: dense 1-based rank of each
     * document under a seeded md5 permutation (the epoch-shuffle a training
     * pipeline applies after packing). Rank assignment is DISTRIBUTED via

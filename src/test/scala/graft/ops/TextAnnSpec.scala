@@ -115,6 +115,22 @@ class TextAnnSpec extends AnyFunSuite {
     assert(rp === r42)
   }
 
+  test("corpus mixing: deterministic, weight-proportional, zero-weight drops") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val mixed = TextOps.mixCorpus(real,
+      Map("src0" -> 0.5, "src2" -> 0.0), defaultWeight = 1.0, seed = 13L)
+    val bySrc = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src2"))              // zero weight: fully dropped
+    assert(bySrc("src1") === 25L)                // default weight: all kept
+    assert(bySrc("src0") > 0L && bySrc("src0") < 25L) // subsampled
+    // exactly reproducible (no RNG state, partitioning-independent)
+    val again = TextOps.mixCorpus(real.repartition(7),
+      Map("src0" -> 0.5, "src2" -> 0.0), defaultWeight = 1.0, seed = 13L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === mixed.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("ngram jaccard: exact dup pair = 1.0") {
     val pairs = TextOps.ngramJaccardPairs(docs, k = 3, threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
