@@ -175,6 +175,31 @@ class CliSpec extends AnyFunSuite {
     assert(gmls.size === 2, s"colliding ids merged in GML sink: $gmls")
   }
 
+  test("EP-3 mixed city: -tC translates non-building objects too") {
+    // round-4 item #6 at the CLI level: the q53 oracle gates the math; this
+    // gates the glue — roads/vegetation coordinates shift with the derived
+    // params and land in the translated Other OBJ
+    val dir = Files.createTempDirectory("cli_mixed_tc")
+    GmlXml.render(Synth.mixedCity(spark, 4L, 4L)).collect().foreach { r =>
+      Files.writeString(dir.resolve(s"${r.getString(0)}.gml"), r.getString(1))
+    }
+    val out = Files.createTempDirectory("cli_mixed_tc_out")
+    val msgs = Cli.run(spark, dir.toString, out.toString,
+      Map("-tC" -> "1", "-s" -> "1"))
+    assert(msgs.exists(_.contains("CRS translation applied")))
+    val other = out.resolve("citygml-Other.obj")
+    assert(Files.exists(other), s"msgs=$msgs")
+    // non-implicit other objects translate near the origin (raw synth
+    // coords sit at 100+) — while the IMPLICIT CityFurniture keeps its
+    // template coordinates untranslated (CityGMLTranslation.py:288-298)
+    val xs = lines(other).filter(_.startsWith("v ")).map(_.split(" ")(1).toDouble)
+    assert(xs.nonEmpty)
+    assert(xs.count(_ < Synth.Ox0) >= 12, // 3 translated quads × 4 corners
+      s"Other objects not translated: $xs")
+    assert(xs.count(_ >= Synth.Ox0) === 4, // the implicit quad's corners
+      s"implicit template geometry should stay untranslated: $xs")
+  }
+
   test("EP-3: -tC -tCw translates and writes local GML + parameters") {
     val in = cityDir(4L)
     val out = Files.createTempDirectory("cli_out4")
