@@ -94,6 +94,13 @@ object Bench {
           if (r < 0) warmTimes(name) = t
           else { repTimes(name)(r) = t; rowCounts(name) = rows }
         } catch { case _: Throwable => /* rep stays -1 */ }
+        // per-query cache hygiene: a query that persists internally must not
+        // hand its cached post-shuffle frames to its own next rep — that
+        // turns "min of reps" into "cost of reading rep 1's cache" (the
+        // round-2 kNN artifact class; round-5 item #2). The deliberately
+        // pre-built triCells side survives: it's a localCheckpoint, outside
+        // the CacheManager.
+        spark.catalog.clearCache()
       }
     }
     def minOf(name: String): Double = {
@@ -113,16 +120,20 @@ object Bench {
 
     // ---- headline: spatial join (cell equi-join + PIP refine, salted) ----
     val (ok, _) = ObjPipeline.validated(surfaces)
+    // build side materialized outside the timed probe; localCheckpoint (not
+    // cache) so the per-rep clearCache() hygiene sweep can't evict it
     val triCells = SpatialOps.triangleCells(
-      SpatialOps.triangles(ObjPipeline.withoutOpenings(ok))).cache()
-    triCells.count() // build side cached outside the timed probe
+      SpatialOps.triangles(ObjPipeline.withoutOpenings(ok))).localCheckpoint()
 
-    // salt = 1: the build side broadcasts here (AQE), and salting only
+    // salt = 1: the build side broadcasts here (explicit hint — a
+    // localCheckpointed LogicalRDD carries no size stats, so without the
+    // hint the planner would pessimistically shuffle it), and salting only
     // helps SHUFFLE joins — replicating a broadcast build 8× just inflates
     // the driver-built hashed relation (measured 2.1 s vs 1.7 s at 32c).
     bench("spatial_join") {
       SpatialOps.cellCounts(
-        SpatialOps.spatialJoin(SpatialOps.imageCells(images), triCells, salt = 1))
+        SpatialOps.spatialJoin(SpatialOps.imageCells(images),
+          broadcast(triCells), salt = 1))
         .agg(sum("n_matches")).head().getLong(0)
     }
     // the at-scale skew path (north rule): forced shuffle-hash join with the

@@ -59,6 +59,13 @@ object HadoopConfs {
   /** Streaming variant: open the sidecar through the output dir's FS and
     * hand the caller the stream (for sidecars whose row count scales with
     * the city — the driver should never hold the whole file).
+    *
+    * Commit discipline (round-5 ADVICE fix): the stream writes to a
+    * `.<name>.inprogress` sibling and renames into place only after `body`
+    * completes — a Spark job failure mid-iteration can no longer leave a
+    * truncated, unparseable bbox.json/crs.json/index.json at the final
+    * location (consumers like importBboxJson read complete files or
+    * nothing).
     */
   def withSideStream(path: String)(body: java.io.OutputStream => Unit): String = {
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
@@ -70,8 +77,18 @@ object HadoopConfs {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case f => f
     }
-    val os = fs.create(p, true)
-    try body(os) finally os.close()
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.inprogress")
+    val os = fs.create(tmp, true)
+    var ok = false
+    try { body(os); ok = true } finally {
+      os.close()
+      if (ok) {
+        fs.delete(p, false) // rename won't overwrite on HDFS/local
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"rename $tmp -> $p failed")
+      } else fs.delete(tmp, false)
+    }
     p.toString
   }
 
@@ -89,12 +106,16 @@ object HadoopConfs {
     // distinct raw ids must never map to one path (e.g. 'b.1' vs 'b_1', or
     // two ids sharing a 200-char prefix — the second write would silently
     // overwrite the first): whenever sanitization or truncation CHANGED the
-    // id, disambiguate with a short stable hash of the raw id
+    // id, disambiguate with a short stable hash of the raw id. CRC32 over
+    // UTF-8 bytes, formatted exactly like Spark's lower(hex(crc32(...))) —
+    // the SAME hash as ObjPipeline.safeSeg's column twin, so a dirty gml:id
+    // maps to one segment in BOTH the component-OBJ and the GML-sink file
+    // namespaces (round-5 ADVICE fix)
     if (base == s) base
     else {
-      val h = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
-      s"${base}_h$h"
+      val crc = new java.util.zip.CRC32()
+      crc.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"${base}_h${java.lang.Long.toHexString(crc.getValue)}"
     }
   }
 }

@@ -230,7 +230,7 @@ object ImageOps {
     * (chunk, dhash) pairs, 16 bytes a row.
     */
   def dhashNearDups(spark: SparkSession, images: DataFrame,
-                    maxHamming: Int = 3, maxBucket: Int = 0): DataFrame = {
+                    maxHamming: Int = 3, maxBucket: Int = -1): DataFrame = {
     import spark.implicits._
     // lean signature pass (decode + dhash only — no channel means), then an
     // EAGER localCheckpoint: the self-join consumes the signature table

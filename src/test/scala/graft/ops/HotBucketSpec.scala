@@ -113,4 +113,48 @@ class HotBucketSpec extends AnyFunSuite {
     // exist for i,j whose xor has ≤ 3 bits (e.g. 1^2=3 → 2 bits)
     assert(uncapped.count() > 0L)
   }
+
+  test("auto cap (default): adversarial distinct-sig hot chunk is dropped " +
+    "AND accounted (round-5 item #4)") {
+    // 5000 DISTINCT signatures sharing chunks 0 (=7), 2 and 3 (=0) — only
+    // chunk 1 varies. Uncapped, three 5000-row buckets would each feed a
+    // 25M-row candidate stage; the default auto cap (max(1024, 8×p99.9) with
+    // p99.9 ≈ 1 over the 5000 singleton chunk-1 buckets) drops exactly those
+    // three buckets and REPORTS them — no silent truncation.
+    val sigs = spark.range(0, 5000).select(
+      format_string("d%05d", col("id")).as("doc_id"),
+      (col("id") * 65536L + 7L).as("sim"))
+    val (pairs, drops) = HammingBlocking.nearDupPairsWithDrops(sigs,
+      "doc_id", "sim", "doc_a", "doc_b", maxHamming = 3)
+    val d = drops.collect().map(r => (r.getInt(0), r.getLong(2))).sorted
+    assert(d.toSeq === Seq((0, 5000L), (2, 5000L), (3, 5000L)),
+      s"expected the three shared-chunk buckets in the drop report, got ${d.toSeq}")
+    // chunk-1 buckets are singletons → no candidates survive; identical-sig
+    // group edges don't exist (all sigs distinct)
+    assert(pairs.count() === 0L)
+  }
+
+  test("radius > 3: chunk count derives from maxHamming — recall-lossless " +
+    "at radius 10 (round-5 ADVICE fix)") {
+    // s_k = base with k bits flipped at positions 1,7,13,…,55 (nested sets:
+    // hamming(s_j, s_k) = |j − k|), spanning ALL FOUR legacy 16-bit chunks —
+    // the old fixed 4-chunk blocking would MISS e.g. (s_0, s_10). With 11
+    // derived chunks, every pair within 10 shares an intact chunk.
+    val base = 0x0123456789ABCDEFL
+    val sigsArr = (0 to 10).map { k =>
+      base ^ (0 until k).map(j => 1L << (j * 6 + 1)).fold(0L)(_ | _)
+    }
+    val df = sigsArr.zipWithIndex.map { case (s, i) => (f"d$i%02d", s) }
+      .toDF("doc_id", "sim")
+    val edges = HammingBlocking.nearDupPairs(df, "doc_id", "sim",
+      "doc_a", "doc_b", maxHamming = 10)
+      .collect()
+      .map(r => (r.getString(0).drop(1).toInt, r.getString(1).drop(1).toInt,
+        r.getInt(2))).toSet
+    val expected = (for {
+      j <- 0 to 10; k <- j + 1 to 10
+    } yield (j, k, k - j)).toSet
+    assert(edges === expected,
+      "all 55 pairs within radius 10 must surface with exact hamming")
+  }
 }

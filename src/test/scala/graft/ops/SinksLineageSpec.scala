@@ -157,5 +157,28 @@ class SinksLineageSpec extends AnyFunSuite {
       .select("stage").distinct().count()
     assert(stages >= 4)
     assert(spark.read.parquet(s"$root/lineage").count() >= 4)
+    // the payload-heavy tiling leg checkpoints under the same contract
+    assert(Lineage.committed(s"$root/stages/tile_metrics"))
+    assert(spark.read.parquet(s"$root/stages/tile_metrics").count() > 0)
+  }
+
+  test("Lineage: committed/invalidate resolve through the Hadoop FS " +
+    "(scheme-qualified roots — round-5 item #3)") {
+    // an explicit file: URI root: the old java.io.File implementation saw
+    // "file:/…/_SUCCESS" as a relative path, always returned false, and
+    // resume silently degraded to recompute-everything on any real FS
+    val root = "file:" + java.nio.file.Files.createTempDirectory("lineage_fs")
+    val surfaces = Synth.surfaces(spark, 8L).toDF
+    val images = Synth.withAnchors(Synth.images(spark, 200L, 8L).toDF, 8L)
+    val r1 = Lineage.runPipeline(spark, root, surfaces, images)
+      .orderBy("cell_id").collect()
+    assert(r1.nonEmpty)
+    assert(Lineage.committed(s"$root/stages/triangles"))
+    assert(Lineage.committed(s"$root/stages/cell_counts"))
+    Lineage.invalidate(root, "cell_counts")
+    assert(!Lineage.committed(s"$root/stages/cell_counts"))
+    val r2 = Lineage.runPipeline(spark, root, surfaces, images)
+      .orderBy("cell_id").collect()
+    assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq)
   }
 }
