@@ -41,6 +41,23 @@ object SparkEntry {
     Synth.withAnchors(Synth.images(s, nImages(sf), nBuildings(sf)).toDF(), nBuildings(sf))
   }
 
+  /** q62 fixtures (shared by the query and dumpInputs so the dumped edge
+    * table is in lockstep with what the engine clusters): a chained
+    * near-dup corpus and the union of minhash + simhash near-dup edge
+    * tables over it — the exact shape a production dedup pipeline feeds
+    * into clustering.
+    */
+  private[graft] def q62Corpus(s: SparkSession, dir: String): DataFrame =
+    Synth.chainDocs(s, math.max(8L, (2000 * sfOf(dir)).toLong))
+
+  private[graft] def q62Edges(docs: DataFrame): DataFrame = {
+    val mh = TextOps.minhashNearDups(docs, k = 3, bands = 16, rows = 2,
+      threshold = 0.6).select(col("doc_a"), col("doc_b"))
+    val sh = TextOps.simhashNearDups(docs, maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"))
+    mh.unionByName(sh).distinct()
+  }
+
   /** Dump the synthetic INPUT tables under `<outDir>/inputs/` so the DuckDB
     * oracles can recompute the geometry/engine queries from first principles
     * (see [[OracleSql]]). Parameters (k/bands/bits/…) stay in lockstep with
@@ -107,6 +124,13 @@ object SparkEntry {
     // per-window |sample| sums from the SOURCE samples (pre-pack): q58
     w(AudioOps.synthClips(s, nOther(sfOf(sfDir)), nSamples = 1600,
       window = 400)._2, "audio_windows")
+    // near-dup vertex/edge tables for the q62 clustering oracle: edge
+    // GENERATION is gated by q21/q22 (minhash/simhash oracles replay it in
+    // SQL); here the oracle replays the CLUSTERING — components + keep
+    // flags via a recursive CTE over these dumps
+    val cdocs = q62Corpus(s, sfDir)
+    w(cdocs.select("doc_id"), "neardup_vertices")
+    w(q62Edges(cdocs), "neardup_edges")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -524,6 +548,19 @@ object SparkEntry {
         .groupBy("object_kind")
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
+    }),
+    "q62_neardup_clusters" -> ((s, d) => {
+      // distributed near-dup CLUSTERING + canonical keep-list (round-5 #1,
+      // the op every dedup pipeline runs after its pair tables): connected
+      // components by min-label propagation with pointer jumping (O(log
+      // diameter) rounds of hash joins) over the union of minhash- and
+      // simhash-near-dup edges on a corpus with CHAINED near-dups (A~B~C
+      // but A≁C — the transitive case a pair list cannot deduplicate);
+      // keep = min doc per component. The oracle recomputes components
+      // from the dumped vertex/edge tables with a recursive CTE.
+      val docs = q62Corpus(s, d)
+      Clustering.keepList(docs.select("doc_id"), q62Edges(docs))
+        .orderBy("doc_id")
     }),
     "q61_mix" -> ((s, d) => {
       // corpus mixing: per-source keep-fractions via a seeded md5 filter
@@ -1656,6 +1693,18 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q62_neardup_clusters" ->
+      // connected components as a transitive-closure recursive CTE (UNION
+      // dedup terminates it): component = min reachable id; keep = min
+      s"""WITH RECURSIVE e AS (
+            SELECT doc_a AS a, doc_b AS b FROM ${O.inp("neardup_edges")}
+            UNION SELECT doc_b, doc_a FROM ${O.inp("neardup_edges")}),
+          reach(v, r) AS (
+            SELECT doc_id, doc_id FROM ${O.inp("neardup_vertices")}
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v)
+          SELECT v AS doc_id, MIN(r) AS component, MIN(r) = v AS is_keep
+          FROM reach GROUP BY v ORDER BY doc_id""",
     "q60_shuffle" ->
       s"""SELECT doc_id,
                  CAST(ROW_NUMBER() OVER (ORDER BY

@@ -298,4 +298,29 @@ object Synth {
       lit("EPSG:25832").as("srs_name"),
       lit("3").as("srs_dim"))
   }
+
+  /** Chained near-dup corpus for the clustering gate (q62): per group g,
+    * three documents built from a sliding 30-token window over the group's
+    * private token stream (steps of 5 tokens), so with 3-shingles
+    * J(v0,v1) = J(v1,v2) = 23/33 ≈ 0.697 and J(v0,v2) = 18/38 ≈ 0.474 —
+    * at threshold 0.6 the near-dup edge set is exactly the CHAIN
+    * v0—v1—v2 (A~B~C but A≁C), the transitive case a pair table alone
+    * cannot deduplicate. Plus one edge-free singleton doc per group.
+    * Pure column math — deterministic across partitionings and engines.
+    */
+  def chainDocs(spark: SparkSession, nGroups: Long): DataFrame = {
+    val chains = spark.range(0L, nGroups * 3).select(
+      col("id").as("doc_id"),
+      expr("id div 3").as("g"),
+      (col("id") % 3).cast("int").as("k"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(
+          sequence(col("k") * 5, col("k") * 5 + 29),
+          j => concat(lit("w"), col("g"), lit("_"), j))).as("text"))
+    val singles = spark.range(nGroups * 3, nGroups * 4).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(29)),
+        j => concat(lit("s"), col("id"), lit("_"), j))).as("text"))
+    chains.unionByName(singles)
+  }
 }

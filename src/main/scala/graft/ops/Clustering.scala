@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed near-dup graph clustering (round-5 item #1): connected
+  * components over the union of near-dup edge tables (the q21/q22/q28/q51
+  * shapes) and the canonical keep-list every dedup pipeline ends with —
+  * "pick one document per component".
+  *
+  * Algorithm: iterative min-label propagation WITH pointer jumping —
+  * each round every vertex takes
+  *     l ← min( l(v), min over neighbors u of l(u), l(l(v)) )
+  * The neighbor term alone walks one hop per round (O(diameter) rounds);
+  * the l(l(v)) jump makes label distances DOUBLE per round once
+  * propagation starts, giving O(log diameter) rounds (pinned empirically
+  * by ClusteringSpec on chains up to length 1024). Everything is
+  * hash-equi-joins on (vertex, label) keys — the kNN-ladder pattern: each
+  * round's frame is eagerly localCheckpoint'ed so the self-referencing
+  * lineage truncates and the blocks free on GC.
+  *
+  * Invariants: labels are always ids of vertices in the SAME component
+  * (initial l(v)=v; both update terms adopt labels from the component), and
+  * l(v) ≤ v monotonically decreases, bounded by the component min — so the
+  * fixed point (no label changed) has every vertex at its component min.
+  *
+  * 100 TB notes: per round the shuffled state is two slim (id, label)
+  * columns — payloads never enter the loop; edges are checkpointed once and
+  * re-joined per round. Round count is log-bounded by the near-dup graph
+  * diameter, which for dedup graphs is small (near-dup chains of length
+  * 2^k need k pathological intermediate documents).
+  */
+object Clustering {
+
+  /** Connected components of the undirected graph (`vertices` ∪ edge
+    * endpoints, `edges`). `vertices` needs column `idCol`; `edges` needs
+    * `aCol`/`bCol` of the same type (numeric or string — anything with a
+    * total order under `least`). Returns (idCol, component) with component
+    * = min id in the component.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          idCol: String = "doc_id", aCol: String = "doc_a",
+                          bCol: String = "doc_b",
+                          maxRounds: Int = 64): DataFrame =
+    connectedComponentsWithRounds(vertices, edges, idCol, aCol, bCol,
+      maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation rounds it
+    * took to converge (exposed for the O(log diameter) bound spec).
+    */
+  def connectedComponentsWithRounds(vertices: DataFrame, edges: DataFrame,
+                                    idCol: String = "doc_id",
+                                    aCol: String = "doc_a",
+                                    bCol: String = "doc_b",
+                                    maxRounds: Int = 64): (DataFrame, Int) = {
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    // symmetric closure, checkpointed once — re-read every round
+    val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    // vertex set ∪ edge endpoints: a dangling endpoint still clusters
+    val verts = vertices.select(col(idCol).as("v"))
+      .unionByName(sym.select(col("a").as("v"))).distinct()
+    var labels = verts.withColumn("l", col("v")).localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"label propagation did not converge in $maxRounds rounds")
+      // min neighbor label per vertex
+      val nbr = sym
+        .join(labels.select(col("v").as("a"), col("l").as("al")), Seq("a"))
+        .groupBy(col("b").as("v")).agg(min(col("al")).as("nl"))
+      val l1 = labels.join(nbr, Seq("v"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l1"))
+      // pointer jump: adopt the label OF the label (labels are vertex ids,
+      // so l1 self-joins as the lookup table)
+      val next = l1
+        .join(l1.select(col("v").as("lv"), col("l1").as("ll")),
+          col("l1") === col("lv"), "left")
+        .select(col("v"), least(col("l1"), coalesce(col("ll"), col("l1"))).as("l_new"))
+      val stamped = next
+        .join(labels, Seq("v"))
+        .select(col("v"), col("l_new").as("l"),
+          (col("l_new") =!= col("l")).as("changed"))
+        .localCheckpoint() // eager: truncates the self-referencing lineage
+      changed = stamped.where(col("changed")).count()
+      labels = stamped.drop("changed")
+    }
+    (labels.select(col("v").as(idCol), col("l").as("component")), rounds)
+  }
+
+  /** Canonical keep-list: every vertex with its component and the keep flag
+    * (keep = the component's min id — deterministic, engine-independent).
+    * Downstream: `where(is_keep)` is the deduplicated corpus; joining the
+    * component column back tags every dropped doc with its surviving
+    * representative.
+    */
+  def keepList(vertices: DataFrame, edges: DataFrame,
+               idCol: String = "doc_id", aCol: String = "doc_a",
+               bCol: String = "doc_b"): DataFrame =
+    connectedComponents(vertices, edges, idCol, aCol, bCol)
+      .withColumn("is_keep", col(idCol) === col("component"))
+}
