@@ -50,6 +50,16 @@ object SparkEntry {
   private[graft] def q62Corpus(s: SparkSession, dir: String): DataFrame =
     Synth.chainDocs(s, math.max(8L, (2000 * sfOf(dir)).toLong))
 
+  /** q63 merge table (shared by the query and dumpInputs): BPE merges
+    * trained on a deterministic 10% doc_id slice — sampled trainer, full
+    * corpus encode, the production shape.
+    */
+  private[graft] def q63Merges(s: SparkSession, dir: String): Seq[(String, String)] =
+    BpeTokenizer.trainFromDocs(
+      s.read.parquet(p(dir, "documents"))
+        .where(pmod(col("doc_id"), lit(10L)) === 0),
+      nMerges = 24)
+
   private[graft] def q62Edges(docs: DataFrame): DataFrame = {
     val mh = TextOps.minhashNearDups(docs, k = 3, bands = 16, rows = 2,
       threshold = 0.6).select(col("doc_a"), col("doc_b"))
@@ -131,6 +141,12 @@ object SparkEntry {
     val cdocs = q62Corpus(s, sfDir)
     w(cdocs.select("doc_id"), "neardup_vertices")
     w(q62Edges(cdocs), "neardup_edges")
+    // trained BPE merge table for q63 (precedent: ivf_centroids — training
+    // output dumped, its deterministic math pinned by BpeSpec; the oracle
+    // replays ENCODE + packing from this table in SQL)
+    val bm = q63Merges(s, sfDir)
+    w(s.createDataFrame(bm.zipWithIndex.map { case ((a, b), i) => (i, a, b) })
+      .toDF("rank", "a", "b"), "bpe_merges")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -548,6 +564,21 @@ object SparkEntry {
         .groupBy("object_kind")
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
+    }),
+    "q63_bpe_pack" -> ((s, d) => {
+      // REAL subword token counts (round-5 item #5): deterministic BPE —
+      // merges trained on a 10% slice (distributed pair-count rounds,
+      // lexicographic tie-breaks), full corpus encoded by a single-pass
+      // expression, and the q59 sequence-packing op re-run over the BPE
+      // counts (packOffsetsOf). The oracle replays ENCODE word-by-word via
+      // a recursive CTE over the dumped merge table, then the same packing
+      // window as q59.
+      val merges = q63Merges(s, d)
+      val counts = BpeTokenizer.tokenCounts(s.read.parquet(p(d, "documents")),
+        merges)
+      TextOps.packOffsetsOf(counts, capacity = 512)
+        .withColumnRenamed("n_tokens", "n_bpe_tokens")
+        .orderBy("doc_id")
     }),
     "q62_neardup_clusters" -> ((s, d) => {
       // distributed near-dup CLUSTERING + canonical keep-list (round-5 #1,
@@ -1693,6 +1724,55 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q63_bpe_pack" ->
+      // full BPE ENCODE replay, one merge splice per recursive-CTE step:
+      // each state picks its lowest-rank applicable merge (NOT EXISTS of a
+      // lower-ranked applicable one) and splices its LEFTMOST occurrence —
+      // exactly BpeTokenizer.encode's loop; then the q59 packing window
+      // over the summed per-word counts
+      s"""WITH RECURSIVE m AS (
+            SELECT rank, a, b, a || b AS ab,
+                   ' ' || a || ' ' || b || ' ' AS pat
+            FROM ${O.inp("bpe_merges")}),
+          words AS (
+            SELECT DISTINCT w FROM (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> ''),
+          enc(w, s) AS (
+            SELECT w, ' ' || list_aggregate(
+                list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)),
+                'string_agg', ' ') || ' '
+            FROM words
+            UNION ALL
+            SELECT e.w,
+              substr(e.s, 1, strpos(e.s, m1.pat) - 1) || ' ' || m1.ab || ' '
+                || substr(e.s, strpos(e.s, m1.pat) + len(m1.pat))
+            FROM enc e JOIN m m1 ON strpos(e.s, m1.pat) > 0
+            WHERE NOT EXISTS (SELECT 1 FROM m m2
+                              WHERE m2.rank < m1.rank
+                                AND strpos(e.s, m2.pat) > 0)),
+          fin AS (
+            SELECT w, len(string_split(trim(s), ' ')) AS n
+            FROM enc e
+            WHERE NOT EXISTS (SELECT 1 FROM m
+                              WHERE strpos(e.s, m.pat) > 0)),
+          counts AS (
+            SELECT d.doc_id, CAST(SUM(f.n) AS BIGINT) AS n_bpe_tokens
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents) d
+            JOIN fin f USING (w)
+            GROUP BY d.doc_id),
+          c AS (
+            SELECT doc_id, n_bpe_tokens,
+              SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM counts)
+          SELECT doc_id, n_bpe_tokens,
+            CAST(cum - n_bpe_tokens AS BIGINT) AS start_offset,
+            CAST((cum - n_bpe_tokens) // 512 AS BIGINT) AS first_bin,
+            CAST(CASE WHEN n_bpe_tokens > 0 THEN (cum - 1) // 512
+                 ELSE (cum - n_bpe_tokens) // 512 END AS BIGINT) AS last_bin
+          FROM c ORDER BY doc_id""",
     "q62_neardup_clusters" ->
       // connected components as a transitive-closure recursive CTE (UNION
       // dedup terminates it): component = min reachable id; keep = min

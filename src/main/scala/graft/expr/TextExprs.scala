@@ -123,9 +123,29 @@ case class SimHashExpr(child: Expression) extends UnaryExpression
     copy(child = c)
 }
 
+/** bpe_count(text) → long: Σ over whitespace tokens of the BPE symbol
+  * count under the (driver-trained, plan-shipped) merge list — a single
+  * pass per row, no shuffle. The merge list is literal metadata like the
+  * IVF centroids (AnnOps): ~50k pairs at production vocab sizes, a few KB
+  * here. Rank lookup precompiles once per task via the transient lazy val.
+  */
+case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback with GraftExpectsInputTypes {
+  @transient private lazy val ranks = graft.ops.BpeTokenizer.ranksOf(merges)
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.BpeTokenizer.countText(v.asInstanceOf[UTF8String].toString, ranks)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextFunctions {
   def minhash_bands(text: Column, k: Int, bands: Int, rows: Int): Column =
     Bridge.column(MinHashBandsExpr(Bridge.expression(text), k, bands, rows))
   def simhash64(text: Column): Column =
     Bridge.column(SimHashExpr(Bridge.expression(text)))
+  def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeCountExpr(Bridge.expression(text), merges))
 }
