@@ -565,6 +565,17 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q64_hog" -> ((s, d) => {
+      // HOG-style gradient-orientation histograms (round-5 item #7): the
+      // semantic image feature the container's no-vision-libs constraint
+      // previously left open — integer luma sums, central differences,
+      // 8 comparison-only orientation sectors, L1 magnitudes per 8×8 cell.
+      // The oracle recomputes every cell histogram from the dumped decoded
+      // pixels; a deterministic 1/16 phash slice keeps the row count sane.
+      ImageOps.hogCells(s,
+        synthImages(s, d).where(pmod(col("phash"), lit(16L)) === 0))
+        .orderBy("image_id", "cell_y", "cell_x", "bin")
+    }),
     "q63_bpe_pack" -> ((s, d) => {
       // REAL subword token counts (round-5 item #5): deterministic BPE —
       // merges trained on a 10% slice (distributed pair-count rounds,
@@ -622,9 +633,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q58_audio_energy" -> ((s, d) => {
-      // multimodal audio leg: per-window Σ|sample| energy over opaque
-      // 16-bit PCM clips — exact integer math; the oracle replays windows
-      // from the source-sample truth table (engine decode independent).
+      // multimodal audio leg: per-window Σ|sample| energy over REAL
+      // RIFF/WAVE-containered 16-bit PCM clips (round-5: the demuxer is a
+      // real chunk-walking WAV parser, never-fail) — exact integer math;
+      // the oracle replays windows from the source-sample truth table
+      // (engine demux/decode independent).
       val (clips, _) = AudioOps.synthClips(s, nOther(sfOf(d)),
         nSamples = 1600, window = 400)
       AudioOps.windowEnergy(s, clips, window = 400)
@@ -1724,6 +1737,40 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q64_hog" ->
+      // full HOG replay from decoded pixels: integer luma sums, central
+      // differences over the interior 14×14, comparison-only sector CASE,
+      // L1 magnitudes per cell — dense grid via LEFT JOIN (zero cells kept)
+      s"""WITH sl AS (
+            SELECT p.image_id, p.px
+            FROM ${O.inp("pixels")} p
+            JOIN ${O.inp("images")} i USING (image_id)
+            WHERE i.phash % 16 = 0),
+          g AS (
+            SELECT image_id, x.x AS x, y.y AS y,
+              (px[((y.y)*16 + x.x+1)*3+1] + px[((y.y)*16 + x.x+1)*3+2] + px[((y.y)*16 + x.x+1)*3+3])
+                - (px[((y.y)*16 + x.x-1)*3+1] + px[((y.y)*16 + x.x-1)*3+2] + px[((y.y)*16 + x.x-1)*3+3]) AS gx,
+              (px[((y.y+1)*16 + x.x)*3+1] + px[((y.y+1)*16 + x.x)*3+2] + px[((y.y+1)*16 + x.x)*3+3])
+                - (px[((y.y-1)*16 + x.x)*3+1] + px[((y.y-1)*16 + x.x)*3+2] + px[((y.y-1)*16 + x.x)*3+3]) AS gy
+            FROM sl, range(1, 15) x(x), range(1, 15) y(y)),
+          agg AS (
+            SELECT image_id, x // 8 AS cell_x, y // 8 AS cell_y,
+              (CASE WHEN gx >= 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN gy >= 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN abs(gx) >= abs(gy) THEN 1 ELSE 0 END) AS bin,
+              CAST(SUM(abs(gx) + abs(gy)) AS BIGINT) AS mag
+            FROM g GROUP BY 1, 2, 3, 4),
+          grid AS (
+            SELECT gr.image_id, cx.cx AS cell_x, cy.cy AS cell_y, bb.b AS bin
+            FROM (SELECT DISTINCT image_id FROM sl) gr,
+                 range(0, 2) cx(cx), range(0, 2) cy(cy), range(0, 8) bb(b))
+          SELECT g2.image_id, CAST(g2.cell_x AS INT) AS cell_x,
+                 CAST(g2.cell_y AS INT) AS cell_y, CAST(g2.bin AS INT) AS bin,
+                 COALESCE(a.mag, 0) AS mag
+          FROM grid g2 LEFT JOIN agg a ON a.image_id = g2.image_id
+            AND a.cell_x = g2.cell_x AND a.cell_y = g2.cell_y
+            AND a.bin = g2.bin
+          ORDER BY g2.image_id, g2.cell_y, g2.cell_x, g2.bin""",
     "q63_bpe_pack" ->
       // full BPE ENCODE replay, one merge splice per recursive-CTE step:
       // each state picks its lowest-rank applicable merge (NOT EXISTS of a

@@ -199,6 +199,81 @@ object ImageOps {
       .toDF("image_id", "mean_r", "mean_g", "mean_b", "dhash_bits", "dhash")
   }
 
+  /** HOG-style gradient-orientation histograms (round-5 item #7): a
+    * semantic image feature with NO vision libs — pure integer math, exactly
+    * SQL-recomputable from decoded pixels (q64). Per interior pixel:
+    * luma = r + g + b (sum — scale-free for gradients, no division),
+    * central differences gx/gy, orientation = one of 8 sectors from
+    * (sign gx, sign gy, |gx| ≥ |gy|) — comparisons only, no atan2 —
+    * and L1 magnitude |gx| + |gy| summed per (cell, sector). Zero-gradient
+    * pixels contribute magnitude 0 to sector 7 (a no-op), keeping the SQL
+    * replay branch-free. Dense rows: every (cell_x, cell_y, bin) of the
+    * grid, zeros included, so the flattened embedding has fixed layout.
+    */
+  /** The shared per-image accumulator: (cell-major, 8 sectors per cell)
+    * Σ |gx|+|gy| — exact integers.
+    */
+  private def hogAcc(px: Array[Byte], w: Int, h: Int,
+                     cellSize: Int): Array[Long] = {
+    val cw = (w + cellSize - 1) / cellSize
+    val ch = (h + cellSize - 1) / cellSize
+    val acc = new Array[Long](cw * ch * 8)
+    def luma(xx: Int, yy: Int): Int = {
+      val o = (yy * w + xx) * 3
+      (px(o) & 0xFF) + (px(o + 1) & 0xFF) + (px(o + 2) & 0xFF)
+    }
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = luma(x + 1, y) - luma(x - 1, y)
+        val gy = luma(x, y + 1) - luma(x, y - 1)
+        val bin = (if (gx >= 0) 4 else 0) + (if (gy >= 0) 2 else 0) +
+          (if (math.abs(gx) >= math.abs(gy)) 1 else 0)
+        acc(((y / cellSize) * cw + x / cellSize) * 8 + bin) +=
+          math.abs(gx).toLong + math.abs(gy).toLong
+        x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+
+  def hogCells(spark: SparkSession, images: DataFrame,
+               cellSize: Int = 8): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions(_.flatMap { case (id, bytes, w, h, fmt) =>
+        val px = ImageCodec.decode(bytes, fmt, w, h)
+        val cw = (w + cellSize - 1) / cellSize
+        val ch = (h + cellSize - 1) / cellSize
+        val acc = hogAcc(px, w, h, cellSize)
+        for (cy <- 0 until ch; cx <- 0 until cw; b <- 0 until 8)
+          yield (id, cx, cy, b, acc((cy * cw + cx) * 8 + b))
+      })
+      .toDF("image_id", "cell_x", "cell_y", "bin", "mag")
+  }
+
+  /** [[hogCells]] flattened to an L2-normalized Array[Float] embedding —
+    * plugs into the existing ANN stack (bruteForceTopK / SRP-LSH / IVF) as
+    * a semantic-similarity feature source; all-zero histograms (flat
+    * images) stay zero vectors.
+    */
+  def hogEmbedding(spark: SparkSession, images: DataFrame,
+                   cellSize: Int = 8): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions(_.map { case (id, bytes, w, h, fmt) =>
+        val acc = hogAcc(ImageCodec.decode(bytes, fmt, w, h), w, h, cellSize)
+        val norm = math.sqrt(acc.foldLeft(0.0)((s, v) => s + v.toDouble * v))
+        val inv = if (norm > 0) 1.0 / norm else 0.0
+        (id, acc.map(v => (v * inv).toFloat).toSeq)
+      })
+      .toDF("image_id", "embedding")
+  }
+
   /** Deterministic near-duplicate companions for a slice of the corpus:
     * every 16th image (by phash) re-encoded with its first pixel's red
     * channel LSB flipped — a sub-visual change that moves the dHash by at

@@ -141,4 +141,40 @@ class AnnRecallSpec extends AnyFunSuite {
       .select("query_id", "vec_id").collect()
       .foreach(r => assert(cand((r.getLong(0), r.getLong(1)))))
   }
+
+  test("HOG embedding separates oriented-pattern classes; channel means " +
+    "do not (round-5 item #7)") {
+    val imgs = graft.model.Synth.patternImages(spark, 256, nClasses = 4)
+    val cls = imgs.select("image_id", "cls").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    def acc1nn(feats: Array[(String, Array[Double])]): Double = {
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        if (na == 0 || nb == 0) -2.0 else d / math.sqrt(na * nb)
+      }
+      val hit = feats.count { case (id, v) =>
+        val nn = feats.filter(_._1 != id)
+          .maxBy { case (oid, ov) => (cos(v, ov), oid) }
+        cls(nn._1) == cls(id)
+      }
+      hit.toDouble / feats.length
+    }
+    val hog = ImageOps.hogEmbedding(spark, imgs).collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val means = ImageOps.extractFeatures(spark, imgs)
+      .select("image_id", "mean_r", "mean_g", "mean_b").collect()
+      .map(r => (r.getString(0),
+        Array(r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+    val hogAcc = acc1nn(hog)
+    val meanAcc = acc1nn(means)
+    info(f"1-NN class accuracy: HOG $hogAcc%.3f vs channel means $meanAcc%.3f")
+    // stripes have identical mean luminance per class — means are noise
+    assert(hogAcc >= 0.9, f"HOG should separate orientations (got $hogAcc%.3f)")
+    assert(meanAcc <= 0.6, f"means should carry no class signal (got $meanAcc%.3f)")
+    assert(hogAcc > meanAcc + 0.3)
+  }
 }

@@ -40,4 +40,51 @@ class AudioOpsSpec extends AnyFunSuite {
       .toDF("clip_id", "bytes")
     assert(AudioOps.windowEnergy(spark, junk, window = 10).count() === 0L)
   }
+
+  test("WAV round trip: RIFF header exact, chunk walk, never-fail demux " +
+    "(round-5 item #8)") {
+    val samples = Array[Short](258, -1, -32768, 0, 12345)
+    val wav = AudioOps.encodeWav(samples, sampleRate = 8000)
+    // canonical header fields
+    assert(new String(wav.slice(0, 4), "ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "ASCII") === "WAVE")
+    assert(new String(wav.slice(36, 40), "ASCII") === "data")
+    assert(wav.length === 44 + samples.length * 2)
+    assert(AudioOps.decodePcmAuto(wav).toSeq === samples.toSeq)
+    // an extra chunk before data (odd size → even padding) still demuxes
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 9, 9, 9, 0)
+    val shifted = wav.slice(0, 12) ++ extra ++ wav.slice(12, wav.length)
+    assert(AudioOps.decodePcmAuto(shifted).toSeq === samples.toSeq)
+    // malformed RIFFs → empty, never header bytes misread as audio
+    assert(AudioOps.decodePcmAuto("RIFF".getBytes("ASCII")).isEmpty)
+    assert(AudioOps.decodePcmAuto("RIFFxxxxJUNK".getBytes("ASCII")).isEmpty)
+    val truncated = wav.slice(0, 40) // data tag cut mid-header
+    assert(AudioOps.decodePcmAuto(truncated).isEmpty)
+    val negSize = wav.clone()
+    negSize(43) = 0x80.toByte // data size < 0
+    assert(AudioOps.decodePcmAuto(negSize).isEmpty)
+    // a data chunk CLAIMING more than the file has clamps to what's there
+    val lying = wav.clone()
+    lying(40) = 0x7F // huge declared size
+    assert(AudioOps.decodePcmAuto(lying).toSeq === samples.toSeq)
+    // non-RIFF bytes keep the raw-PCM16 back-compat path
+    assert(AudioOps.decodePcmAuto(Array[Byte](0x02, 0x01)).toSeq ===
+      Seq[Short](258))
+  }
+
+  test("windowEnergy over WAV-containered clips equals the source truth") {
+    val (clips, truth) = AudioOps.synthClips(spark, 4L, nSamples = 900,
+      window = 300, container = "wav")
+    val got = AudioOps.windowEnergy(spark, clips, window = 300)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val expect = truth.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    // raw container still agrees (same samples, same truth)
+    val (rawClips, _) = AudioOps.synthClips(spark, 4L, nSamples = 900,
+      window = 300, container = "raw")
+    val gotRaw = AudioOps.windowEnergy(spark, rawClips, window = 300)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(gotRaw === expect)
+  }
 }
