@@ -50,7 +50,13 @@ object Bench {
     val nI = math.max(4096L, (40000000 * sf).toLong) * mult
 
     // ---- one-time materialization (NOT timed) ----
-    val base = s"/tmp/graft_bench_${sf}_m${mult}_v1"
+    // SPARK_GRAFT_BENCH_BASE=/dev/shm puts the INPUT parquet on tmpfs for
+    // the storage-honest scaling-criterion leg (BASELINE.md): at high core
+    // counts the disk's scan floor, not the plan, caps the N→4N ratio —
+    // tmpfs input takes storage out of the denominator. Default stays /tmp
+    // (disk), the honest single-box configuration.
+    val benchBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASE", "/tmp")
+    val base = s"$benchBase/graft_bench_${sf}_m${mult}_v1"
     val surfP = s"$base/surfaces.parquet"
     val imgP = s"$base/images.parquet"
     if (!new java.io.File(surfP).exists()) {

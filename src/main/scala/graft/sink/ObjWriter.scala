@@ -263,11 +263,41 @@ object MtlSink {
     // Hadoop FS, not java.nio: the .mtl must land next to the OBJs on ANY FS
     graft.HadoopConfs.writeSideText(s"$outDir/colormap.mtl", colormapMtl())
 
-  /** 3×5 bitmap glyphs for tick labels ('#' = on). No font libs ship in
-    * this container, so the annotations render through this minimal
-    * built-in face (digits + '.', '-', '>', '=').
+  /** 3×5 bitmap glyphs for tick labels and the axis caption ('#' = on).
+    * No font libs ship in this container, so the annotations render
+    * through this minimal built-in face (digits, punctuation, and an
+    * uppercase alphabet — lowercase folds up in drawText).
     */
   private val glyphs: Map[Char, Seq[String]] = Map(
+    'A' -> Seq(" # ", "# #", "###", "# #", "# #"),
+    'B' -> Seq("## ", "# #", "## ", "# #", "## "),
+    'C' -> Seq("###", "#  ", "#  ", "#  ", "###"),
+    'D' -> Seq("## ", "# #", "# #", "# #", "## "),
+    'E' -> Seq("###", "#  ", "###", "#  ", "###"),
+    'F' -> Seq("###", "#  ", "###", "#  ", "#  "),
+    'G' -> Seq("###", "#  ", "# #", "# #", "###"),
+    'H' -> Seq("# #", "# #", "###", "# #", "# #"),
+    'I' -> Seq("###", " # ", " # ", " # ", "###"),
+    'J' -> Seq("  #", "  #", "  #", "# #", "###"),
+    'K' -> Seq("# #", "# #", "## ", "# #", "# #"),
+    'L' -> Seq("#  ", "#  ", "#  ", "#  ", "###"),
+    'M' -> Seq("# #", "###", "###", "# #", "# #"),
+    'N' -> Seq("# #", "## ", "###", " ##", "# #"),
+    'O' -> Seq("###", "# #", "# #", "# #", "###"),
+    'P' -> Seq("###", "# #", "###", "#  ", "#  "),
+    'Q' -> Seq("###", "# #", "# #", "###", "  #"),
+    'R' -> Seq("###", "# #", "## ", "# #", "# #"),
+    'S' -> Seq("###", "#  ", "###", "  #", "###"),
+    'T' -> Seq("###", " # ", " # ", " # ", " # "),
+    'U' -> Seq("# #", "# #", "# #", "# #", "###"),
+    'V' -> Seq("# #", "# #", "# #", "# #", " # "),
+    'W' -> Seq("# #", "# #", "###", "###", "# #"),
+    'X' -> Seq("# #", "# #", " # ", "# #", "# #"),
+    'Y' -> Seq("# #", "# #", " # ", " # ", " # "),
+    'Z' -> Seq("###", "  #", " # ", "#  ", "###"),
+    '[' -> Seq("## ", "#  ", "#  ", "#  ", "## "),
+    ']' -> Seq(" ##", "  #", "  #", "  #", " ##"),
+    '/' -> Seq("  #", "  #", " # ", "#  ", "#  "),
     '0' -> Seq("###", "# #", "# #", "# #", "###"),
     '1' -> Seq(" # ", "## ", " # ", " # ", "###"),
     '2' -> Seq("###", "  #", "###", "#  ", "###"),
@@ -283,20 +313,25 @@ object MtlSink {
     '>' -> Seq("#  ", " # ", "  #", " # ", "#  "),
     '=' -> Seq("   ", "###", "   ", "###", "   "))
 
-  /** Extra rows under the ramp: 2 tick + 1 gap + 5 glyph + 1 pad. */
-  val colorbarLabelRows: Int = 9
+  /** Extra rows under the ramp: 2 tick + 1 gap + 5 label glyph + 1 pad +
+    * 5 caption glyph + 1 pad.
+    */
+  val colorbarLabelRows: Int = 15
 
   /** Colorbar legend companion (plotcolorbar.py:1-76): the afmhot ramp as a
     * PNG strip next to colormap.mtl — one `binWidth`-px column per material
     * bin, low→high left→right — ANNOTATED with tick marks and numeric
     * labels on a nice-step grid over [vmin, vmax], the final tick rendered
     * `>=vmax` exactly like the reference's last-label override
-    * (plotcolorbar.py:69-71). matplotlib's serif face becomes a built-in
-    * 3×5 bitmap font (documented divergence: same information, simpler
-    * glyphs; the axis caption is omitted).
+    * (plotcolorbar.py:69-71) — AND the axis caption under the labels
+    * (plotcolorbar.py:55 `set_label`; the superscript flattens to "m2").
+    * matplotlib's serif face becomes a built-in 3×5 bitmap font
+    * (documented divergence: same information, simpler glyphs).
     */
   def colorbarPng(outDir: String, binWidth: Int = 4, height: Int = 16,
-                  vmin: Double = 350.0, vmax: Double = 1300.0): String = {
+                  vmin: Double = 350.0, vmax: Double = 1300.0,
+                  caption: String = "Annual solar irradiation [kWh/m2/year]")
+      : String = {
     val w = bins.length * binWidth
     val hTot = height + colorbarLabelRows
     val px = Array.fill[Byte](w * hTot * 3)(0xFF.toByte) // white canvas
@@ -322,7 +357,9 @@ object MtlSink {
       val tw = s.length * 4 - 1
       var x0 = math.max(0, math.min(w - tw, cx - tw / 2))
       s.foreach { ch =>
-        glyphs.get(ch).foreach { g =>
+        // lowercase folds onto the uppercase face; spaces (and anything
+        // else without a glyph) just advance the pen
+        glyphs.get(ch).orElse(glyphs.get(ch.toUpper)).foreach { g =>
           var r = 0
           while (r < 5) {
             var c = 0
@@ -353,6 +390,7 @@ object MtlSink {
         if (i == ticks.length - 1) ">=" + fmtV(vmax) else fmtV(v)
       drawText(label, tx, height + 3)
     }
+    drawText(caption, w / 2, height + 9)
     graft.HadoopConfs.writeSideBytes(s"$outDir/colormap.png",
       graft.model.PngCodec.encode(px, w, hTot))
   }

@@ -95,6 +95,12 @@ class SinksLineageSpec extends AnyFunSuite {
       (g(0) & 0xFF) == 255 && (g(1) & 0xFF) == 255 && (g(2) & 0xFF) == 255)
     assert(black > 50, s"no tick/label pixels rendered (black=$black)")
     assert(black + white === 404 * MtlSink.colorbarLabelRows)
+    // the axis caption (plotcolorbar.py set_label parity) renders glyphs
+    // in its own 5-row band under the tick labels
+    val captionBand = px.slice(404 * (16 + 9) * 3, 404 * (16 + 14) * 3)
+    val captionBlack = captionBand.grouped(3).count(g =>
+      (g(0) & 0xFF) == 0 && (g(1) & 0xFF) == 0 && (g(2) & 0xFF) == 0)
+    assert(captionBlack > 100, s"caption not rendered (black=$captionBlack)")
     // byte-deterministic across calls
     val p2 = MtlSink.colorbarPng(java.nio.file.Files.createTempDirectory("cb2").toString)
     assert(java.util.Arrays.equals(bytes,
