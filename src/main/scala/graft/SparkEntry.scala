@@ -645,10 +645,12 @@ object SparkEntry {
     }),
     "q57_frame_sample" -> ((s, d) => {
       // multimodal frame sampling (the last op of the decode/feature/
-      // resize/frame-sample list): every 3rd REAL PNG frame of each opaque
-      // GVID container decodes to a pixel checksum; the oracle reads the
-      // per-frame truth table dumped from the SOURCE pixels (computed
-      // before encoding — the engine's decode path is not shared) and
+      // resize/frame-sample list): every 3rd REAL PNG frame of each REAL
+      // ISO-BMFF (MP4) container — demuxed by the general box-walker
+      // (ftyp/mdat/moov + stsd/stts/stsc/stsz/stco sample table, round 5)
+      // — decodes to a pixel checksum; the oracle reads the per-frame
+      // truth table dumped from the SOURCE pixels (computed before
+      // encoding — the engine's demux/decode path is not shared) and
       // replays the sampling predicate in SQL.
       val (videos, _) = VideoOps.synthVideos(s, nOther(sfOf(d)), nFrames = 12)
       VideoOps.sampleFrames(s, videos, every = 3)
