@@ -171,6 +171,27 @@ object Bench {
       TextOps.minhashNearDups(spark.read.parquet(s"$sfDir/documents.parquet"),
         k = 3, bands = 16, rows = 2, threshold = 0.5).count()
     }
+    bench("dedup_cluster") {
+      // the full dedup chain's tail (round 5): simhash pairs → connected
+      // components → canonical keep-list; measures the label-propagation
+      // rounds' join cost on top of the signature pass
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      Clustering.keepList(docs.select("doc_id"),
+        TextOps.simhashNearDups(docs).select("doc_a", "doc_b"))
+        .where(col("is_keep")).count()
+    }
+    // BPE merges train once, untimed (vocabulary metadata, like the synth
+    // input): the timed rep measures ENCODE + packing over the corpus
+    val bpeMerges = BpeTokenizer.trainFromDocs(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(pmod(col("doc_id"), lit(10L)) === 0), nMerges = 24)
+    bench("bpe_pack") {
+      TextOps.packOffsetsOf(
+        BpeTokenizer.tokenCounts(
+          spark.read.parquet(s"$sfDir/documents.parquet"), bpeMerges),
+        capacity = 2048)
+        .agg(max("last_bin")).head().getLong(0).max(1L)
+    }
     bench("ann_bruteforce") {
       AnnOps.bruteForceTopK(spark.read.parquet(s"$sfDir/embeddings.parquet"),
         (0L until 32L), k = 10).count()

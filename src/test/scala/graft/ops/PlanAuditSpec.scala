@@ -110,6 +110,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"chunk join consumes un-aggregated signatures:\n$p")
   }
 
+  test("clustering round: equi-joins only — no cartesian/nested-loop, " +
+    "labels stay a two-column frame") {
+    import spark.implicits._
+    val verts = spark.range(0, 64).select(col("id").as("doc_id"))
+    val edges = spark.range(0, 63).select(col("id").as("doc_a"),
+      (col("id") + 1).as("doc_b"))
+    val df = Clustering.connectedComponents(verts, edges)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"clustering degenerated to a cross join:\n$p")
+    // the converged frame reads back from the last round's checkpoint —
+    // a slim (id, label) scan, not a re-derivation of the whole loop
+    assertContains(p, "Scan ExistingRDD")
+    assert(df.schema.fieldNames.toSeq === Seq("doc_id", "component"))
+  }
+
+  test("bpe_count is one projection over the scan — no explode, no shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(BpeTokenizer.tokenCounts(docs,
+      Seq(("a", "b"), ("ab", "c"))))
+    assertContains(p, "bpecountexpr")
+    assert(!p.contains("Exchange") && !p.contains("Generate"),
+      s"per-row token counting must not shuffle or explode:\n$p")
+  }
+
   test("PIP predicate does not break whole-stage codegen on the probe side") {
     val imgs = graft.model.Synth.withAnchors(
       graft.model.Synth.images(spark, 1024L, 64L).toDF, 64L)
