@@ -60,6 +60,17 @@ object SparkEntry {
         .where(pmod(col("doc_id"), lit(10L)) === 0),
       nMerges = 24)
 
+  /** q65 near-dup edges (shared by the query and dumpInputs): simhash
+    * pairs over the exact-dedup survivors — the recipe's clustering input.
+    */
+  private[graft] def q65Edges(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(p(dir, "documents"))
+    val kept1 = docs.join(
+      TextOps.dedupExact(docs).select(col("keep_doc_id").as("doc_id")),
+      "doc_id")
+    TextOps.simhashNearDups(kept1).select("doc_a", "doc_b")
+  }
+
   private[graft] def q62Edges(docs: DataFrame): DataFrame = {
     val mh = TextOps.minhashNearDups(docs, k = 3, bands = 16, rows = 2,
       threshold = 0.6).select(col("doc_a"), col("doc_b"))
@@ -147,6 +158,10 @@ object SparkEntry {
     val bm = q63Merges(s, sfDir)
     w(s.createDataFrame(bm.zipWithIndex.map { case ((a, b), i) => (i, a, b) })
       .toDF("rank", "a", "b"), "bpe_merges")
+    // near-dup edges over the exact-dedup survivors — the q65 recipe's
+    // clustering input (pair generation gated by q22; the oracle replays
+    // the clustering + the rest of the chain from this dump)
+    w(q65Edges(s, sfDir), "recipe_edges")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -564,6 +579,34 @@ object SparkEntry {
         .groupBy("object_kind")
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
+    }),
+    "q65_recipe" -> ((s, d) => {
+      // THE training-data recipe, end to end under ONE gate: exact dedup →
+      // near-dup clustering keep-list → quality filter → corpus mix → BPE
+      // token counts → sequence packing → epoch shuffle. Every stage is
+      // individually gated (q10 / q22+q62 / q12 / q61 / q63 / q59 / q60);
+      // this query pins their COMPOSITION — the pipeline a training-data
+      // user actually runs — with the oracle replaying all seven stages in
+      // one SQL statement.
+      val docs = s.read.parquet(p(d, "documents"))
+      val kept1 = docs.join(
+        TextOps.dedupExact(docs).select(col("keep_doc_id").as("doc_id")),
+        "doc_id")
+      val keep2 = Clustering.keepList(kept1.select("doc_id"), q65Edges(s, d))
+        .where(col("is_keep")).select("doc_id")
+      val kept2 = kept1.join(keep2, "doc_id")
+      // exact-integer quality gate (≥ 1 stopword hit): float-free so the
+      // composition stays bit-exact across engines
+      val quality = kept2.where(
+        size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and", "to"))) >= 1)
+      val mixed = TextOps.mixCorpus(quality, Map("src0" -> 0.5),
+        defaultWeight = 1.0, seed = 7)
+      val counts = BpeTokenizer.tokenCounts(mixed, q63Merges(s, d))
+      val packed = TextOps.packOffsetsOf(counts, capacity = 1024)
+        .withColumnRenamed("n_tokens", "n_bpe_tokens")
+      packed.join(TextOps.shuffleRanks(mixed, seed = 99), "doc_id")
+        .orderBy("doc_id")
     }),
     "q64_hog" -> ((s, d) => {
       // HOG-style gradient-orientation histograms (round-5 item #7): the
@@ -1739,6 +1782,73 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q65_recipe" ->
+      // ALL SEVEN recipe stages in one statement: exact dedup (md5 group),
+      // clustering (recursive-CTE closure over the dumped edges), quality
+      // (exact-integer stopword hits), mix (md5 threshold CASE), BPE
+      // (recursive encode from the dumped merges), packing window, shuffle
+      // rank — each fragment identical to its single-stage oracle
+      s"""WITH RECURSIVE
+          ek AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                 GROUP BY md5(text)),
+          k1 AS (SELECT d.doc_id, d.text, d.source FROM documents d
+                 JOIN ek USING (doc_id)),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM ${O.inp("recipe_edges")}
+                UNION SELECT doc_b, doc_a FROM ${O.inp("recipe_edges")}),
+          reach(v, r) AS (
+            SELECT doc_id, doc_id FROM k1
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v),
+          k2 AS (SELECT k1.doc_id, k1.text, k1.source FROM k1
+                 JOIN (SELECT v, MIN(r) AS c FROM reach GROUP BY v) cc
+                   ON cc.v = k1.doc_id AND cc.c = k1.doc_id),
+          q AS (SELECT * FROM k2
+                WHERE len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to'))) >= 1),
+          m AS (SELECT * FROM q
+                WHERE ${O.md5n("doc_id::VARCHAR || '@7'")} % 1000000
+                  < CASE source WHEN 'src0' THEN 500000 ELSE 1000000 END),
+          mg AS (SELECT rank, a, b, a || b AS ab,
+                   ' '||a||' '||b||' ' AS pat FROM ${O.inp("bpe_merges")}),
+          words AS (SELECT DISTINCT w FROM
+                      (SELECT unnest(string_split(text,' ')) AS w FROM m)
+                    WHERE w <> ''),
+          enc(w, s) AS (
+            SELECT w, ' ' || list_aggregate(
+                list_transform(range(1,len(w)+1), i -> substr(w,i,1)),
+                'string_agg', ' ') || ' '
+            FROM words
+            UNION ALL
+            SELECT e2.w,
+              substr(e2.s, 1, strpos(e2.s, m1.pat)-1) || ' ' || m1.ab || ' '
+                || substr(e2.s, strpos(e2.s, m1.pat) + len(m1.pat))
+            FROM enc e2 JOIN mg m1 ON strpos(e2.s, m1.pat) > 0
+            WHERE NOT EXISTS (SELECT 1 FROM mg m2
+                              WHERE m2.rank < m1.rank
+                                AND strpos(e2.s, m2.pat) > 0)),
+          fin AS (SELECT w, len(string_split(trim(s), ' ')) AS n FROM enc e3
+                  WHERE NOT EXISTS (SELECT 1 FROM mg
+                                    WHERE strpos(e3.s, mg.pat) > 0)),
+          counts AS (SELECT dw.doc_id,
+                       CAST(SUM(f.n) AS BIGINT) AS n_bpe_tokens
+                     FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                           FROM m) dw
+                     JOIN fin f USING (w) GROUP BY dw.doc_id),
+          c2 AS (SELECT doc_id, n_bpe_tokens,
+                   SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM counts),
+          rk AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                     ${O.md5n("doc_id::VARCHAR || '#99'")}, doc_id) AS BIGINT)
+                     AS shuffle_rank FROM m)
+          SELECT c2.doc_id, n_bpe_tokens,
+            CAST(cum - n_bpe_tokens AS BIGINT) AS start_offset,
+            CAST((cum - n_bpe_tokens) // 1024 AS BIGINT) AS first_bin,
+            CAST(CASE WHEN n_bpe_tokens > 0 THEN (cum - 1) // 1024
+                 ELSE (cum - n_bpe_tokens) // 1024 END AS BIGINT) AS last_bin,
+            rk.shuffle_rank
+          FROM c2 JOIN rk USING (doc_id) ORDER BY c2.doc_id""",
     "q64_hog" ->
       // full HOG replay from decoded pixels: integer luma sums, central
       // differences over the interior 14×14, comparison-only sector CASE,
