@@ -162,6 +162,15 @@ object SparkEntry {
     // clustering input (pair generation gated by q22; the oracle replays
     // the clustering + the rest of the chain from this dump)
     w(q65Edges(s, sfDir), "recipe_edges")
+    // PQ codebooks (m=8 × ksub=16, lockstep with q66): decimal-summed
+    // Lloyd training is deterministic, so this dump and q66's own training
+    // are bit-identical at any partitioning (ivf_centroids precedent)
+    val books = AnnOps.pqTrain(emb, dim = 64, m = 8, ksub = 16, iters = 2)
+    w(s.createDataFrame(for {
+      (book, si) <- books.zipWithIndex.toSeq
+      (c, code) <- book.zipWithIndex.toSeq
+    } yield (si, code, c.toSeq)).toDF("sub_idx", "code", "centroid"),
+      "pq_codebooks")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -579,6 +588,21 @@ object SparkEntry {
         .groupBy("object_kind")
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
+    }),
+    "q66_ivf_pq" -> ((s, d) => {
+      // IVF-PQ (round 5): the storage tier below SQ8 — coarse IVF lists
+      // with PRODUCT-QUANTIZED payloads (8 subspaces × 16 codes = 8 bytes
+      // per vector, 8× smaller than SQ8's 64). Approx-cosine shortlist
+      // over the PQ reconstruction, exact re-rank of queries×shortlist.
+      // The oracle replays per-subspace L2 assignment, reconstruction,
+      // probe selection, shortlist, and re-rank from the dumped
+      // centroid/codebook tables.
+      val emb = s.read.parquet(p(d, "embeddings"))
+      val cents = AnnOps.ivfTrain(emb, dim = 64, nlist = 16, iters = 2)
+      val books = AnnOps.pqTrain(emb, dim = 64, m = 8, ksub = 16, iters = 2)
+      AnnOps.ivfPqTopK(emb, Seq(0L, 1L, 2L), cents, books,
+        nprobe = 4, k = 5, shortlist = 32)
+        .orderBy("query_id", "rk")
     }),
     "q65_recipe" -> ((s, d) => {
       // THE training-data recipe, end to end under ONE gate: exact dedup →
@@ -1782,6 +1806,63 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q66_ivf_pq" ->
+      // full IVF-PQ replay: per-subspace L2 code assignment (mirrors the
+      // engine's zip_with fold exactly), reconstruction by ordered
+      // codebook concat, probe lists, PQ-approx shortlist (ark ≤ 32),
+      // exact re-rank (rk ≤ 5)
+      s"""WITH ct AS (SELECT list_id, centroid FROM ${O.inp("ivf_centroids")}),
+          asg AS (SELECT vec_id, list_id FROM (
+                    SELECT e.vec_id, ct.list_id,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${O.cos("e.embedding", "ct.centroid")} DESC,
+                                 ct.list_id ASC) AS rn
+                    FROM embeddings e CROSS JOIN ct) WHERE rn = 1),
+          cb AS (SELECT sub_idx, code, centroid FROM ${O.inp("pq_codebooks")}),
+          sv AS (SELECT e.vec_id, s.s AS sub_idx,
+                   list_transform(range(s.s*8+1, s.s*8+9),
+                     i -> e.embedding[i]::DOUBLE) AS sub
+                 FROM embeddings e, range(0, 8) s(s)),
+          pasn AS (SELECT vec_id, sub_idx, code FROM (
+                     SELECT sv.vec_id, sv.sub_idx, cb.code,
+                       ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub_idx
+                         ORDER BY list_reduce(list_transform(range(1, 9),
+                           i -> (sv.sub[i] - cb.centroid[i])
+                              * (sv.sub[i] - cb.centroid[i])),
+                           (l2a, l2v) -> l2a + l2v) ASC, cb.code ASC) AS rn
+                     FROM sv JOIN cb USING (sub_idx)) WHERE rn = 1),
+          x AS (SELECT p.vec_id,
+                  flatten(list(cb2.centroid ORDER BY p.sub_idx)) AS recon
+                FROM pasn p JOIN cb cb2 ON cb2.sub_idx = p.sub_idx
+                  AND cb2.code = p.code
+                GROUP BY p.vec_id),
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < 3),
+          ql AS (SELECT query_id, list_id FROM (
+                   SELECT q.query_id, ct.list_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ${O.cos("q.q_emb", "ct.centroid")} DESC,
+                                ct.list_id ASC) AS rn
+                   FROM q CROSS JOIN ct) WHERE rn <= 4),
+          sl AS (SELECT query_id, vec_id, ca FROM (
+                   SELECT ql.query_id, a.vec_id,
+                     ${O.cos("x.recon", "q.q_emb")} AS ca,
+                     ROW_NUMBER() OVER (PARTITION BY ql.query_id
+                       ORDER BY ${O.cos("x.recon", "q.q_emb")} DESC,
+                                a.vec_id ASC) AS ark
+                   FROM ql JOIN asg a USING (list_id)
+                           JOIN x ON x.vec_id = a.vec_id
+                           JOIN q ON q.query_id = ql.query_id
+                   WHERE a.vec_id <> ql.query_id) WHERE ark <= 32),
+          d AS (SELECT sl.query_id, sl.vec_id, sl.ca,
+                  ${O.cos("e.embedding", "q.q_emb")} AS cos_raw
+                FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+                        JOIN q ON q.query_id = sl.query_id)
+          SELECT query_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, vec_id ASC) AS rk,
+                 vec_id, round(cos_raw, 6) AS cos, round(ca, 6) AS cos_approx
+          FROM d QUALIFY rk <= 5 ORDER BY query_id, rk""",
     "q65_recipe" ->
       // ALL SEVEN recipe stages in one statement: exact dedup (md5 group),
       // clustering (recursive-CTE closure over the dumped edges), quality

@@ -291,6 +291,125 @@ object AnnOps {
         round(col("cos_approx"), 6).as("cos_approx"))
   }
 
+  // ---- IVF-PQ: product-quantized list payloads (round 5) ----
+
+  /** Subvector of subspace `s` (sub-dim `d`) as a double array column. */
+  private def pqSub(emb: org.apache.spark.sql.Column, s: Int, d: Int) =
+    slice(transform(emb, _.cast("double")), s * d + 1, d)
+
+  /** L2² of a subvector column against a literal sub-centroid — the
+    * standard PQ assignment metric; same fold shape as [[cosine]] (zip_with
+    * + aggregate from 0.0), so the oracle's list_reduce mirrors it
+    * bit-for-bit.
+    */
+  private def l2ToLit(sub: org.apache.spark.sql.Column, c: Array[Double]) =
+    aggregate(zip_with(sub, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (a, v) => a + v)
+
+  /** Code of the nearest sub-centroid (min L2², ties → smaller code) as
+    * pure column math over codebook literals — map-side, like
+    * [[ivfAssignExpr]].
+    */
+  private def pqAssignCode(sub: org.apache.spark.sql.Column,
+                           book: Array[Array[Double]]) =
+    array_min(array(book.zipWithIndex.map { case (c, j) =>
+      struct(l2ToLit(sub, c).as("dist"), lit(j).as("j"))
+    }.toIndexedSeq: _*)).getField("j")
+
+  /** Train per-subspace PQ codebooks: `m` subspaces of `dim/m` dims, `ksub`
+    * centroids each, seeded by the ksub corpus vectors with the smallest
+    * xxhash64(vec_id) (same deterministic init as [[ivfTrain]]) + `iters`
+    * Lloyd rounds with exact-decimal mean sums — bit-identical at any
+    * partitioning; the codebooks are metadata (m×ksub×(dim/m) doubles),
+    * dumped for the oracle like the IVF centroids.
+    */
+  def pqTrain(embeddings: DataFrame, dim: Int, m: Int, ksub: Int,
+              iters: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, "dim must divide into m subspaces")
+    val d = dim / m
+    val seed = embeddings
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(ksub)
+      .select(transform(col("embedding"), _.cast("double")).as("c"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var books = Array.tabulate(m)(s => seed.map(_.slice(s * d, s * d + d)))
+    for (_ <- 0 until iters) {
+      books = books.zipWithIndex.map { case (book, s) =>
+        val sub = pqSub(col("embedding"), s, d)
+        val means = embeddings
+          .select(sub.as("sub"), pqAssignCode(sub, book).as("code"))
+          .groupBy("code").agg(
+            array((0 until d).map(i =>
+              (sum(element_at(col("sub"), i + 1).cast("decimal(28,16)"))
+                / count(lit(1))).cast("double")): _*).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        // empty codes keep their previous centroid (standard Lloyd handling)
+        book.indices.map(j => means.getOrElse(j, book(j))).toArray
+      }
+    }
+    books
+  }
+
+  /** PQ encode: the m nearest-sub-centroid codes as an int array — at
+    * ksub ≤ 256 this is ONE BYTE per subspace (m bytes per vector; with
+    * m = dim/8 that is 8× smaller than SQ8's dim bytes — the storage tier
+    * below SQ8 in the brute → LSH → IVF-Flat → SQ8 → PQ ladder).
+    */
+  def pqEncodeExpr(emb: org.apache.spark.sql.Column,
+                   books: Array[Array[Array[Double]]]) = {
+    val d = books.head.head.length
+    array(books.zipWithIndex.map { case (book, s) =>
+      pqAssignCode(pqSub(emb, s, d), book)
+    }.toIndexedSeq: _*)
+  }
+
+  /** PQ reconstruction: concatenate each subspace's coded sub-centroid —
+    * a literal table lookup per subspace, SQL-recomputable.
+    */
+  def pqDecodeExpr(codes: org.apache.spark.sql.Column,
+                   books: Array[Array[Array[Double]]]) =
+    flatten(array(books.zipWithIndex.map { case (book, s) =>
+      element_at(
+        array(book.map(c => array(c.map(lit): _*)).toIndexedSeq: _*),
+        element_at(codes, s + 1) + 1)
+    }.toIndexedSeq: _*))
+
+  /** IVF-PQ top-k: coarse IVF lists + product-quantized payloads
+    * (vec_id, list_id, m codes). Search probes `nprobe` lists, ranks
+    * candidates by APPROXIMATE cosine against the PQ reconstruction, and
+    * exact-reranks the `shortlist` best per query from the full-precision
+    * table — the ivfSqTopK contract with an 8×-smaller list payload.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long],
+                cents: Array[Array[Double]],
+                books: Array[Array[Array[Double]]],
+                nprobe: Int, k: Int, shortlist: Int): DataFrame = {
+    val index = embeddings.select(col("vec_id"),
+      ivfAssignExpr(col("embedding"), cents).as("list_id"),
+      pqEncodeExpr(col("embedding"), books).as("codes"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_approx").desc, col("vec_id").asc)
+    val short = index
+      .join(broadcast(probeLists(embeddings, queryIds, cents, nprobe)),
+        Seq("list_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_approx",
+        cosine(pqDecodeExpr(col("codes"), books), col("q_emb")))
+      .withColumn("ark", row_number().over(wA))
+      .where(col("ark") <= shortlist)
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("cos_approx"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    short
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rk", row_number().over(wE))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"),
+        round(col("cos_approx"), 6).as("cos_approx"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (dedup flavor of
     * the same machinery): pairs in a shared bucket with cosine ≥ threshold.
     */

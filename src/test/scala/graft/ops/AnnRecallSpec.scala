@@ -134,6 +134,28 @@ class AnnRecallSpec extends AnyFunSuite {
     cemb.unpersist()
   }
 
+  test("IVF-PQ: 8-byte product-quantized payloads — recall ≥ 0.85 at ≤ 5% " +
+    "exact-reranked (round 5)") {
+    val cemb = graft.model.Synth.clusteredEmbeddings(spark, 2000L, 64, 50, 0.3)
+      .cache()
+    val cents = AnnOps.ivfTrain(cemb, dim = 64, nlist = 32, iters = 2)
+    val books = AnnOps.pqTrain(cemb, dim = 64, m = 8, ksub = 16, iters = 2)
+    val truth = exactOf(cemb)
+    val shortlist = 96 // PQ is coarser than SQ8 (8 vs 64 bytes) → wider list
+    val frac = shortlist.toDouble / 1999
+    val got = AnnOps.ivfPqTopK(cemb, qids, cents, books,
+        nprobe = 4, k = 10, shortlist = shortlist)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val rec = truth.map { case (q, t) =>
+      t.intersect(got.getOrElse(q, Set.empty)).size.toDouble / t.size }.sum / truth.size
+    info(f"ivf-pq m=8 ksub=16 nprobe=4 shortlist=$shortlist recall=$rec%.3f " +
+      f"rerank_frac=$frac%.3f payload=8B/vec")
+    assert(rec >= 0.85, f"IVF-PQ recall too low on clustered corpus: $rec%.3f")
+    assert(frac <= 0.05)
+    cemb.unpersist()
+  }
+
   test("every LSH hit is a bucketed candidate (subset consistency)") {
     val cand = AnnOps.lshCandidates(emb, qids, 64, 5, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
