@@ -589,6 +589,24 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q67_asof_join" -> ((s, d) => {
+      // as-of join (the time-series operator Spark lacks; AsOfJoin): for
+      // every purchase event, the latest click at-or-before it by the same
+      // user — one hash exchange + one window pass over the union, no
+      // range join, no broadcast. The oracle replays the identical
+      // union + last_value(IGNORE NULLS) window in SQL.
+      val ev = s.read.parquet(p(d, "events"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      AsOfJoin.asOf(purchases, clicks, key = "user_id", ts = "ts",
+        payload = Seq("event_id", "value"), tiebreak = "event_id")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("last_click_id"),
+          coalesce(col("asof_value"), lit(0.0)).as("last_click_value"))
+        .orderBy("event_id")
+    }),
     "q66_ivf_pq" -> ((s, d) => {
       // IVF-PQ (round 5): the storage tier below SQ8 — coarse IVF lists
       // with PRODUCT-QUANTIZED payloads (8 subspaces × 16 codes = 8 bytes
@@ -1806,6 +1824,27 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q67_asof_join" ->
+      // identical union + ordered window: right rows sort before left rows
+      // at the same (ts) via side, tiebreak on event_id totalizes the order
+      """WITH u AS (
+           SELECT user_id, ts, 1 AS side, event_id AS tb, event_id,
+                  NULL::BIGINT AS a_id, NULL::DOUBLE AS a_val
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, 0 AS side, event_id AS tb, NULL::BIGINT,
+                  event_id, value
+           FROM events WHERE event_type = 'click'),
+         w AS (
+           SELECT *,
+             LAST_VALUE(a_id IGNORE NULLS) OVER win AS l_id,
+             LAST_VALUE(a_val IGNORE NULLS) OVER win AS l_val
+           FROM u
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tb
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, COALESCE(l_id, -1) AS last_click_id,
+                COALESCE(l_val, 0.0) AS last_click_value
+         FROM w WHERE side = 1 ORDER BY event_id""",
     "q66_ivf_pq" ->
       // full IVF-PQ replay: per-subspace L2 code assignment (mirrors the
       // engine's zip_with fold exactly), reconstruction by ordered

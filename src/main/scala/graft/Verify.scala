@@ -17,11 +17,18 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // input dumps first: the geometry/engine oracles recompute their queries
     // from these via read_parquet('<outDir>/inputs/…') (see OracleSql)
-    try SparkEntry.dumpInputs(spark, sfDir, outDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] input dump failed: ${e.getMessage}")
-    }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only iteration aids (driver leaves both unset): SPARK_GRAFT_ONLY
+    // = comma-separated query names to dump; SPARK_GRAFT_SKIP_INPUTS=1
+    // skips the input dump when the selected queries don't need it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    if (!sys.env.get("SPARK_GRAFT_SKIP_INPUTS").contains("1"))
+      try SparkEntry.dumpInputs(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] input dump failed: ${e.getMessage}")
+      }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
