@@ -589,6 +589,15 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q68_repetition" -> ((s, d) => {
+      // Gopher-style repetition quality gate: most-frequent 2-gram
+      // count/char-fraction + duplicate 3-gram fraction per doc, computed
+      // with a ZERO-SHUFFLE per-row run-length fold over sorted gram
+      // arrays; the oracle recomputes relationally (unnest + group) —
+      // equal sets, so the fold's and the groupBy's answers must agree.
+      TextOps.repetitionStats(s.read.parquet(p(d, "documents")))
+        .orderBy("doc_id")
+    }),
     "q67_asof_join" -> ((s, d) => {
       // as-of join (the time-series operator Spark lacks; AsOfJoin): for
       // every purchase event, the latest click at-or-before it by the same
@@ -1824,6 +1833,36 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q68_repetition" ->
+      // relational replay of the per-row fold: unnest + group-by counts;
+      // ORDER BY c DESC, gram ASC mirrors the fold's strict-> tiebreak
+      """WITH t AS (SELECT doc_id, length(text) AS nc,
+                string_split(text, ' ') AS tk FROM documents),
+         b AS (SELECT doc_id, nc, len(tk) AS n,
+                 CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS bi,
+                 CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk)-1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END AS tri
+               FROM t),
+         bg AS (SELECT doc_id, unnest(bi) AS gram FROM b),
+         bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         top AS (SELECT doc_id, gram, c FROM (
+                   SELECT doc_id, gram, c,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, gram ASC) AS rn
+                   FROM bgc) WHERE rn = 1),
+         tg AS (SELECT doc_id, unnest(tri) AS gram FROM b),
+         t3 AS (SELECT doc_id, COUNT(DISTINCT gram) AS nd3 FROM tg GROUP BY 1)
+         SELECT b.doc_id, b.n AS n_tokens,
+           COALESCE(top.gram, '') AS top2_gram,
+           COALESCE(top.c, 0) AS top2_count,
+           CASE WHEN b.nc > 0 THEN
+             (COALESCE(top.c, 0) * length(COALESCE(top.gram, '')))::DOUBLE
+               / b.nc::DOUBLE ELSE 0.0 END AS top2_char_frac,
+           CASE WHEN b.n >= 3 THEN (b.n - 2 - t3.nd3)::DOUBLE
+                / (b.n - 2)::DOUBLE ELSE 0.0 END AS dup3_frac
+         FROM b LEFT JOIN top USING (doc_id) LEFT JOIN t3 USING (doc_id)
+         ORDER BY b.doc_id""",
     "q67_asof_join" ->
       // identical union + ordered window: right rows sort before left rows
       // at the same (ts) via side, tiebreak on event_id totalizes the order

@@ -296,4 +296,56 @@ object TextOps {
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1, public
+    * heuristics): per document, the most-frequent word 2-gram (count + the
+    * fraction of characters its occurrences cover) and the fraction of
+    * word 3-gram occurrences that are repeats of an earlier 3-gram — the
+    * standard "repetitious junk" gate between langid and corpus mixing.
+    *
+    * 100 TB design: ZERO shuffle. Instead of exploding grams into a
+    * groupBy (a |corpus|·|grams-per-doc| exchange), each row sorts its own
+    * gram array and run-length-scans it with one codegen'd `aggregate`
+    * fold — most-frequent = longest run (strict > keeps the
+    * lexicographically smallest on count ties, matching the relational
+    * replay's ORDER BY c DESC, gram ASC), distinct = run starts. Memory is
+    * bounded by the per-document gram count, not by any join fan-out.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    def grams(k: Int): Column =
+      when(n >= k, transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + lit(o))): _*)))
+        .otherwise(array().cast("array<string>"))
+    // run-length scan over the sorted grams: (best run, its gram, #distinct)
+    def scan(g: Column): Column = {
+      val z = struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit("").as("bestg"), lit(0L).as("nd"))
+      aggregate(array_sort(g), z, (a, x) => {
+        val same = (x === a.getField("prev")) && (a.getField("run") > 0)
+        val run2 = when(same, a.getField("run") + lit(1L)).otherwise(lit(1L))
+        val better = run2 > a.getField("best")
+        struct(x.as("prev"), run2.as("run"),
+          when(better, run2).otherwise(a.getField("best")).as("best"),
+          when(better, x).otherwise(a.getField("bestg")).as("bestg"),
+          (a.getField("nd") + when(same, 0L).otherwise(1L)).as("nd"))
+      })
+    }
+    val n3 = (n - 2).cast("long")
+    documents
+      .withColumn("__g2", scan(grams(2)))
+      .withColumn("__g3", scan(grams(3)))
+      .select(
+        col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        col("__g2.bestg").as("top2_gram"),
+        col("__g2.best").as("top2_count"),
+        when(length(col("text")) > 0,
+          (col("__g2.best") * length(col("__g2.bestg"))).cast("double") /
+            length(col("text")).cast("double"))
+          .otherwise(lit(0.0)).as("top2_char_frac"),
+        when(n >= 3, (n3 - col("__g3.nd")).cast("double") / n3.cast("double"))
+          .otherwise(lit(0.0)).as("dup3_frac"))
+  }
 }
