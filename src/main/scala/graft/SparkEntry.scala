@@ -589,6 +589,20 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q69_decontaminate" -> ((s, d) => {
+      // eval-set decontamination: held-out snippets (one 8-gram from every
+      // 97th doc) hashed and broadcast; the corpus streams its sliding
+      // 8-gram hashes against the set map-side — no corpus shuffle. The
+      // oracle replays snippet extraction, the md5-derived hash, and the
+      // overlap join in SQL.
+      val docs = s.read.parquet(p(d, "documents"))
+      val toks = split(col("text"), " ")
+      val evalSet = docs
+        .where(pmod(col("doc_id"), lit(97L)) === 0 && size(toks) >= 12)
+        .select(conv(substring(md5(concat_ws(" ", slice(toks, 5, 8))), 1, 15),
+          16, 10).cast("long").as("h"))
+      TextOps.contaminationHits(docs, evalSet, n = 8).orderBy("doc_id")
+    }),
     "q68_repetition" -> ((s, d) => {
       // Gopher-style repetition quality gate: most-frequent 2-gram
       // count/char-fraction + duplicate 3-gram fraction per doc, computed
@@ -1833,6 +1847,20 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q69_decontaminate" ->
+      // same snippet slice (tokens 5..12), same 60-bit md5 hash, same
+      // overlap semantics — n_hits counts gram POSITIONS, n_grams distinct
+      // eval grams
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         ev AS (SELECT DISTINCT ${O.md5n("array_to_string(tk[5:12], ' ')")} AS h
+                FROM t WHERE doc_id % 97 = 0 AND len(tk) >= 12),
+         pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                 FROM t WHERE len(tk) >= 8),
+         dg AS (SELECT doc_id,
+                  ${O.md5n("array_to_string(tk[i:i+7], ' ')")} AS h FROM pos)
+         SELECT doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT h) AS n_grams
+         FROM dg JOIN ev USING (h)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q68_repetition" ->
       // relational replay of the per-row fold: unnest + group-by counts;
       // ORDER BY c DESC, gram ASC mirrors the fold's strict-> tiebreak

@@ -297,6 +297,42 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Sliding word n-gram 60-bit hashes per document (decontamination /
+    * overlap primitives): one row per gram position. The md5-derived hash
+    * is the repo's cross-engine one (replayable in the DuckDB oracle);
+    * swap in `xxhash64` at 100 TB exactly like fingerprintsFast.
+    */
+  def docGramHashes(documents: DataFrame, n: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val sz = size(toks)
+    documents.select(col("doc_id"),
+      explode(when(sz >= n, transform(sequence(lit(1), sz - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+  }
+
+  /** Eval-set decontamination (the gate every pretraining corpus runs
+    * before the quality/mix stages): flag documents sharing any word
+    * n-gram with a held-out eval set, GPT-3-appendix-C style. Returns one
+    * row per contaminated doc: total overlapping gram positions + distinct
+    * eval grams hit.
+    *
+    * 100 TB design: the eval side is the SMALL side by construction
+    * (benchmarks are thousands of grams, the corpus is billions), so the
+    * join is an explicit broadcast hash semi-join — the corpus never
+    * shuffles; each task streams its gram positions against the in-memory
+    * eval hash set. If the eval set ever outgrows broadcast range, drop
+    * the hint and the same plan becomes a bucketable equi-join on `h`.
+    */
+  def contaminationHits(documents: DataFrame, evalGramHashes: DataFrame,
+                        n: Int = 8): DataFrame =
+    docGramHashes(documents, n)
+      .join(broadcast(evalGramHashes.select("h").distinct()), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("h")).as("n_grams"))
+
   /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1, public
     * heuristics): per document, the most-frequent word 2-gram (count + the
     * fraction of characters its occurrences cover) and the fraction of
