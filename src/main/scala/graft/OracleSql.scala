@@ -175,6 +175,27 @@ object OracleSql {
     // fingerprint fold, whose own vars are acc/t)
     s"list_reduce(list_transform(range(1,16), hx -> strpos('0123456789abcdef', substr(md5($e), hx, 1))::BIGINT - 1), (mh_a, mh_d) -> mh_a*16 + mh_d)"
 
+  /** Trailing-zero count of a 52-bit window (SketchOps.rho's bit math):
+    * isolate the lowest set bit with (w & -w), then a 52-arm CASE maps the
+    * power of two to its exponent — machine-generated like [[spread]], no
+    * log2 on either engine. NULL (i.e. never) when w = 0; callers guard.
+    */
+  def tz52(e: String): String = {
+    val cases = (0 until 52).map(i => s"WHEN ${1L << i} THEN $i").mkString(" ")
+    s"(CASE (($e) & -($e)) $cases END)"
+  }
+
+  /** 64-bit single-bit mask for bit index `e` (0..63) WITHOUT a left shift
+    * — DuckDB's checked `1 << 63` overflows, so the mask comes from a
+    * 64-entry literal list (bit 63 spelled as min-long arithmetic to stay
+    * in BIGINT). Mirrors SketchOps' typedlit mask lookup exactly.
+    */
+  def bitMask(e: String): String = {
+    val masks = (0 until 63).map(i => s"${1L << i}::BIGINT") :+
+      "(-9223372036854775807::BIGINT - 1)"
+    s"([${masks.mkString(", ")}][CAST($e AS INTEGER) + 1])"
+  }
+
   /** Cosine similarity of two FLOAT[] columns, mirroring AnnOps.cosine's
     * fold exactly: per-element upcast to DOUBLE, sequential left-to-right
     * accumulation (list_reduce guarantees order; Spark's fold from 0.0

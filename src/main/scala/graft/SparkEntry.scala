@@ -589,6 +589,55 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q71_bloom_filter" -> ((s, d) => {
+      // Bloom runtime filter (SketchOps): bitset built from high-value
+      // order keys (one ≤64-row aggregated collect), probe as a literal-
+      // bitset MAP-SIDE expression over lineitem — the big side never
+      // shuffles. Output pins exact pass/true/false-positive counts and
+      // the false-negative count (must be 0); even the false positives
+      // are deterministic, and the oracle replays every bit.
+      val orders = s.read.parquet(p(d, "orders"))
+      val li = s.read.parquet(p(d, "lineitem"))
+      val keys = orders.where(col("o_totalprice") > 480000.0)
+        .select(col("o_orderkey")).distinct()
+      val bits = SketchOps.bloomBuild(keys, "o_orderkey", mBits = 4096, k = 4)
+      li.select(col("l_orderkey"))
+        .withColumn("pass",
+          SketchOps.bloomMightContain(bits, col("l_orderkey"), 4096, 4))
+        .join(broadcast(keys.select(col("o_orderkey").as("l_orderkey"))
+          .withColumn("tru", lit(1L))), Seq("l_orderkey"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("tru").isNotNull, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("pass") && col("tru").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"),
+          sum(when(col("tru").isNotNull && !col("pass"), 1L).otherwise(0L))
+            .as("n_false_neg"),
+          sum(when(col("pass"), col("l_orderkey")).otherwise(0L))
+            .as("pass_key_sum"))
+    }),
+    "q70_hll" -> ((s, d) => {
+      // HyperLogLog distinct tokens per source: a real partial-aggregable
+      // 256-byte sketch (SketchOps.HllAgg) — map-side combine ships one
+      // sketch per (partition × source), never the tokens. Registers are
+      // pinned exactly (checksum + zero count) and the estimate formula —
+      // including the linear-counting small-range branch — is replayed by
+      // the oracle over the same md5-derived hashes.
+      val docs = s.read.parquet(p(d, "documents"))
+      val tok = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h",
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      tok.groupBy("source")
+        .agg(SketchOps.hll(col("h")).as("regs"),
+          countDistinct(col("tok")).as("n_exact"))
+        .select(col("source"), col("n_exact"),
+          SketchOps.hllRegSum(col("regs")).as("reg_checksum"),
+          SketchOps.hllZeros(col("regs")).as("n_zero"),
+          round(SketchOps.hllEstimate(col("regs")), 6).as("hll_estimate"))
+        .orderBy("source")
+    }),
     "q69_decontaminate" -> ((s, d) => {
       // eval-set decontamination: held-out snippets (one 8-gram from every
       // 97th doc) hashed and broadcast; the corpus streams its sliding
@@ -1847,6 +1896,73 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q71_bloom_filter" ->
+      // full bit replay: same k=4 md5 positions per key, same 64-bit word
+      // OR-fold, same all-bits-set probe — false positives and all
+      s"""WITH keys AS (SELECT DISTINCT o_orderkey FROM orders
+                WHERE o_totalprice > 480000.0),
+         pos AS (SELECT ${O.md5n("o_orderkey::VARCHAR || '#' || j::VARCHAR")}
+                   % 4096 AS p
+                 FROM keys, range(0, 4) r(j)),
+         words AS (SELECT p // 64 AS w,
+                     bit_or(${O.bitMask("p % 64")}) AS word
+                   FROM pos GROUP BY 1),
+         li AS (SELECT l_orderkey, ROW_NUMBER() OVER () AS rid
+                FROM lineitem),
+         pp AS (SELECT l.rid, l.l_orderkey, r.j,
+                  ${O.md5n("l.l_orderkey::VARCHAR || '#' || j::VARCHAR")}
+                    % 4096 AS p
+                FROM li l, range(0, 4) r(j)),
+         hit AS (SELECT rid, MIN(l_orderkey) AS l_orderkey,
+                   COUNT(*) FILTER (WHERE (w2.word &
+                     ${O.bitMask("pp.p % 64")}) <> 0) AS nset
+                 FROM pp LEFT JOIN words w2 ON w2.w = pp.p // 64
+                 GROUP BY rid),
+         fl AS (SELECT l_orderkey, (nset = 4) AS pass,
+                  l_orderkey IN (SELECT o_orderkey FROM keys) AS tru
+                FROM hit)
+         SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN pass AND NOT tru THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           CAST(SUM(CASE WHEN tru AND NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_neg,
+           CAST(SUM(CASE WHEN pass THEN l_orderkey ELSE 0 END) AS BIGINT)
+             AS pass_key_sum
+         FROM fl""",
+    "q70_hll" ->
+      // register-exact replay: same (h>>52) index, same trailing-zero rho
+      // over the 52-bit window, max per register, then the identical
+      // estimate arithmetic (integer-scaled Σ2^-M, literal alpha·m², ln
+      // small-range branch) rounded on both sides
+      s"""WITH tokd AS (SELECT DISTINCT source, tok FROM
+                (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)),
+         h AS (SELECT source, ${O.md5n("tok")} AS h FROM tokd),
+         r AS (SELECT source, (h >> 52) & 255 AS idx,
+                 h & 4503599627370495 AS w FROM h),
+         rr AS (SELECT source, idx,
+                  MAX(CASE WHEN w = 0 THEN 53 ELSE ${O.tz52("w")} + 1 END) AS m
+                FROM r GROUP BY source, idx),
+         ag AS (SELECT source, COUNT(*) AS nonzero,
+                  CAST(SUM(m) AS BIGINT) AS reg_checksum,
+                  CAST(SUM(1::BIGINT << CAST(53 - m AS INTEGER)) AS BIGINT) AS ps
+                FROM rr GROUP BY source),
+         ex AS (SELECT source, COUNT(DISTINCT tok) AS n_exact
+                FROM tokd GROUP BY source),
+         es AS (SELECT source, reg_checksum,
+                  CAST(256 - nonzero AS BIGINT) AS n_zero,
+                  (ps + (256 - nonzero) * 9007199254740992)::DOUBLE
+                    / 9007199254740992.0 AS s
+                FROM ag)
+         SELECT es.source, ex.n_exact, es.reg_checksum, es.n_zero,
+           round(CASE WHEN (0.7213/(1.0 + 1.079/256.0)*65536.0) / es.s <= 640.0
+                       AND es.n_zero > 0
+                 THEN 256.0 * ln(256.0 / es.n_zero::DOUBLE)
+                 ELSE (0.7213/(1.0 + 1.079/256.0)*65536.0) / es.s END, 6)
+             AS hll_estimate
+         FROM es JOIN ex USING (source) ORDER BY es.source""",
     "q69_decontaminate" ->
       // same snippet slice (tokens 5..12), same 60-bit md5 hash, same
       // overlap semantics — n_hits counts gram POSITIONS, n_grams distinct

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distributed sketches over cross-engine (md5-derived) hashes, so every
+  * bit of sketch state is replayable by the DuckDB oracle:
+  *
+  *  - [[HllAgg]]: HyperLogLog distinct-count registers as a real partial-
+  *    aggregable Spark `Aggregator` — a fixed 256-byte buffer per group
+  *    that combines MAP-SIDE, so the exchange carries one sketch per
+  *    (partition × group), never the values. At 100 TB this is the only
+  *    way "distinct tokens per source" is computable in one pass.
+  *  - Bloom build/probe: an explicit runtime-filter pair — build a bitset
+  *    from the small side (one tiny aggregated collect, like the IVF
+  *    centroid pattern), probe as a LITERAL-bitset map-side expression on
+  *    the huge side, so the probe never shuffles and the expensive join
+  *    downstream sees orders of magnitude fewer rows. Deterministic md5
+  *    positions mean even the false positives are reproducible
+  *    cross-engine (the q71 oracle replays them exactly).
+  */
+object SketchOps {
+
+  /** Registers = 2^P; 60-bit input hashes: top P bits pick the register,
+    * low 52 bits feed the geometric rank.
+    */
+  final val HllP = 8
+  final val HllM = 1 << HllP // 256
+
+  /** rho = position of the least-significant set bit of the 52-bit window
+    * + 1 (Flajolet–Martin style; geometric(1/2) like leading-zeros but
+    * replayable as pure bit math in SQL — no log2 on either engine).
+    * w == 0 → 53.
+    */
+  private[ops] def rho(w: Long): Int =
+    if (w == 0L) 53 else java.lang.Long.numberOfTrailingZeros(w) + 1
+
+  /** HLL registers over 60-bit hashes. Buffer is a mutable 256-byte array
+    * (BINARY-encoded); reduce/merge are in-place max — the canonical
+    * commutative-idempotent HLL combine, so any partitioning and any
+    * combine order yield the identical register state.
+    */
+  class HllAgg extends Aggregator[Long, Array[Byte], Seq[Int]] {
+    override def zero: Array[Byte] = new Array[Byte](HllM)
+    override def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+      val idx = ((h >>> 52) & (HllM - 1)).toInt
+      val r = rho(h & ((1L << 52) - 1))
+      if (r > b(idx)) b(idx) = r.toByte
+      b
+    }
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < HllM) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Byte]): Seq[Int] = b.map(_.toInt).toSeq
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** The HLL aggregate as a column: `df.groupBy(...).agg(hll($"h"))` →
+    * array<int> of 256 register values.
+    */
+  def hll(hashCol: Column): Column =
+    udaf(new HllAgg, Encoders.scalaLong).apply(hashCol)
+
+  private val pow2 = typedlit((0 to 53).map(i => 1L << i))
+
+  /** Exact-integer register reductions (order-independent, so they gate
+    * bit-for-bit): sum of register values, count of zero registers, and
+    * Σ 2^(53-M_j) scaled by 2^53 as a BIGINT.
+    */
+  def hllRegSum(regs: Column): Column =
+    aggregate(regs, lit(0L), (a, r) => a + r)
+  def hllZeros(regs: Column): Column =
+    size(filter(regs, r => r === 0)).cast("long")
+  def hllSumShift(regs: Column): Column =
+    aggregate(regs, lit(0L), (a, r) => a + element_at(pow2, lit(54) - r))
+
+  /** The HLL estimate (Flajolet et al. 2007): alpha·m²/Σ2^-M, with the
+    * small-range linear-counting correction. Transcendental (ln) → callers
+    * must round for cross-engine compares; every other step is exact
+    * literal arithmetic mirrored by the oracle.
+    */
+  def hllEstimate(regs: Column): Column = {
+    val s = hllSumShift(regs).cast("double") / lit(9007199254740992.0) // 2^53
+    val alphaMM = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+    val raw = alphaMM / s
+    val zeros = hllZeros(regs)
+    when(raw <= 640.0 && zeros > 0,
+      lit(256.0) * log(lit(256.0) / zeros.cast("double")))
+      .otherwise(raw)
+  }
+
+  // ---- Bloom runtime filter ----
+
+  private val bitMasks = typedlit((0 until 64).map(i => 1L << i))
+
+  /** The j-th md5-derived bit position of `key` in an mBits-bit filter. */
+  private def bloomPos(key: Column, j: Int, mBits: Int): Column =
+    pmod(conv(substring(md5(concat(key.cast("string"), lit("#" + j))), 1, 15),
+      16, 10).cast("long"), lit(mBits.toLong))
+
+  /** Build the bitset from the (small) build side: k positions per key,
+    * OR-folded into mBits/64 words map-side, then one tiny collect
+    * (≤ mBits/64 rows — the IVF-centroid "literal metadata" pattern).
+    */
+  def bloomBuild(keys: DataFrame, keyCol: String, mBits: Int, k: Int): Array[Long] = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val pos = keys.select(explode(
+      array((0 until k).map(j => bloomPos(col(keyCol), j, mBits)): _*)).as("pos"))
+    val words = pos
+      .select(floor(col("pos") / 64).cast("int").as("w"),
+        element_at(bitMasks, pmod(col("pos"), lit(64)).cast("int") + 1).as("mask"))
+      .groupBy("w").agg(bit_or(col("mask")).as("word"))
+      .collect()
+    val arr = new Array[Long](mBits / 64)
+    words.foreach(r => arr(r.getAs[Int]("w")) = r.getAs[Long]("word"))
+    arr
+  }
+
+  /** Probe as a pure map-side expression over the literal bitset: true iff
+    * all k bits are set. No shuffle, no broadcast variable — the bitset
+    * rides the plan like the IVF centroids do.
+    */
+  def bloomMightContain(bitset: Array[Long], key: Column, mBits: Int, k: Int): Column = {
+    val words = typedlit(bitset.toSeq)
+    (0 until k).map { j =>
+      val pos = bloomPos(key, j, mBits)
+      element_at(words, floor(pos / 64).cast("int") + 1)
+        .bitwiseAND(element_at(bitMasks, pmod(pos, lit(64)).cast("int") + 1)) =!= 0L
+    }.reduce(_ && _)
+  }
+}
