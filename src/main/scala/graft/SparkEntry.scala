@@ -589,6 +589,35 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q72_stream_window" -> ((s, d) => {
+      // Structured-Streaming windowed aggregation under the gate: the
+      // events table replayed through the file source (AvailableNow),
+      // hourly watermarked windows per event type, memory sink in
+      // complete mode (single-run deterministic); the oracle recomputes
+      // the same windows as a batch date_trunc group-by — streaming and
+      // batch must agree window for window, sums bit-exact via the
+      // DECIMAL(28,6) discipline. (Append-mode watermark EVICTION
+      // semantics are pinned by StreamingSpec with a controlled
+      // MemoryStream; a file replay can't make late-drop deterministic.)
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = s.read.parquet(p(d, "events"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q72").toString
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/in")
+      val qn = "q72_window_sink"
+      s.catalog.dropTempView(qn)
+      // withWatermark requires TIMESTAMP (events.ts is TIMESTAMP_NTZ);
+      // session TZ is UTC so the cast is wall-clock identity
+      val q = graft.streaming.StreamingIngest.eventWindowCounts(
+          stream.withColumn("ts", col("ts").cast("timestamp")))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
     "q71_bloom_filter" -> ((s, d) => {
       // Bloom runtime filter (SketchOps): bitset built from high-value
       // order keys (one ≤64-row aggregated collect), probe as a literal-
@@ -1896,6 +1925,14 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q72_stream_window" ->
+      // batch replay of the streaming windows: 1-hour tumbling == hour
+      // truncation; same DECIMAL(28,6) sum discipline as q08
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
+             AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q71_bloom_filter" ->
       // full bit replay: same k=4 md5 positions per key, same 64-bit word
       // OR-fold, same all-bits-set probe — false positives and all

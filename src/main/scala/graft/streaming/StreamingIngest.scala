@@ -34,6 +34,23 @@ object StreamingIngest {
       .groupBy(window(col("event_time"), "1 minute"), col("cell_id"))
       .agg(count(lit(1)).as("n_images"))
 
+  /** Watermarked tumbling-window event aggregation (the metrics leg of the
+    * streaming surface): hourly counts + exact-decimal value sums per
+    * event type. In append mode the 1-hour watermark bounds state (closed
+    * windows evict and emit); the q72 gate replays it in complete mode so
+    * the full result is deterministic single-run, and the DuckDB oracle
+    * recomputes it as a batch date_trunc group-by — streaming and batch
+    * MUST agree window for window (the sum goes through the same
+    * DECIMAL(28,6) cast as the batch dsum discipline, so doubles match
+    * bit-for-bit).
+    */
+  def eventWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+
   /** Streaming exact dedup with CUSTOM STATE (training-pipeline op): keyed
     * by content hash via `flatMapGroupsWithState` — the first arrival of a
     * hash is emitted, every later duplicate (same batch or any later batch)

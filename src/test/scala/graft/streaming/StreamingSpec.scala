@@ -52,6 +52,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === 32L) // first window emitted, late row's window still open
   }
 
+  test("eventWindowCounts append mode: closed windows emit once, late rows drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val ev = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingIngest.eventWindowCounts(ev)
+      .writeStream.format("memory").queryName("evwindows")
+      .outputMode("append").start()
+    mem.addData((1L, t("2026-01-01 00:10:00"), "click", 1.0),
+      (2L, t("2026-01-01 00:20:00"), "click", 2.0))
+    q.processAllAvailable()
+    // push the watermark well past 01:00 so the first window closes
+    mem.addData((3L, t("2026-01-01 03:00:00"), "view", 5.0))
+    q.processAllAvailable()
+    mem.addData((4L, t("2026-01-01 05:00:00"), "view", 5.0))
+    q.processAllAvailable()
+    // late arrival into the CLOSED first window: must be dropped
+    mem.addData((5L, t("2026-01-01 00:30:00"), "click", 9.0))
+    q.processAllAvailable()
+    mem.addData((6L, t("2026-01-01 08:00:00"), "view", 5.0))
+    q.processAllAvailable()
+    val first = spark.sql(
+      "select * from evwindows where window.start = '2026-01-01 00:00:00'")
+      .collect()
+    q.stop()
+    assert(first.length === 1, "closed window emits exactly once")
+    assert(first(0).getAs[Long]("n_events") === 2L,
+      "late row must not be counted")
+    assert(first(0).getAs[Double]("sum_value") === 3.0)
+  }
+
   test("stateful streaming dedup suppresses duplicates across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
