@@ -589,6 +589,39 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q74_stratified_sample" -> ((s, d) => {
+      // deterministic stratified sample: 5 docs per source with the
+      // smallest seeded md5 hash — a reservoir with no RNG state, same
+      // members at any partitioning; the oracle replays the identical
+      // hash-ordered window.
+      TextOps.stratifiedSample(s.read.parquet(p(d, "documents")),
+        strata = "source", idCol = "doc_id", n = 5, seed = 7L)
+        .select(col("source"), col("doc_id"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("source", "sample_rank")
+    }),
+    "q73_countmin" -> ((s, d) => {
+      // count-min sketch heavy-hitter counts per source: a second
+      // partial-aggregable sketch (8 KiB depth-4×width-256 counters,
+      // elementwise-sum merge); point estimates for driver-known probe
+      // tokens = min over rows at LITERAL indices. The oracle replays
+      // every counter as a (row, position) group-by count and the same
+      // LEAST over the probe cells — est ≥ exact pinned row by row.
+      val probes = q73Probes
+      val tok = s.read.parquet(p(d, "documents"))
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val exacts = probes.map(t =>
+        sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"exact_$t"))
+      val aggd = tok.groupBy("source").agg(
+        SketchOps.cms(col("tok")).as("sk"),
+        (count(lit(1)).as("n_tokens") +: exacts): _*)
+      aggd.select(
+        (Seq(col("source"), col("n_tokens"),
+          SketchOps.cmsChecksum(col("sk")).as("cms_checksum")) ++
+          probes.map(t => SketchOps.cmsEstimate(col("sk"), t).as(s"est_$t")) ++
+          probes.map(t => col(s"exact_$t"))): _*)
+        .orderBy("source")
+    }),
     "q72_stream_window" -> ((s, d) => {
       // Structured-Streaming windowed aggregation under the gate: the
       // events table replayed through the file source (AvailableNow),
@@ -1117,6 +1150,46 @@ object SparkEntry {
 
   // shorthand for the oracle-side input dumps + SQL fragment generators
   private val O = OracleSql
+
+  /** q73 probe tokens — driver-known literals on BOTH sides (the engine's
+    * cmsEstimate indices and the oracle's cell joins are generated from
+    * the same `SketchOps.cmsPos`).
+    */
+  private val q73Probes = Seq("scan", "batch", "window", "spark", "zzz_absent")
+
+  /** Machine-generated q73 oracle (like the Morton `spread` SQL): every
+    * CMS counter as a (row, position) group-by count, probe estimates as
+    * LEAST over the 4 literal-position cells, checksum = Σ counters.
+    */
+  private def q73Oracle: String = {
+    val probes = q73Probes
+    val exact = probes.map(t =>
+      s"CAST(SUM(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS exact_$t")
+      .mkString(", ")
+    val estJoins = (for {
+      (t, ti) <- probes.zipWithIndex; j <- 0 until SketchOps.CmsD
+    } yield s"LEFT JOIN cells c${ti}_$j ON c${ti}_$j.source = cnt.source " +
+      s"AND c${ti}_$j.j = $j AND c${ti}_$j.p = ${SketchOps.cmsPos(t, j)}")
+      .mkString(" ")
+    val estCols = probes.zipWithIndex.map { case (t, ti) =>
+      s"LEAST(${(0 until SketchOps.CmsD)
+        .map(j => s"COALESCE(c${ti}_$j.c, 0)").mkString(", ")}) AS est_$t"
+    }.mkString(", ")
+    val exactRefs = probes.map(t => s"cnt.exact_$t").mkString(", ")
+    s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+       cnt AS (SELECT source, COUNT(*) AS n_tokens, $exact
+               FROM tok GROUP BY source),
+       cells AS (SELECT source, j,
+                   ${O.md5n("tok || '#' || j::VARCHAR")} % ${SketchOps.CmsW} AS p,
+                   CAST(COUNT(*) AS BIGINT) AS c
+                 FROM tok, range(0, ${SketchOps.CmsD}) r(j) GROUP BY 1, 2, 3),
+       chk AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cms_checksum
+               FROM cells GROUP BY source)
+       SELECT cnt.source, cnt.n_tokens, chk.cms_checksum, $estCols, $exactRefs
+       FROM cnt JOIN chk ON chk.source = cnt.source $estJoins
+       ORDER BY cnt.source"""
+  }
   private val StructuralClasses =
     "('GroundSurface','WallSurface','RoofSurface','ClosureSurface','CeilingSurface')"
 
@@ -1925,6 +1998,17 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q74_stratified_sample" ->
+      // identical seeded-hash window: same md5 permutation, same
+      // (hash, doc_id) total order, same top-5 cut
+      s"""WITH h AS (SELECT source, doc_id,
+                ${O.md5n("doc_id::VARCHAR || '@7'")} AS hv FROM documents),
+         r AS (SELECT source, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY hv, doc_id) AS sample_rank FROM h)
+         SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 5
+         ORDER BY source, sample_rank""",
+    "q73_countmin" -> q73Oracle,
     "q72_stream_window" ->
       // batch replay of the streaming windows: 1-hour tumbling == hour
       // truncation; same DECIMAL(28,6) sum discipline as q08

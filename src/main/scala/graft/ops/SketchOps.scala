@@ -133,4 +133,67 @@ object SketchOps {
         .bitwiseAND(element_at(bitMasks, pmod(pos, lit(64)).cast("int") + 1)) =!= 0L
     }.reduce(_ && _)
   }
+
+  // ---- Count-min sketch ----
+
+  /** Count-min sketch geometry: depth 4 × width 256 = 1024 counters
+    * (8 KiB per group). */
+  final val CmsD = 4
+  final val CmsW = 256
+
+  /** JVM-side twin of the cross-engine 60-bit hash (first 15 hex chars of
+    * md5 as a number) — the Aggregator hashes with this so the oracle can
+    * replay every counter with `OracleSql.md5n`.
+    */
+  private[ops] def md5h60(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+
+  /** Row j's counter index for `token` (hash is 60-bit non-negative). */
+  def cmsPos(token: String, j: Int): Int = (md5h60(token + "#" + j) % CmsW).toInt
+
+  /** Count-min sketch as a partial-aggregable Aggregator: +1 into one
+    * counter per row per update, elementwise SUM on merge — exact
+    * integers, so (unlike a sampled top-k) the full sketch state is
+    * replayable in SQL as a (row, position) group-by count. Point
+    * estimate = min over the rows; the classic ≥-exact one-sided error.
+    * Like [[HllAgg]], the exchange ships one 8 KiB sketch per
+    * (partition × group) instead of the value stream.
+    */
+  class CmsAgg extends Aggregator[String, Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = new Array[Long](CmsD * CmsW)
+    override def reduce(b: Array[Long], tok: String): Array[Long] = {
+      var j = 0
+      while (j < CmsD) { b(j * CmsW + cmsPos(tok, j)) += 1L; j += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < CmsD * CmsW) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** The CMS aggregate as a column. */
+  def cms(tokenCol: Column): Column =
+    udaf(new CmsAgg, Encoders.STRING).apply(tokenCol)
+
+  /** Point estimate for a (driver-known) probe token: min over the rows'
+    * counters — literal indices, pure column math over the sketch array.
+    */
+  def cmsEstimate(sketch: Column, token: String): Column =
+    (0 until CmsD).map(j =>
+      element_at(sketch, lit(j * CmsW + cmsPos(token, j) + 1)))
+      .reduce(least(_, _))
+
+  /** Exact-integer sketch checksum (Σ all counters = depth × n_updates). */
+  def cmsChecksum(sketch: Column): Column =
+    aggregate(sketch, lit(0L), (a, c) => a + c)
 }

@@ -297,6 +297,28 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Deterministic stratified sampling (corpus subsampling without RNG
+    * state): keep the `n` rows with the smallest seeded md5 hash per
+    * stratum — a deterministic reservoir, identical across engines,
+    * partitionings, and reruns (the q60/q61 seeded-hash discipline).
+    *
+    * Plan: one exchange on the stratum + a per-stratum window top-n. For
+    * few/hot strata at extreme scale, the same semantics drop into the
+    * bounded-buffer map-side Aggregator pattern (TopKCandAgg), which
+    * ships ≤ n rows per partition × stratum instead of the stratum's full
+    * rows; the window form is the general one.
+    */
+  def stratifiedSample(df: DataFrame, strata: String, idCol: String,
+                       n: Int, seed: Long): DataFrame = {
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit("@" + seed))), 1, 15), 16, 10).cast("long")
+    df.withColumn("__h", h)
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col(strata)).orderBy(col("__h").asc, col(idCol).asc)))
+      .where(col("sample_rank") <= n)
+      .drop("__h")
+  }
+
   /** Sliding word n-gram 60-bit hashes per document (decontamination /
     * overlap primitives): one row per gram position. The md5-derived hash
     * is the repo's cross-engine one (replayable in the DuckDB oracle);

@@ -74,6 +74,36 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(e - 256.0 * math.log(256.0 / z)) < 1e-9)
   }
 
+  test("CMS counters equal brute force at any partitioning; est >= exact") {
+    val rnd = new scala.util.Random(11)
+    // 600 distinct tokens over width 256 → guaranteed collisions, so the
+    // >= in est >= exact is strict somewhere (overestimation exercised)
+    val values = (0 until 4000).map(_ => s"w${rnd.nextInt(600)}")
+    val brute = new Array[Long](SketchOps.CmsD * SketchOps.CmsW)
+    values.foreach { t =>
+      (0 until SketchOps.CmsD).foreach(j =>
+        brute(j * SketchOps.CmsW + SketchOps.cmsPos(t, j)) += 1L)
+    }
+    for (parts <- Seq(1, 7)) {
+      val sk = values.toDF("tok").repartition(parts)
+        .agg(SketchOps.cms(col("tok")).as("sk"))
+        .collect()(0).getSeq[Long](0)
+      assert(sk === brute.toSeq, s"parts=$parts")
+    }
+    val exact = values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probed = (0 until 600).map(i => s"w$i")
+    val sk = brute
+    var strictly = 0
+    probed.foreach { t =>
+      val est = (0 until SketchOps.CmsD)
+        .map(j => sk(j * SketchOps.CmsW + SketchOps.cmsPos(t, j))).min
+      val ex = exact.getOrElse(t, 0L)
+      assert(est >= ex, s"$t: est $est < exact $ex")
+      if (est > ex) strictly += 1
+    }
+    assert(strictly > 0, "expected at least one collision-driven overestimate")
+  }
+
   test("bloom: bitset equals brute force; zero false negatives; FP reduction") {
     val m = 1024; val k = 4
     val keys = (0L until 150L).map(_ * 7L + 3L)
