@@ -589,6 +589,17 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q75_exact_quantiles" -> ((s, d) => {
+      // exact per-source length quantiles with NO global sort and no
+      // percentile_approx nondeterminism: count per distinct value
+      // (map-side combinable — the shuffle carries distinct values, not
+      // rows), cumulative window, nearest-rank pick; the oracle replays
+      // the identical rank select.
+      Quantiles.exactQuantiles(s.read.parquet(p(d, "documents")),
+        strataCol = "source", valueCol = "n_chars",
+        qs = Seq(0.5, 0.95))
+        .orderBy("source")
+    }),
     "q74_stratified_sample" -> ((s, d) => {
       // deterministic stratified sample: 5 docs per source with the
       // smallest seeded md5 hash — a reservoir with no RNG state, same
@@ -1998,6 +2009,18 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q75_exact_quantiles" ->
+      // identical count + cumulative-rank select; ties impossible in the
+      // window (values are grouped distinct), so RANGE == ROWS frames
+      """WITH c AS (SELECT source, n_chars AS v, COUNT(*) AS c
+              FROM documents GROUP BY 1, 2),
+         cm AS (SELECT source, v,
+                  SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+                  SUM(c) OVER (PARTITION BY source) AS n FROM c)
+         SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cum >= ceil(0.95 * n) THEN v END) AS BIGINT) AS p95
+         FROM cm GROUP BY source ORDER BY source""",
     "q74_stratified_sample" ->
       // identical seeded-hash window: same md5 permutation, same
       // (hash, doc_id) total order, same top-5 cut
