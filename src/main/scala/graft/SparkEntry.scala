@@ -589,6 +589,31 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q78_paragraph_dedup" -> ((s, d) => {
+      // CCNet/C4-style corpus-level paragraph dedup: 10-token chunks as
+      // stand-in paragraphs (the synth corpus has no newlines), chunks in
+      // >= 2 distinct docs dropped corpus-wide, docs reassembled in
+      // position order. Counting shuffles 8-byte hashes, never bodies;
+      // the hot set broadcasts into an anti-join.
+      TextOps.paragraphDedup(s.read.parquet(p(d, "documents")),
+        TextOps.tokenChunks(10), maxDocs = 2L)
+        .orderBy("doc_id")
+    }),
+    "q77_unigram_lm" -> ((s, d) => {
+      // CCNet-style unigram LM quality score: self-trained token
+      // probabilities, per-doc mean log-prob in INTEGER micro-nats (sums
+      // are order-independent — the q70 integer-scaling rule); scoring is
+      // a zero-shuffle literal-map fold.
+      TextOps.unigramLogProb(s.read.parquet(p(d, "documents")))
+        .orderBy("doc_id")
+    }),
+    "q76_bm25" -> ((s, d) => {
+      // BM25 top-10 (Lucene +1 idf): corpus stats collapse to one driver
+      // row, idf rides back as literals, tf is a per-row array filter —
+      // the corpus never shuffles; top-k is TakeOrderedAndProject.
+      TextOps.bm25TopK(s.read.parquet(p(d, "documents")),
+        terms = bm25Terms, k = 10).orderBy("doc_id")
+    }),
     "q75_exact_quantiles" -> ((s, d) => {
       // exact per-source length quantiles with NO global sort and no
       // percentile_approx nondeterminism: count per distinct value
@@ -1161,6 +1186,34 @@ object SparkEntry {
 
   // shorthand for the oracle-side input dumps + SQL fragment generators
   private val O = OracleSql
+
+  /** q76 query terms — one definition drives both the Spark query and the
+    * oracle SQL generator so they can never drift.
+    */
+  private val bm25Terms = Seq("spark", "vector", "merge")
+
+  private def bm25OracleSql: String = {
+    val dfs = bm25Terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN list_contains(tk, '${bm25Terms(i)}') THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    // mirrors bm25TopK op-for-op with k1=1.2, b=0.75: Lucene +1 idf with
+    // rounded ln, tf as a list filter, left-assoc contribution chain
+    val contrib = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"""(round(ln(1.0 + (s.n - s.df$i + 0.5) / (s.df$i + 0.5)), 6)
+         |  * ((len(list_filter(tk, x -> x = '$t'))::DOUBLE * 2.2)
+         |     / (len(list_filter(tk, x -> x = '$t'))::DOUBLE
+         |        + 1.2 * (0.25 + (0.75 * len(tk)::DOUBLE)
+         |                 / (s.sumdl::DOUBLE / s.n::DOUBLE)))))""".stripMargin
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       | s AS (SELECT COUNT(*)::BIGINT AS n, CAST(SUM(len(tk)) AS BIGINT) AS sumdl,
+       |        $dfs FROM t),
+       | sc AS (SELECT doc_id, round($contrib, 6) + 0.0 AS score FROM t, s),
+       | rk AS (SELECT doc_id, score,
+       |          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |        FROM sc)
+       | SELECT doc_id, score, rank FROM rk WHERE rank <= 10 ORDER BY doc_id""".stripMargin
+  }
 
   /** q73 probe tokens — driver-known literals on BOTH sides (the engine's
     * cmsEstimate indices and the oracle's cell joins are generated from
@@ -2009,6 +2062,45 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q78_paragraph_dedup" ->
+      // identical chunking (disjoint 10-token slices, empties filtered,
+      // positions renumbered over survivors), 60-bit md5 hot set at
+      // nd >= 2, position-ordered reassembly
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         | ch0 AS (SELECT doc_id, i, array_to_string(tk[i*10+1 : i*10+10], ' ') AS para
+         |        FROM (SELECT doc_id, tk,
+         |                unnest(range(0, CAST(ceil(len(tk)::DOUBLE / 10) AS BIGINT))) AS i
+         |              FROM t)),
+         | ch AS (SELECT doc_id,
+         |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos, para
+         |        FROM ch0 WHERE length(para) > 0),
+         | hh AS (SELECT doc_id, pos, para, ${O.md5n("para")} AS h FROM ch),
+         | hot AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+         |                        FROM hh GROUP BY 1) WHERE nd >= 2),
+         | keep AS (SELECT * FROM hh WHERE h NOT IN (SELECT h FROM hot))
+         | SELECT doc_id, COUNT(*)::BIGINT AS n_paras,
+         |        string_agg(para, ' ' ORDER BY pos) AS clean_text
+         | FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q77_unigram_lm" ->
+      // identical micro-nat table (rounded ln scaled to integer, so the
+      // per-doc sum is exact integer math — order-independent), relational
+      // unnest + join replay of the zero-shuffle literal-map fold
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        | v AS (SELECT tok, COUNT(*)::BIGINT AS c
+        |       FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(c) AS BIGINT) AS s FROM v),
+        | lp AS (SELECT tok,
+        |          CAST(round(ln(c::DOUBLE / s::DOUBLE) * 1000000.0, 0) AS BIGINT) AS micro
+        |        FROM v, tot),
+        | e AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        | sm AS (SELECT e.doc_id, CAST(SUM(lp.micro) AS BIGINT) AS sum_micro
+        |        FROM e JOIN lp USING (tok) GROUP BY 1),
+        | nt AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM t)
+        | SELECT nt.doc_id, nt.n_tokens, sm.sum_micro,
+        |   round((sm.sum_micro::DOUBLE / 1000000.0) / nt.n_tokens::DOUBLE, 6) + 0.0
+        |     AS avg_logp
+        | FROM nt JOIN sm USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q76_bm25" -> bm25OracleSql,
     "q75_exact_quantiles" ->
       // identical count + cumulative-rank select; ties impossible in the
       // window (values are grouped distinct), so RANGE == ROWS frames

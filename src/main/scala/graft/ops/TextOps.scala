@@ -355,6 +355,150 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), countDistinct(col("h")).as("n_grams"))
 
+  /** BM25 relevance scores (Robertson/Spärck Jones, the standard public
+    * ranking function) of every document against a small query-term set,
+    * plus the global top-k.
+    *
+    * 100 TB design: the corpus NEVER shuffles. Corpus stats (N, Σdl, per-term
+    * document frequencies) are ONE map-side-combined aggregate collapsing to
+    * a single driver row; idf values then ride into a per-row scoring
+    * projection as literals (tf per term = codegen'd array filter over the
+    * row's own tokens — no explode, no join). The only exchange after the
+    * stats pass is the top-k window, which the TopKCandAgg pattern bounds if
+    * k·strata ever matters. Float discipline: idf = round(log(ratio), 6)
+    * with the ratio built from exact integer-derived doubles, so the DuckDB
+    * oracle replays every operation bit-for-bit (ln is the one transcendental
+    * and it is rounded on both sides).
+    */
+  def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.toSet.size == terms.size, "distinct terms")
+    val toks = tokens(col("text"))
+    val statCols = count(lit(1)).cast("long").as("n") +:
+      sum(size(toks).cast("long")).as("sumdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val st = documents.agg(statCols.head, statCols.tail: _*).head()
+    val n = st.getAs[Long]("n")
+    val avgdl = st.getAs[Long]("sumdl").toDouble / n
+    val dl = size(toks).cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val df = st.getAs[Long](s"df_$i")
+      // Lucene's +1 idf variant: strictly positive even for terms in over
+      // half the corpus (classic Robertson idf goes negative there, which
+      // would rank term-FREE documents first). Exact integer-derived
+      // doubles; ln rounded on both sides (q70 rule).
+      val idf = round(log(lit(1.0 + (n - df + 0.5) / (df + 0.5))), 6)
+      val tf = size(filter(toks, x => x === t)).cast("double")
+      idf * ((tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + (lit(b) * dl) / avgdl)))
+    }.reduceLeft(_ + _)
+    // orderBy().limit(k) compiles to TakeOrderedAndProject — each task
+    // ships its local top-k, no global sort/window over the corpus; the
+    // rank window then runs over k rows only
+    documents
+      .select(col("doc_id"), (round(score, 6) + 0.0).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+  }
+
+  /** Unigram language-model quality score (the CCNet-style perplexity
+    * filter, one model order down): train token unigram probabilities on the
+    * corpus itself, then score each document by its mean token log-prob.
+    *
+    * Float-order discipline: per-token log-probs are rounded and scaled to
+    * INTEGER micro-nats (round(ln(c/total)·1e6) as a long), so every
+    * document sum is exact integer math — order-independent, identical
+    * across partitionings and engines (the q70 integer-scaling rule) —
+    * and only the final mean returns to doubles.
+    *
+    * 100 TB design: training is one token groupBy whose shuffle carries the
+    * DISTINCT vocabulary (map-side combine), not token occurrences; scoring
+    * is ZERO-shuffle — the vocab rides into a per-row `aggregate` fold as a
+    * literal map. A web-scale vocabulary doesn't fit a literal, so `topV`
+    * truncates to the most frequent V tokens (deterministic ties by token)
+    * and everything else scores at the `oov` floor — exactly how a real
+    * perplexity filter bounds its model; past literal range the same
+    * semantics become an explode + broadcast-vocab join.
+    */
+  def unigramLogProb(documents: DataFrame, topV: Int = 65536): DataFrame = {
+    val spark = documents.sparkSession
+    val vocabAll = documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocabAll.agg(sum(col("c")).cast("long")).head().getLong(0)
+    // micro-logp computed by SPARK expressions (not driver math) so round()
+    // semantics match the oracle's round() exactly
+    val vocab = vocabAll
+      .orderBy(col("c").desc, col("tok").asc).limit(topV)
+      .select(col("tok"),
+        round(log(col("c").cast("double") / lit(total.toDouble)) * 1000000.0, 0)
+          .cast("long").as("micro"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val oov = spark.range(1)
+      .select(round(log(lit(1.0 / total)) * 1000000.0, 0).cast("long"))
+      .head().getLong(0)
+    val lookup = map(vocab.flatMap { case (t, m) => Seq(lit(t), lit(m)) }.toIndexedSeq: _*)
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + coalesce(element_at(lookup, t), lit(oov)))
+        .as("sum_micro"))
+      .withColumn("avg_logp",
+        round((col("sum_micro").cast("double") / 1000000.0) /
+          col("n_tokens").cast("double"), 6) + 0.0)
+  }
+
+  /** Corpus-level paragraph dedup (the CCNet/C4 boilerplate gate): drop
+    * every paragraph whose hash appears in ≥ `maxDocs` DISTINCT documents
+    * (navbars, cookie banners, license footers), then reassemble each
+    * document from its surviving paragraphs in position order.
+    *
+    * `paragraphs` maps the text column to an array of paragraph strings —
+    * newline split for real corpora; the caller chooses. Hashes are the
+    * repo's cross-engine 60-bit md5 (oracle-replayable; xxhash64 at 100 TB).
+    *
+    * 100 TB design: the exchange currency is (hash, doc_id, pos) — paragraph
+    * BODIES never shuffle for counting (count hot hashes over the 8-byte
+    * hash key, map-side combined); the hot-hash table is tiny by definition
+    * (it's the paragraphs repeated across many documents) and broadcasts
+    * into an anti-join, so the reassembly groupBy is the only full shuffle.
+    */
+  def paragraphDedup(documents: DataFrame, paragraphs: Column => Column,
+                     maxDocs: Long): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    val para = documents.select(col("doc_id"),
+      posexplode(paragraphs(col("text"))).as(Seq("pos", "para")))
+      .withColumn("h",
+        conv(substring(md5(col("para")), 1, 15), 16, 10).cast("long"))
+    val hot = para.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= maxDocs)
+      .select("h")
+    para.join(broadcast(hot), Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_paras"),
+        concat_ws(" ", transform(array_sort(
+          collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para"))).as("clean_text"))
+  }
+
+  /** Disjoint `k`-token chunks as stand-in paragraphs for corpora without
+    * newline structure (the synth `documents` table) — the `paragraphs`
+    * argument of [[paragraphDedup]] for the q78 gate.
+    */
+  def tokenChunks(k: Int)(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    filter(
+      transform(sequence(lit(0), greatest(ceil(n.cast("double") / k).cast("int") - 1, lit(0))),
+        i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))),
+      s => length(s) > 0)
+  }
+
   /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1, public
     * heuristics): per document, the most-frequent word 2-gram (count + the
     * fraction of characters its occurrences cover) and the fraction of
