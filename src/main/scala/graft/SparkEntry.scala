@@ -589,6 +589,17 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q79_semdedup" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup —
+      // map-side nearest-centroid assignment (same nlist=16/iters=2
+      // training as q45, bit-identical to the dumped centroids), pairwise
+      // cosine only within clusters, components + keep-list via the q62
+      // label-propagation operator. The oracle replays assignment, the
+      // within-cluster threshold join, and the transitive closure.
+      val emb = s.read.parquet(p(d, "embeddings"))
+      val cents = AnnOps.ivfTrain(emb, dim = 64, nlist = 16, iters = 2)
+      AnnOps.semDedup(emb, cents, threshold = 0.35).orderBy("vec_id")
+    }),
     "q78_paragraph_dedup" -> ((s, d) => {
       // CCNet/C4-style corpus-level paragraph dedup: 10-token chunks as
       // stand-in paragraphs (the synth corpus has no newlines), chunks in
@@ -2062,6 +2073,31 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q79_semdedup" ->
+      // q45's assignment replay + within-cluster exact-cosine threshold
+      // join + q62's transitive-closure CTE — keep = min vec_id reachable
+      s"""WITH RECURSIVE
+          ct AS (SELECT list_id, centroid FROM ${O.inp("ivf_centroids")}),
+          asg AS (SELECT vec_id, list_id FROM (
+                    SELECT e.vec_id, ct.list_id,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${O.cos("e.embedding", "ct.centroid")} DESC,
+                                 ct.list_id ASC) AS rn
+                    FROM embeddings e CROSS JOIN ct) WHERE rn = 1),
+          pr AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                 FROM asg a JOIN asg b USING (list_id)
+                 JOIN embeddings ea ON ea.vec_id = a.vec_id
+                 JOIN embeddings eb ON eb.vec_id = b.vec_id
+                 WHERE a.vec_id < b.vec_id
+                   AND ${O.cos("ea.embedding", "eb.embedding")} >= 0.35),
+          e AS (SELECT va AS a, vb AS b FROM pr
+                UNION SELECT vb, va FROM pr),
+          reach(v, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v)
+          SELECT v AS vec_id, MIN(r) AS component, MIN(r) = v AS is_keep
+          FROM reach GROUP BY v ORDER BY vec_id""",
     "q78_paragraph_dedup" ->
       // identical chunking (disjoint 10-token slices, empties filtered,
       // positions renumbered over survivors), 60-bit md5 hot set at

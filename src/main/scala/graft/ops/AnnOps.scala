@@ -438,4 +438,34 @@ object AnnOps {
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, public method): semantic deduplication by
+    * k-means-cluster-bounded pairwise cosine — vectors land in their
+    * nearest-centroid cluster, pairs are scored only WITHIN a cluster, and
+    * pairs at/above `threshold` become near-dup edges feeding the q62
+    * connected-components keep-list (keep = min vec_id per component).
+    *
+    * 100 TB design: cluster assignment is map-side literal math (no join —
+    * [[ivfAssignExpr]]); the single corpus shuffle is the list_id exchange
+    * for pairing; the quadratic is bounded per cluster, which is the whole
+    * point of the method — nlist is sized so |corpus|/nlist rows fit a
+    * task, and oversize clusters split recursively at scale (documented
+    * cap, same discipline as HammingBlocking). Edges carry only ids, and
+    * the component pass is the O(log diameter) label-propagation operator.
+    */
+  def semDedup(embeddings: DataFrame, cents: Array[Array[Double]],
+               threshold: Double): DataFrame = {
+    val asg = embeddings.select(col("vec_id"), col("embedding"),
+      ivfAssignExpr(col("embedding"), cents).as("list_id"))
+    val a = asg.select(col("list_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = asg.select(col("list_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val edges = a.join(b, Seq("list_id"))
+      .where(col("vec_a") < col("vec_b"))
+      .where(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+    Clustering.keepList(embeddings.select(col("vec_id")), edges,
+      idCol = "vec_id", aCol = "vec_a", bCol = "vec_b")
+  }
 }
