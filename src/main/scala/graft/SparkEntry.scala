@@ -131,6 +131,8 @@ object SparkEntry {
     w(s.createDataFrame(ivf.toSeq.zipWithIndex.map { case (c, j) => (j, c.toSeq) })
       .toDF("list_id", "centroid"), "ivf_centroids")
     w(Synth.envelopes(s, 16L), "envelopes")
+    // PII-planted corpus: q80's oracle replays counts + redaction from this
+    w(Synth.piiDocs(s, 315L), "pii_docs")
     // mixed-city PRE-RENDER surfaces: q53's oracle recomputes the round
     // trip's per-kind counts/checksums and the -tC translation from these
     w(Synth.mixedCity(s, nBuildings(sfOf(sfDir)), nOther(sfOf(sfDir)))
@@ -588,6 +590,13 @@ object SparkEntry {
         .groupBy("object_kind")
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
+    }),
+    "q80_pii_scrub" -> ((s, d) => {
+      // PII scrubbing over the planted fixture: per-category counts +
+      // sequential redaction, zero-shuffle per-row regex in the Java∩RE2
+      // dialect; the oracle replays counts and every replacement on the
+      // dumped corpus with the same patterns.
+      TextOps.scrubPii(graft.model.Synth.piiDocs(s, 315L)).orderBy("doc_id")
     }),
     "q79_semdedup" -> ((s, d) => {
       // SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup —
@@ -2073,6 +2082,18 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q80_pii_scrub" ->
+      // identical patterns (Java∩RE2 dialect), identical email→SSN→phone
+      // replacement order on the running text; counts on the original
+      s"""SELECT doc_id,
+            len(regexp_extract_all(text, '${TextOps.EmailRe}'))::BIGINT AS n_emails,
+            len(regexp_extract_all(text, '${TextOps.SsnRe}'))::BIGINT AS n_ssns,
+            len(regexp_extract_all(text, '${TextOps.PhoneRe}'))::BIGINT AS n_phones,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '${TextOps.EmailRe}', '[EMAIL]', 'g'),
+              '${TextOps.SsnRe}', '[SSN]', 'g'),
+              '${TextOps.PhoneRe}', '[PHONE]', 'g') AS clean_text
+          FROM ${O.inp("pii_docs")} ORDER BY doc_id""",
     "q79_semdedup" ->
       // q45's assignment replay + within-cluster exact-cosine threshold
       // join + q62's transitive-closure CTE — keep = min vec_id reachable

@@ -324,6 +324,32 @@ object Synth {
     chains.unionByName(singles)
   }
 
+  /** PII-planted corpus for the q80 scrub gate: word soup with
+    * deterministically injected emails (every 3rd doc), SSN-shaped ids
+    * (every 5th), and phone-shaped numbers (every 7th) — digits derived
+    * from doc_id so the fixture is pure column math (no RNG, identical at
+    * any partitioning). Some docs carry several kinds, some none.
+    */
+  def piiDocs(spark: SparkSession, n: Long): DataFrame = {
+    def d(m: Int, w: Int) =
+      lpad((col("id") % m).cast("string"), w, "0")
+    spark.range(0L, n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        lit("alpha beta gamma"),
+        when(col("id") % 3 === 0,
+          concat(lit("user"), col("id"), lit(".x@mail"), col("id") % 10,
+            lit(".example.com"))).otherwise(lit("delta")),
+        lit("epsilon zeta"),
+        when(col("id") % 5 === 0,
+          concat(d(900, 3), lit("-"), d(90, 2), lit("-"), d(9000, 4)))
+          .otherwise(lit("eta")),
+        when(col("id") % 7 === 0,
+          concat(lit("("), d(800, 3), lit(") "), d(700, 3), lit("-"), d(9500, 4)))
+          .otherwise(lit("theta")),
+        lit("iota kappa")).as("text"))
+  }
+
   /** Class-structured image fixture for semantic-feature evaluation
     * (round-5 item #7): class c ∈ {0..nClasses−1} draws grayscale stripes
     * at orientation {horizontal, vertical, 45°, 135°} with seeded ±16

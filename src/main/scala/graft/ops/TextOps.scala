@@ -499,6 +499,30 @@ object TextOps {
       s => length(s) > 0)
   }
 
+  /** PII patterns shared by [[scrubPii]] and the q80 oracle generator —
+    * written in the regex intersection of Java (Spark) and RE2 (DuckDB):
+    * character classes, bounded repeats, and literal escapes only (no
+    * lookaround, no \\b), so both engines match identically.
+    */
+  final val EmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}"
+  final val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  final val PhoneRe = "\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing (the redaction pass every public-web corpus runs before
+    * training): count then redact emails / SSN-shaped / phone-shaped spans,
+    * applied in a fixed order (email → SSN → phone) on the running text.
+    * Pure per-row column math — zero shuffle, codegen'd regex — and the
+    * patterns are engine-portable so the oracle replays every replacement.
+    */
+  def scrubPii(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(SsnRe)).cast("long").as("n_ssns"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit(EmailRe), lit("[EMAIL]")), lit(SsnRe), lit("[SSN]")),
+        lit(PhoneRe), lit("[PHONE]")).as("clean_text"))
+
   /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1, public
     * heuristics): per document, the most-frequent word 2-gram (count + the
     * fraction of characters its occurrences cover) and the fraction of
