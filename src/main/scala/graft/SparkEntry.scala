@@ -591,6 +591,16 @@ object SparkEntry {
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
     }),
+    "q81_augment" -> ((s, d) => {
+      // deterministic crop+flip augmentation: offsets/flip from disjoint
+      // bit fields of the 60-bit md5 of (image_id, seed) — no RNG state,
+      // engine/partitioning/rerun invariant; per-partition typed decode,
+      // output rows carry only offsets + exact integer checksums (plain
+      // and position-weighted). Oracle replays offsets, the flipped crop
+      // window, and both sums from the dumped source pixels.
+      ImageOps.augment(s, synthImages(s, d), cw = 12, ch = 12, seed = 81L)
+        .orderBy("image_id")
+    }),
     "q80_pii_scrub" -> ((s, d) => {
       // PII scrubbing over the planted fixture: per-category counts +
       // sequential redaction, zero-shuffle per-row regex in the Java∩RE2
@@ -2082,6 +2092,29 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q81_augment" ->
+      // identical bit-field offsets (hsh % span, (hsh>>8) % span,
+      // (hsh>>16)&1), identical flipped-crop index arithmetic over the
+      // dumped pixels; k = (y*12 + x)*3 + c is the output-position weight
+      s"""WITH im AS (SELECT i.image_id, i.w, i.h, p.px
+                      FROM ${O.inp("images")} i
+                      JOIN ${O.inp("pixels")} p USING (image_id)),
+          par AS (SELECT image_id, w, h, px,
+                    ${O.md5n("image_id || '@81'")} AS hsh FROM im),
+          geo AS (SELECT image_id, w, px,
+                    hsh % (w - 11) AS ox, (hsh >> 8) % (h - 11) AS oy,
+                    ((hsh >> 16) & 1) = 1 AS flip FROM par),
+          kk AS (SELECT image_id, w, px, ox, oy, flip,
+                   unnest(range(0, 432)) AS k FROM geo),
+          v AS (SELECT image_id, ox, oy, flip, k,
+                  px[((oy + (k//3)//12) * w + ox +
+                      (CASE WHEN flip THEN 11 - ((k//3)%12)
+                            ELSE (k//3)%12 END)) * 3 + (k%3) + 1] AS val
+                FROM kk)
+          SELECT image_id, ox, oy, flip,
+            CAST(SUM(val) AS BIGINT) AS aug_sum,
+            CAST(SUM(val * (k + 1)) AS BIGINT) AS aug_wsum
+          FROM v GROUP BY image_id, ox, oy, flip ORDER BY image_id""",
     "q80_pii_scrub" ->
       // identical patterns (Java∩RE2 dialect), identical email→SSN→phone
       // replacement order on the running text; counts on the original

@@ -178,6 +178,61 @@ object ImageOps {
     * schema; the packed `dhash` long plugs straight into the SimHash-style
     * hamming pigeonhole blocking for image near-dup joins.
     */
+  /** Deterministic training augmentation (the vision-pipeline op between
+    * "decoded corpus" and "training batches"): seeded random crop +
+    * horizontal flip, with NO RNG state — the crop offsets and the flip bit
+    * derive from disjoint bit fields of the cross-engine 60-bit md5 hash of
+    * (image_id, seed), so the augmentation is identical across engines,
+    * partitionings, and reruns (exactly the q60/q61 seeded-hash
+    * discipline, applied to pixels).
+    *
+    * Plumbing contract (shared with thumbnails/features): per-partition
+    * typed decode where the payload lives, never-fail, payloads never in a
+    * shuffle — the output rows carry only offsets + two exact integer
+    * checksums (plain and position-weighted, so a flip provably changes
+    * the result), both SQL-recomputable from the dumped source pixels.
+    */
+  def augment(spark: SparkSession, images: DataFrame, cw: Int, ch: Int,
+              seed: Long): DataFrame = {
+    import spark.implicits._
+    require(cw >= 1 && ch >= 1, "crop dims must be >= 1")
+    val hsh = conv(substring(md5(concat(col("image_id"), lit("@" + seed))),
+      1, 15), 16, 10).cast("long")
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .withColumn("hsh", hsh)
+      .withColumn("ox", pmod(col("hsh"), (col("w") - cw + 1).cast("long")))
+      .withColumn("oy", pmod(shiftright(col("hsh"), 8), (col("h") - ch + 1).cast("long")))
+      .withColumn("flip", (shiftright(col("hsh"), 16).bitwiseAND(1L)) === 1L)
+      .select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"),
+        col("ox"), col("oy"), col("flip"))
+      .as[(String, Array[Byte], Int, Int, String, Long, Long, Boolean)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, w, h, fmt, oxL, oyL, flip) =>
+          val px = ImageCodec.decode(bytes, fmt, w, h)
+          val (ox, oy) = (oxL.toInt, oyL.toInt)
+          var s = 0L; var ws = 0L
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) {
+              val sx = ox + (if (flip) cw - 1 - x else x)
+              var c = 0
+              while (c < 3) {
+                val v = (px(((oy + y) * w + sx) * 3 + c) & 0xFF).toLong
+                val k = (y * cw + x) * 3 + c
+                s += v; ws += v * (k + 1)
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (id, ox.toLong, oy.toLong, flip, s, ws)
+        }
+      }
+      .toDF("image_id", "ox", "oy", "flip", "aug_sum", "aug_wsum")
+  }
+
   def extractFeatures(spark: SparkSession, images: DataFrame): DataFrame = {
     import spark.implicits._
     images.select("image_id", "bytes", "w", "h", "fmt")
