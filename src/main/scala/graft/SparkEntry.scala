@@ -50,6 +50,25 @@ object SparkEntry {
   private[graft] def q62Corpus(s: SparkSession, dir: String): DataFrame =
     Synth.chainDocs(s, math.max(8L, (2000 * sfOf(dir)).toLong))
 
+  /** q83 crawl increment (shared by the query and dumpInputs), pure column
+    * math over the frozen corpus: every 50th doc replanted verbatim
+    * (exact dup), every 50th+1 with its first two tokens trimmed (near
+    * dup — high Jaccard, many shared bands), plus fresh unique-token docs.
+    */
+  private[graft] def q83Increment(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(p(dir, "documents"))
+    val exact = docs.where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = docs.where(col("doc_id") % 50 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 3, Int.MaxValue))
+          .as("text"))
+    val fresh = s.range(3000000L, 3000020L).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(25)),
+        j => concat(lit("f"), col("id"), lit("_"), j))).as("text"))
+    exact.unionByName(near).unionByName(fresh)
+  }
+
   /** q63 merge table (shared by the query and dumpInputs): BPE merges
     * trained on a deterministic 10% doc_id slice — sampled trainer, full
     * corpus encode, the production shape.
@@ -133,6 +152,11 @@ object SparkEntry {
     w(Synth.envelopes(s, 16L), "envelopes")
     // PII-planted corpus: q80's oracle replays counts + redaction from this
     w(Synth.piiDocs(s, 315L), "pii_docs")
+    // q83 crawl increment + its band table (history bands = minhash_bands,
+    // same k/bands/rows): the oracle replays both dedup joins from these
+    val incr = q83Increment(s, sfDir)
+    w(incr, "incr_docs")
+    w(TextOps.minhashBandTable(incr, k = 3, bands = 16, rows = 2), "incr_bands")
     // mixed-city PRE-RENDER surfaces: q53's oracle recomputes the round
     // trip's per-kind counts/checksums and the -tC translation from these
     w(Synth.mixedCity(s, nBuildings(sfOf(sfDir)), nOther(sfOf(sfDir)))
@@ -590,6 +614,38 @@ object SparkEntry {
         .groupBy("object_kind")
         .agg(dsum(col("p.x") + col("p.y") + col("p.z")).as("tx_checksum"))
       raw.join(tx, Seq("object_kind")).orderBy("object_kind")
+    }),
+    "q83_incremental_dedup" -> ((s, d) => {
+      // incremental dedup of a deterministic crawl increment (verbatim
+      // replants → exact_dup, head-trimmed replants → near_dup via ≥3
+      // shared minhash bands, fresh unique-token docs → new) against the
+      // frozen documents corpus; hashes and band buckets shuffle, bodies
+      // never do. Oracle replays both joins from the dumped increment +
+      // band tables.
+      TextOps.incrementalDedup(q83Increment(s, d),
+        s.read.parquet(p(d, "documents")))
+        .orderBy("doc_id")
+    }),
+    "q82_manifest_skip" -> ((s, d) => {
+      // Iceberg-style per-file stats manifest + data-skipping range read
+      // (no Iceberg jar — SURVEY §7.6): write range-partitioned parquet +
+      // manifest, answer an inclusive range query opening ONLY overlapping
+      // files. `skipped` is pinned TRUE by the oracle (the q54 trick): if
+      // pruning ever stops happening on this layout the gate goes red.
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q82_data").getAbsolutePath
+      val docs = s.read.parquet(p(d, "documents"))
+      graft.sources.StatsManifest.write(
+        docs.repartitionByRange(8, col("n_chars")), dir, Seq("n_chars"))
+      val (pruned, opened, total) = graft.sources.StatsManifest.prunedRead(
+        s, dir, "n_chars", 150L, 300L)
+      pruned.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+        .withColumn("skipped", lit(opened < total))
+        .orderBy("source")
     }),
     "q81_augment" -> ((s, d) => {
       // deterministic crop+flip augmentation: offsets/flip from disjoint
@@ -2092,6 +2148,38 @@ object SparkEntry {
           SELECT source, COUNT(*) AS n_docs,
                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
           FROM m WHERE hkey < thr GROUP BY source ORDER BY source""",
+    "q83_incremental_dedup" ->
+      // exact = md5(text) equality vs documents; near = band-count ≥ 3
+      // over the dumped increment/history band tables; same CASE routing
+      s"""WITH inc AS (SELECT doc_id, text FROM ${O.inp("incr_docs")}),
+          ex AS (SELECT i.doc_id, COUNT(*)::BIGINT AS n_exact
+                 FROM inc i JOIN documents h ON md5(i.text) = md5(h.text)
+                 GROUP BY 1),
+          nb AS (SELECT ib.doc_id, hb.doc_id AS old_id, COUNT(*) AS nb
+                 FROM ${O.inp("incr_bands")} ib
+                 JOIN ${O.inp("minhash_bands")} hb
+                   ON ib.band_idx = hb.band_idx
+                  AND ib.band_hash = hb.band_hash
+                 GROUP BY 1, 2),
+          nr AS (SELECT doc_id, MIN(old_id) AS near_match
+                 FROM nb WHERE nb >= 3 GROUP BY 1)
+          SELECT i.doc_id,
+            COALESCE(ex.n_exact, 0) AS n_exact,
+            COALESCE(nr.near_match, -1) AS near_match,
+            CASE WHEN COALESCE(ex.n_exact, 0) > 0 THEN 'exact_dup'
+                 WHEN COALESCE(nr.near_match, -1) >= 0 THEN 'near_dup'
+                 ELSE 'new' END AS status
+          FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+          ORDER BY i.doc_id""",
+    "q82_manifest_skip" ->
+      // plain filter+agg over documents — equality proves the pruned scan
+      // lost no rows; `skipped` pinned TRUE
+      """SELECT source, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           TRUE AS skipped
+         FROM documents WHERE n_chars >= 150 AND n_chars <= 300
+         GROUP BY source ORDER BY source""",
     "q81_augment" ->
       // identical bit-field offsets (hsh % span, (hsh>>8) % span,
       // (hsh>>16)&1), identical flipped-crop index arithmetic over the

@@ -297,6 +297,44 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Incremental dedup (the production shape: today's crawl increment
+    * against a frozen historical corpus): stage 1 drops exact dups by
+    * md5(text) equality against the history; stage 2 flags near-dups when
+    * an increment doc shares ≥ `minBands` minhash band buckets with a
+    * single historical doc (band-count evidence — no historical TEXT is
+    * needed, only the band table, which is what a 100 TB index actually
+    * stores). Returns one row per increment doc: exact-match count, best
+    * near match (min historical id, −1 = none), and the routed status.
+    *
+    * 100 TB design: both joins key on short hashes (32-char md5 / band
+    * buckets) — document bodies never shuffle; the history side is a
+    * pre-bucketable table that persists across increments, so each daily
+    * run shuffles only the increment.
+    */
+  def incrementalDedup(increment: DataFrame, history: DataFrame,
+                       k: Int = 3, bands: Int = 16, rows: Int = 2,
+                       minBands: Int = 3): DataFrame = {
+    val exactM = increment.select(col("doc_id"), md5(col("text")).as("th"))
+      .join(history.select(md5(col("text")).as("th")), Seq("th"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    val ib = minhashBandTable(increment, k, bands, rows)
+    val hb = minhashBandTable(history, k, bands, rows)
+      .withColumnRenamed("doc_id", "old_id")
+    val near = ib.join(hb, Seq("band_idx", "band_hash"))
+      .groupBy(col("doc_id"), col("old_id")).agg(count(lit(1)).as("nb"))
+      .where(col("nb") >= minBands)
+      .groupBy("doc_id").agg(min(col("old_id")).as("near_match"))
+    increment.select("doc_id")
+      .join(exactM, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("near_match"), lit(-1L)).as("near_match"),
+        when(coalesce(col("n_exact"), lit(0L)) > 0, "exact_dup")
+          .when(coalesce(col("near_match"), lit(-1L)) >= 0, "near_dup")
+          .otherwise("new").as("status"))
+  }
+
   /** Deterministic stratified sampling (corpus subsampling without RNG
     * state): keep the `n` rows with the smallest seeded md5 hash per
     * stratum — a deterministic reservoir, identical across engines,
