@@ -40,6 +40,44 @@ object StatsManifest {
     spark.read.parquet(dir + "_manifest")
   }
 
+  /** 16-bit Morton spread as Column bit math (same 4-step shift-or-mask as
+    * `geom/Cells.spread`, narrowed to 16 input bits) — codegen'd end to
+    * end, no UDF.
+    */
+  private def spread16(cIn: Column): Column = {
+    var v = cIn.bitwiseAND(lit(0xFFFFL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x33333333L))
+    v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) clustered write over TWO numeric columns + manifest
+    * over both: each column is min/max-normalized to 16 bits (one tiny agg
+    * collect), the interleaved 32-bit key drives `repartitionByRange`, and
+    * because a contiguous Z range bounds BOTH coordinates, every file gets
+    * a tight [min, max] interval in each dimension — so `prunedRead` skips
+    * files for range predicates on EITHER column from one layout. This is
+    * the Delta/Iceberg OPTIMIZE ZORDER strategy: at 100 TB the sort key is
+    * the only thing that changes vs a plain clustered write — same single
+    * range exchange, same metadata-scale manifest.
+    */
+  def zorderWrite(df: DataFrame, dir: String, cA: String, cB: String,
+                  numFiles: Int): DataFrame = {
+    val r = df.agg(min(col(cA)).cast("long"), max(col(cA)).cast("long"),
+      min(col(cB)).cast("long"), max(col(cB)).cast("long")).head()
+    def norm(c: String, mn: Long, mx: Long): Column =
+      // Spark `/` is double division; operands < 2^53 so the cast back to
+      // long is an exact floor for these nonnegative values
+      ((col(c).cast("long") - mn) * 65535L / lit(math.max(1L, mx - mn)))
+        .cast("long")
+    val zkey = spread16(norm(cA, r.getLong(0), r.getLong(1)))
+      .bitwiseOR(shiftleft(spread16(norm(cB, r.getLong(2), r.getLong(3))), 1))
+    val keyed = df.withColumn("__zkey", zkey)
+      .repartitionByRange(numFiles, col("__zkey")).drop("__zkey")
+    write(keyed, dir, Seq(cA, cB))
+  }
+
   /** Inclusive range read `lo <= c <= hi` that opens ONLY overlapping
     * files. Returns (result, filesOpened, filesTotal) — the counts are the
     * skipping evidence (ManifestSpec pins filesOpened < filesTotal on a
