@@ -69,6 +69,13 @@ object SparkEntry {
     exact.unionByName(near).unionByName(fresh)
   }
 
+  /** q85 oracle helper: integer BT.601 luma (×1000, floor-divided) of the
+    * 0-based pixel index expression `j` over the 1-based dumped px list —
+    * the exact mirror of the Scala `(299r + 587g + 114b) / 1000`.
+    */
+  private def q85Lum(j: String): String =
+    s"((299*px[($j)*3+1] + 587*px[($j)*3+2] + 114*px[($j)*3+3]) // 1000)"
+
   /** q63 merge table (shared by the query and dumpInputs): BPE merges
     * trained on a deterministic 10% doc_id slice — sampled trainer, full
     * corpus encode, the production shape.
@@ -625,6 +632,39 @@ object SparkEntry {
       TextOps.incrementalDedup(q83Increment(s, d),
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
+    }),
+    "q85_image_quality" -> ((s, d) => {
+      // crawl-grade image quality gate: Laplacian-variance blur score
+      // (Pech-Pacheco) + mean luma from exact integer sums; threshold at
+      // the corpus median so `sharp` splits the fleet. Zero shuffle.
+      ImageOps.qualityStats(s, synthImages(s, d), 48500.0)
+        .select(col("image_id"), col("n_int"), col("lap_sum"),
+          col("lap_sq_sum"),
+          (round(col("blur_var_raw"), 4) + 0.0).as("blur_var"),
+          (round(col("mean_luma_raw"), 4) + 0.0).as("mean_luma"),
+          col("sharp"))
+        .orderBy("image_id")
+    }),
+    "q84_zorder_skip" -> ((s, d) => {
+      // OPTIMIZE ZORDER for plain parquet: ONE Morton-clustered layout
+      // serves range predicates on BOTH doc_id AND n_chars — each dim's
+      // pruned read must skip files (per-dim `skipped` pins, q54 trick).
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q84_data").getAbsolutePath
+      val docs = s.read.parquet(p(d, "documents"))
+        .select("doc_id", "source", "n_chars")
+      graft.sources.StatsManifest.zorderWrite(docs, dir, "doc_id", "n_chars", 16)
+      def leg(c: String, lo: Long, hi: Long): DataFrame = {
+        val (pr, opened, total) =
+          graft.sources.StatsManifest.prunedRead(s, dir, c, lo, hi)
+        pr.agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("chars_sum"))
+          .select(lit(c).as("dim"), col("n_rows"), col("id_sum"),
+            col("chars_sum"), lit(opened < total).as("skipped"))
+      }
+      leg("doc_id", 100L, 140L).unionByName(leg("n_chars", 150L, 300L))
+        .orderBy("dim")
     }),
     "q82_manifest_skip" -> ((s, d) => {
       // Iceberg-style per-file stats manifest + data-skipping range read
@@ -2171,6 +2211,50 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q85_image_quality" ->
+      // identical integer BT.601 luma (floor //1000), identical 4-neighbor
+      // Laplacian over interior pixels, variance/mean derived from the
+      // same integer sums in the same expression order
+      s"""WITH im AS (SELECT i.image_id, i.w, i.h, p.px
+                      FROM ${O.inp("images")} i
+                      JOIN ${O.inp("pixels")} p USING (image_id)),
+          kk AS (SELECT image_id, w, h, px,
+                   unnest(range(0, (w-2)*(h-2))) AS k FROM im),
+          ii AS (SELECT image_id, w, h, px,
+                   ((1 + k // (w-2)) * w + 1 + k % (w-2)) AS j FROM kk),
+          lp AS (SELECT image_id,
+                   4*${q85Lum("j")} - ${q85Lum("j-1")} - ${q85Lum("j+1")}
+                     - ${q85Lum("j-w")} - ${q85Lum("j+w")} AS lap
+                 FROM ii),
+          lm AS (SELECT image_id, w, h, px,
+                   unnest(range(0, w*h)) AS j FROM im),
+          ls AS (SELECT image_id,
+                   CAST(SUM(${q85Lum("j")}) AS BIGINT) AS luma_sum,
+                   MAX(w*h) AS npx
+                 FROM lm GROUP BY image_id),
+          ag AS (SELECT image_id, COUNT(*)::BIGINT AS n_int,
+                   CAST(SUM(lap) AS BIGINT) AS lap_sum,
+                   CAST(SUM(lap*lap) AS BIGINT) AS lap_sq_sum
+                 FROM lp GROUP BY 1)
+          SELECT a.image_id, a.n_int, a.lap_sum, a.lap_sq_sum,
+            round((a.lap_sq_sum::DOUBLE - a.lap_sum::DOUBLE *
+              a.lap_sum::DOUBLE / a.n_int) / a.n_int, 4) + 0.0 AS blur_var,
+            round(l.luma_sum::DOUBLE / l.npx, 4) + 0.0 AS mean_luma,
+            ((a.lap_sq_sum::DOUBLE - a.lap_sum::DOUBLE *
+              a.lap_sum::DOUBLE / a.n_int) / a.n_int) >= 48500.0 AS sharp
+          FROM ag a JOIN ls l USING (image_id) ORDER BY a.image_id""",
+    "q84_zorder_skip" ->
+      // plain filters over documents — equality proves neither pruned scan
+      // lost rows; `skipped` pinned TRUE for BOTH dimensions
+      """SELECT 'doc_id' AS dim, COUNT(*)::BIGINT AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum, TRUE AS skipped
+         FROM documents WHERE doc_id BETWEEN 100 AND 140
+         UNION ALL
+         SELECT 'n_chars', COUNT(*)::BIGINT, CAST(SUM(doc_id) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT), TRUE
+         FROM documents WHERE n_chars BETWEEN 150 AND 300
+         ORDER BY dim""",
     "q82_manifest_skip" ->
       // plain filter+agg over documents — equality proves the pruned scan
       // lost no rows; `skipped` pinned TRUE

@@ -233,6 +233,58 @@ object ImageOps {
       .toDF("image_id", "ox", "oy", "flip", "aug_sum", "aug_wsum")
   }
 
+  /** Image quality gate (the crawl-filtering op that drops blurry/blank
+    * frames before training): integer BT.601 luma (×1000, floor-divided —
+    * SQL `//`-replayable), 4-neighbor Laplacian over interior pixels,
+    * blur score = population variance of the Laplacian (Pech-Pacheco
+    * focus measure) plus mean luma. All sums are exact integers; the two
+    * doubles derive from them in one mirrored expression each, so the
+    * oracle recomputes bit-identically from the dumped pixels. Zero
+    * shuffle: typed per-partition decode, one pass per image, only slim
+    * stat rows continue.
+    */
+  def qualityStats(spark: SparkSession, images: DataFrame,
+                   sharpThreshold: Double): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, w, h, fmt) =>
+          val px = ImageCodec.decode(bytes, fmt, w, h)
+          val n = w * h
+          val lum = new Array[Int](n)
+          var j = 0
+          while (j < n) {
+            lum(j) = (299 * (px(3 * j) & 0xFF) + 587 * (px(3 * j + 1) & 0xFF) +
+              114 * (px(3 * j + 2) & 0xFF)) / 1000
+            j += 1
+          }
+          var lumaSum = 0L
+          j = 0
+          while (j < n) { lumaSum += lum(j); j += 1 }
+          var lapSum = 0L; var lapSq = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val c = y * w + x
+              val l = 4 * lum(c) - lum(c - 1) - lum(c + 1) - lum(c - w) - lum(c + w)
+              lapSum += l; lapSq += l.toLong * l
+              x += 1
+            }
+            y += 1
+          }
+          val nInt = ((w - 2) * (h - 2)).toLong
+          val blurVar =
+            (lapSq.toDouble - lapSum.toDouble * lapSum.toDouble / nInt) / nInt
+          (id, nInt, lapSum, lapSq, blurVar, lumaSum.toDouble / n,
+            blurVar >= sharpThreshold)
+        }
+      }
+      .toDF("image_id", "n_int", "lap_sum", "lap_sq_sum", "blur_var_raw",
+        "mean_luma_raw", "sharp")
+  }
+
   def extractFeatures(spark: SparkSession, images: DataFrame): DataFrame = {
     import spark.implicits._
     images.select("image_id", "bytes", "w", "h", "fmt")

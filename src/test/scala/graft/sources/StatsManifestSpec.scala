@@ -38,4 +38,23 @@ class StatsManifestSpec extends AnyFunSuite {
     assert(opened === 0L)
     assert(pruned.count() === 0L)
   }
+
+  private val zdir = new java.io.File(
+    sys.props("java.io.tmpdir"), "graft_zorder_spec").getAbsolutePath
+
+  test("z-order layout prunes on BOTH columns from one layout") {
+    // decorrelated second dimension: v = (id * 7919) mod 4001
+    val df = (0L until 4000L).map(i => (i, (i * 7919L) % 4001L))
+      .toDF("id", "v")
+    StatsManifest.zorderWrite(df, zdir, "id", "v", 16)
+    val (pa, oa, ta) = StatsManifest.prunedRead(spark, zdir, "id", 500L, 899L)
+    val (pb, ob, tb) = StatsManifest.prunedRead(spark, zdir, "v", 100L, 499L)
+    assert(ta === 16L && tb === 16L)
+    assert(oa < ta, s"no skipping on id: $oa/$ta")
+    assert(ob < tb, s"no skipping on v: $ob/$tb")
+    assert(pa.count() === 400L)
+    val expectB = (0L until 4000L).count(i => { val v = (i * 7919L) % 4001L
+      v >= 100L && v <= 499L }).toLong
+    assert(pb.count() === expectB)
+  }
 }
