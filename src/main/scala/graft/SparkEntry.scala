@@ -633,6 +633,22 @@ object SparkEntry {
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
     }),
+    "q86_scd2_merge" -> ((s, d) => {
+      // MERGE INTO for plain parquet: SCD2 apply of a deterministic update
+      // batch (changed / no-op / insert keys) at epoch 2 over a version-1
+      // seed — changed keys close+reopen, identical payloads are
+      // suppressed, history never shuffles (update side broadcast).
+      val docs = s.read.parquet(p(d, "documents")).select("doc_id", "text")
+      val seed = MergeOps.scd2Seed(docs, "doc_id", "text", 1L)
+      val upd = docs.where(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 7 === 4))
+        .unionByName(docs.where(col("doc_id") % 101 === 5)
+          .select((col("doc_id") + 9000000L).as("doc_id"),
+            concat(lit("ins "), col("doc_id")).as("text")))
+      MergeOps.scd2Apply(seed, upd, "doc_id", "text", 2L)
+        .orderBy("doc_id", "valid_from")
+    }),
     "q85_image_quality" -> ((s, d) => {
       // crawl-grade image quality gate: Laplacian-variance blur score
       // (Pech-Pacheco) + mean luma from exact integer sums; threshold at
@@ -2211,6 +2227,33 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q86_scd2_merge" ->
+      // identical change detection (md5 payload compare incl. missing key),
+      // identical close/keep/open routing and epoch literals
+      """WITH cur AS (SELECT doc_id, text, CAST(1 AS BIGINT) AS valid_from,
+                        CAST(9999999999 AS BIGINT) AS valid_to,
+                        TRUE AS is_current
+                      FROM documents),
+          upd AS (SELECT doc_id, text || ' rev2' AS text FROM documents
+                  WHERE doc_id % 7 = 3
+                  UNION ALL
+                  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 4
+                  UNION ALL
+                  SELECT doc_id + 9000000, 'ins ' || doc_id FROM documents
+                  WHERE doc_id % 101 = 5),
+          chg AS (SELECT u.doc_id, u.text FROM upd u
+                  LEFT JOIN cur c ON c.doc_id = u.doc_id
+                  WHERE c.doc_id IS NULL OR md5(c.text) <> md5(u.text)),
+          closed AS (SELECT c.doc_id, c.text, c.valid_from,
+                       CAST(2 AS BIGINT) AS valid_to, FALSE AS is_current
+                     FROM cur c JOIN chg USING (doc_id)),
+          kept AS (SELECT c.* FROM cur c WHERE NOT EXISTS
+                     (SELECT 1 FROM chg WHERE chg.doc_id = c.doc_id)),
+          opened AS (SELECT doc_id, text, CAST(2 AS BIGINT),
+                       CAST(9999999999 AS BIGINT), TRUE FROM chg)
+          SELECT * FROM kept UNION ALL SELECT * FROM closed
+          UNION ALL SELECT * FROM opened
+          ORDER BY doc_id, valid_from""",
     "q85_image_quality" ->
       // identical integer BT.601 luma (floor //1000), identical 4-neighbor
       // Laplacian over interior pixels, variance/mean derived from the

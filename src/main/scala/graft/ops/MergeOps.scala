@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SCD2 merge (MERGE INTO for plain parquet — the lakehouse CDC-apply op):
+  * applying an update batch to a slowly-changing-dimension table keyed by
+  * `key`, with payload-hash no-op suppression — an update whose payload is
+  * byte-identical to the current version opens NO new version (the property
+  * that keeps daily re-crawls from exploding version history).
+  *
+  * 100 TB design: the update batch is the small side — `changed` is
+  * broadcast into both the close-out join and the keep anti-join, so the
+  * history table NEVER shuffles; the whole apply is one scan of history +
+  * one scan of updates. Versioning is by caller-supplied integer epoch
+  * (deterministic — no wall clock in the engine).
+  */
+object MergeOps {
+
+  /** Sentinel `valid_to` for open versions (NULL would poison min/max
+    * pruning and engine compares).
+    */
+  final val OpenTo = 9999999999L
+
+  /** Seed an SCD2 table from a plain keyed payload table at epoch `ts`. */
+  def scd2Seed(table: DataFrame, key: String, payload: String,
+               ts: Long): DataFrame =
+    table.select(col(key), col(payload),
+      lit(ts).as("valid_from"), lit(OpenTo).as("valid_to"),
+      lit(true).as("is_current"))
+
+  /** Apply `updates` (key, payload) to the SCD2 `current` at epoch `ts`:
+    * changed/new keys close their open version (valid_to = ts) and open a
+    * new one; no-op updates (identical payload hash) and untouched keys
+    * pass through unchanged. History rows (is_current = false) are never
+    * touched.
+    */
+  def scd2Apply(current: DataFrame, updates: DataFrame, key: String,
+                payload: String, ts: Long): DataFrame = {
+    val open = current.where(col("is_current"))
+    val changed = updates.alias("u")
+      .join(broadcast(open.select(col(key), md5(col(payload)).as("__ph"))
+        .alias("c")), Seq(key), "left")
+      .where(col("__ph").isNull || col("__ph") =!= md5(col(s"u.$payload")))
+      .select(col(key), col(s"u.$payload").as(payload))
+    val closed = open.join(broadcast(changed.select(key)), Seq(key))
+      .select(col(key), col(payload), col("valid_from"),
+        lit(ts).as("valid_to"), lit(false).as("is_current"))
+    val keptOpen = open.join(broadcast(changed.select(key)), Seq(key),
+      "left_anti")
+    val history = current.where(!col("is_current"))
+    val opened = changed.select(col(key), col(payload),
+      lit(ts).as("valid_from"), lit(OpenTo).as("valid_to"),
+      lit(true).as("is_current"))
+    history.unionByName(keptOpen).unionByName(closed).unionByName(opened)
+  }
+}
