@@ -633,6 +633,14 @@ object SparkEntry {
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
     }),
+    "q87_cell_mosaic" -> ((s, d) => {
+      // satellite-style per-cell composite: per-pixel floor-mean of every
+      // image anchored in a Morton cell, via the partial-aggregable
+      // MosaicAgg — the exchange ships one 769-long buffer per
+      // (cell × partition), images never shuffle.
+      ImageOps.mosaic(s, SpatialOps.imageCells(synthImages(s, d)))
+        .orderBy("cell_id")
+    }),
     "q86_scd2_merge" -> ((s, d) => {
       // MERGE INTO for plain parquet: SCD2 apply of a deterministic update
       // batch (changed / no-op / insert keys) at epoch 2 over a version-1
@@ -2227,6 +2235,23 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q87_cell_mosaic" ->
+      // identical Morton cell at JoinLevel=14 (5-step shift-or-mask),
+      // identical per-position sums and floor-divided means from the
+      // dumped pixels; size guard mirrors the engine's never-fail skip
+      s"""WITH ic AS (SELECT i.image_id,
+                        ${O.cell("i.anchor_x", "i.anchor_y", 14)} AS cell_id,
+                        p.px
+                      FROM ${O.inp("images")} i
+                      JOIN ${O.inp("pixels")} p USING (image_id)
+                      WHERE i.w * i.h * 3 = 768),
+          pj AS (SELECT cell_id, unnest(range(0, 768)) AS j, px FROM ic),
+          ps AS (SELECT cell_id, j, SUM(px[j+1]) AS s, COUNT(*) AS n
+                 FROM pj GROUP BY 1, 2)
+          SELECT cell_id, CAST(MAX(n) AS BIGINT) AS n_images,
+            CAST(SUM(s // n) AS BIGINT) AS mos_sum,
+            CAST(SUM((j+1) * (s // n)) AS BIGINT) AS mos_wsum
+          FROM ps GROUP BY cell_id ORDER BY cell_id""",
     "q86_scd2_merge" ->
       // identical change detection (md5 payload compare incl. missing key),
       // identical close/keep/open routing and epoch literals

@@ -233,6 +233,79 @@ object ImageOps {
       .toDF("image_id", "ox", "oy", "flip", "aug_sum", "aug_wsum")
   }
 
+  /** Per-cell mosaic compositing (satellite-style "cloud-free composite" /
+    * heatmap rasterization): the per-pixel mean of every image anchored in
+    * a Morton cell. The aggregation buffer is (count, per-position pixel
+    * sums) — associative and commutative, so Catalyst's partial aggregation
+    * combines map-side and the exchange ships ONE (size+1)-long buffer per
+    * (cell × partition) instead of 768-value pixel rows (vs explode+groupBy:
+    * 768× row inflation straight into the shuffle). `finish` floor-divides
+    * by the final count (exact integer math, SQL `//`-replayable) and
+    * collapses to three scalars, so the result set is cell-count-sized.
+    */
+  class MosaicAgg(size: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Int], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = new Array[Long](size + 1)
+    override def reduce(b: Array[Long], px: Seq[Int]): Array[Long] = {
+      b(0) += 1L
+      var j = 0
+      while (j < size) { b(j + 1) += px(j); j += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i <= size) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Seq[Long] = {
+      val n = b(0)
+      var s = 0L; var ws = 0L
+      var j = 0
+      while (j < size) {
+        val a = b(j + 1) / n
+        s += a; ws += (j + 1) * a
+        j += 1
+      }
+      Seq(n, s, ws)
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Mosaic query surface: decode map-side (skipping payloads whose pixel
+    * count doesn't match `size` — never-fail contract), aggregate per cell.
+    */
+  def mosaic(spark: SparkSession, imagesWithCells: DataFrame,
+             size: Int = 768): DataFrame = {
+    import spark.implicits._
+    val decoded = imagesWithCells
+      .select(col("cell_id"), col("bytes"), col("w"), col("h"), col("fmt"))
+      .as[(Long, Array[Byte], Int, Int, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (cell, bytes, w, h, fmt) =>
+          if (w * h * 3 != size) None
+          else {
+            val px = ImageCodec.decode(bytes, fmt, w, h)
+            val out = new Array[Int](size)
+            var i = 0
+            while (i < size) { out(i) = px(i) & 0xFF; i += 1 }
+            Some((cell, out.toSeq))
+          }
+        }
+      }
+      .toDF("cell_id", "px")
+    val agg = udaf(new MosaicAgg(size),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+    decoded.groupBy("cell_id").agg(agg(col("px")).as("m"))
+      .select(col("cell_id"),
+        element_at(col("m"), 1).as("n_images"),
+        element_at(col("m"), 2).as("mos_sum"),
+        element_at(col("m"), 3).as("mos_wsum"))
+  }
+
   /** Image quality gate (the crawl-filtering op that drops blurry/blank
     * frames before training): integer BT.601 luma (×1000, floor-divided —
     * SQL `//`-replayable), 4-neighbor Laplacian over interior pixels,

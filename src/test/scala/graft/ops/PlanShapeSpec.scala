@@ -52,4 +52,21 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(ImageOps.augment(spark, imgs, 4, 3, seed = 1L))
     assert(!p.contains("Exchange"), s"\n$p")
   }
+
+  test("mosaic: partial aggregation combines buffers BEFORE the exchange") {
+    val imgs = (0 until 6).map { i =>
+      val px = Array.fill(48)(((i * 37) % 256).toByte)
+      ((i % 2).toLong, ImageCodec.encodeRaw(px), 4, 4, "raw")
+    }.toDF("cell_id", "bytes", "w", "h", "fmt")
+    val p = plan(ImageOps.mosaic(spark, imgs, size = 48))
+    // exactly one exchange, fed by a partial (ObjectHash/Sort)Aggregate —
+    // the decoded pixel rows must never reach the shuffle
+    assert("Exchange".r.findAllIn(p).size >= 1, s"\n$p")
+    val agg = "Aggregate".r.findAllIn(p).size
+    assert(agg >= 2, s"expected partial+final aggregate pair:\n$p")
+    // plans print root-first, so the map-side (partial) aggregate must
+    // appear BELOW the exchange in the text
+    assert(p.lastIndexOf("Aggregate") > p.indexOf("Exchange"),
+      s"no map-side combine before exchange:\n$p")
+  }
 }
