@@ -633,6 +633,28 @@ object SparkEntry {
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
     }),
+    "q88_sessionize" -> ((s, d) => {
+      // clickstream sessionization: 30-minute-gap split per user, one hash
+      // exchange shared by the lag window, the running session number, and
+      // the per-session rollup (groupBy keys start with user_id).
+      Sessionize.sessions(s.read.parquet(p(d, "events")),
+        gapUs = 1800000000L).orderBy("user_id", "session_id")
+    }),
+    "q89_shot_bounds" -> ((s, d) => {
+      // video shot-boundary detection over REAL MP4 containers: frame
+      // pixel-sum deltas > threshold split shots; zero shuffle — demux,
+      // decode, and the sequential fold all run where the payload lives.
+      // Oracle replays the lag + running count from the SOURCE-pixel truth
+      // table (decoder-independent, the q57 discipline).
+      val (videos, _) = VideoOps.synthVideos(s, nOther(sfOf(d)), nFrames = 12)
+      VideoOps.shotBoundaries(s, videos, threshold = 2000L)
+        .orderBy("video_id", "frame_idx")
+    }),
+    "q90_dominant_color" -> ((s, d) => {
+      // palette indexing: modal 12-bit RGB code per image (ties → smallest
+      // code), plus distinct-code count. Zero shuffle, reused scratch.
+      ImageOps.dominantColor(s, synthImages(s, d)).orderBy("image_id")
+    }),
     "q87_cell_mosaic" -> ((s, d) => {
       // satellite-style per-cell composite: per-pixel floor-mean of every
       // image anchored in a Morton cell, via the partial-aggregable
@@ -2235,6 +2257,71 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q88_sessionize" ->
+      // identical epoch-microsecond gap test, identical ROWS-framed running
+      // boundary sum with the event_id tiebreak, same DECIMAL(28,6) sums
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+                    FROM events),
+          l AS (SELECT *, LAG(ts_us) OVER
+                  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+                FROM e),
+          b AS (SELECT user_id, event_id, value, ts_us,
+                  CASE WHEN prev_us IS NOT NULL
+                            AND ts_us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS boundary
+                FROM l),
+          a AS (SELECT user_id, event_id, value, ts_us,
+                  SUM(boundary) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+                FROM b)
+          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+            COUNT(*)::BIGINT AS n_events,
+            CAST(SUM(event_id) AS BIGINT) AS id_sum,
+            CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS dur_us,
+            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS val_sum
+          FROM a GROUP BY user_id, session_id
+          ORDER BY user_id, session_id""",
+    "q89_shot_bounds" ->
+      // identical |delta| > threshold boundary test + running count over
+      // the dumped source-pixel truth table
+      s"""WITH t AS (SELECT video_id, frame_idx, px_sum,
+                       LAG(px_sum) OVER (PARTITION BY video_id
+                         ORDER BY frame_idx) AS prev
+                     FROM ${O.inp("video_frames")}),
+          b AS (SELECT video_id, frame_idx, px_sum,
+                  (prev IS NOT NULL AND abs(px_sum - prev) > 2000)
+                    AS boundary
+                FROM t)
+          SELECT video_id, frame_idx, px_sum, boundary,
+            CAST(SUM(CASE WHEN boundary THEN 1 ELSE 0 END) OVER
+              (PARTITION BY video_id ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS shot_id
+          FROM b ORDER BY video_id, frame_idx""",
+    "q90_dominant_color" ->
+      // identical 12-bit floor quantization; mode = max count, ties to the
+      // smallest code
+      s"""WITH pj AS (SELECT i.image_id, unnest(range(0, i.w * i.h)) AS j,
+                        p.px
+                      FROM ${O.inp("images")} i
+                      JOIN ${O.inp("pixels")} p USING (image_id)),
+          cd AS (SELECT image_id,
+                   (px[3*j+1] // 16) * 256 + (px[3*j+2] // 16) * 16
+                     + (px[3*j+3] // 16) AS code
+                 FROM pj),
+          ct AS (SELECT image_id, code, COUNT(*) AS n
+                 FROM cd GROUP BY 1, 2),
+          rk AS (SELECT image_id, code, n,
+                   ROW_NUMBER() OVER (PARTITION BY image_id
+                     ORDER BY n DESC, code ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY image_id) AS n_colors
+                 FROM ct)
+          SELECT image_id, CAST(code AS BIGINT) AS dom_color,
+            CAST(n AS BIGINT) AS dom_count,
+            CAST(n_colors AS BIGINT) AS n_colors
+          FROM rk WHERE rn = 1 ORDER BY image_id""",
     "q87_cell_mosaic" ->
       // identical Morton cell at JoinLevel=14 (5-step shift-or-mask),
       // identical per-position sums and floor-divided means from the

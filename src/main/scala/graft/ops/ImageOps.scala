@@ -306,6 +306,42 @@ object ImageOps {
         element_at(col("m"), 3).as("mos_wsum"))
   }
 
+  /** Dominant-color extraction (palette indexing / color-filter features
+    * for image search): quantize every pixel to a 12-bit RGB code
+    * (4 bits/channel, floor), return the modal code (ties → smallest
+    * code), its count, and the distinct-code count. Zero shuffle — one
+    * 4096-int scratch per partition thread, reused across rows.
+    */
+  def dominantColor(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions { rows =>
+        val counts = new Array[Int](4096)
+        rows.map { case (id, bytes, w, h, fmt) =>
+          java.util.Arrays.fill(counts, 0)
+          val px = ImageCodec.decode(bytes, fmt, w, h)
+          val n = w * h
+          var j = 0
+          while (j < n) {
+            val code = ((px(3 * j) & 0xFF) / 16) * 256 +
+              ((px(3 * j + 1) & 0xFF) / 16) * 16 + (px(3 * j + 2) & 0xFF) / 16
+            counts(code) += 1
+            j += 1
+          }
+          var best = 0; var bestN = 0; var distinct = 0
+          var c = 0
+          while (c < 4096) {
+            val k = counts(c)
+            if (k > 0) { distinct += 1; if (k > bestN) { bestN = k; best = c } }
+            c += 1
+          }
+          (id, best.toLong, bestN.toLong, distinct.toLong)
+        }
+      }
+      .toDF("image_id", "dom_color", "dom_count", "n_colors")
+  }
+
   /** Image quality gate (the crawl-filtering op that drops blurry/blank
     * frames before training): integer BT.601 luma (×1000, floor-divided —
     * SQL `//`-replayable), 4-neighbor Laplacian over interior pixels,

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization (the clickstream/telemetry operator between raw events
+  * and any per-session analytics): split each user's event stream at gaps
+  * larger than `gapUs` microseconds, number sessions by the running gap
+  * count, aggregate per session.
+  *
+  * 100 TB design: ONE hash exchange on user_id does all the work — the
+  * lag, the boundary flag, the running session number, and the final
+  * per-session aggregate all share that partitioning (the groupBy keys
+  * start with user_id, so Catalyst reuses the exchange instead of
+  * reshuffling). Timestamps are compared as integer epoch microseconds —
+  * no timezone or calendar math on the hot path.
+  */
+object Sessionize {
+
+  /** Per-event session assignment: (user_id, event_id, ts_us, session_id).
+    * `ROWS`-framed running sum with an event_id tiebreak, so duplicate
+    * timestamps can't merge or split sessions nondeterministically.
+    */
+  def assign(events: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("boundary",
+        col("prev_us").isNotNull && col("ts_us") - col("prev_us") > gapUs)
+      .withColumn("session_id",
+        sum(col("boundary").cast("long")).over(run))
+      .drop("prev_us", "boundary")
+  }
+
+  /** Per-session rollup: event count, exact id sum, duration in
+    * microseconds, value sum as DECIMAL(28,6) (order-independent exact
+    * addition — double sums reassociate under partitioning).
+    */
+  def sessions(events: DataFrame, gapUs: Long): DataFrame =
+    assign(events, gapUs)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("id_sum"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("val_sum"))
+}

@@ -100,6 +100,40 @@ object VideoOps {
       .toDF("video_id", "frame_idx", "w", "h", "px_sum")
   }
 
+  /** Shot-boundary detection (the video-curation op between demux and
+    * frame sampling: split clips at content changes so sampling covers
+    * every shot): a boundary is a frame whose pixel-sum differs from its
+    * predecessor by more than `threshold`; `shot_id` is the running
+    * boundary count. One demux+decode pass per clip where the payload
+    * lives, sequential fold over its frames, zero shuffle — only slim
+    * (id, idx, sum, boundary, shot) rows continue. A richer per-frame
+    * distance (histogram intersection, edge change ratio) is a fold-local
+    * function swap, not a plan change.
+    */
+  def shotBoundaries(spark: SparkSession, videos: DataFrame,
+                     threshold: Long): DataFrame = {
+    import spark.implicits._
+    videos.select("video_id", "bytes").as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        var prev = -1L
+        var shot = 0L
+        frames(bytes).zipWithIndex.map { case (png, idx) =>
+          val s = try {
+            val (px, _, _) = PngCodec.decode(png)
+            var acc = 0L
+            var i = 0
+            while (i < px.length) { acc += px(i) & 0xFF; i += 1 }
+            acc
+          } catch { case scala.util.control.NonFatal(_) => -1L }
+          val boundary = idx > 0 && math.abs(s - prev) > threshold
+          if (boundary) shot += 1
+          prev = s
+          (id, idx.toLong, s, boundary, shot)
+        }
+      }
+      .toDF("video_id", "frame_idx", "px_sum", "boundary", "shot_id")
+  }
+
   /** Deterministic synthetic videos: `nFrames` seeded 8×8 PNG frames per
     * video, containered as real MP4 files (`container = "mp4"`, the gated
     * default) or the legacy GVID framing. Returns (videos, frameTruth):
