@@ -633,6 +633,36 @@ object SparkEntry {
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
     }),
+    "q91_compaction" -> ((s, d) => {
+      // OPTIMIZE bin-packing: 2 big base files + 10 small incremental
+      // appends, small fleet compacted into packed files, big files
+      // untouched (zero I/O). Pins: rows identical to the source table,
+      // `compacted` (file count dropped) and `big_kept` (both base files
+      // still referenced by the refreshed manifest) both TRUE.
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q91_data").getAbsolutePath
+      val docs = s.read.parquet(p(d, "documents"))
+      graft.sources.StatsManifest.write(docs.where(col("doc_id") < 400)
+        .repartitionByRange(2, col("n_chars")), dir, Seq("n_chars"))
+      graft.sources.StatsManifest.append(docs.where(col("doc_id") >= 400)
+        .repartition(10, col("doc_id")), dir, Seq("n_chars"))
+      val man0 = s.read.parquet(dir + "_manifest")
+        .orderBy(desc("file_bytes")).collect()
+      val bigFiles = man0.take(2).map(_.getAs[String]("file")).toSet
+      val thr = (man0.drop(2).map(_.getAs[Long]("file_bytes")).max +
+        man0.take(2).map(_.getAs[Long]("file_bytes")).min) / 2
+      val (before, after) = graft.sources.StatsManifest.compact(
+        s, dir, Seq("n_chars"), thr, 1L << 20)
+      val kept = s.read.parquet(dir + "_manifest")
+        .select("file").collect().map(_.getString(0)).toIndexedSeq
+      s.read.parquet(kept: _*).groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .withColumn("compacted", lit(after < before))
+        .withColumn("big_kept", lit(bigFiles.subsetOf(kept.toSet)))
+        .orderBy("source")
+    }),
     "q88_sessionize" -> ((s, d) => {
       // clickstream sessionization: 30-minute-gap split per user, one hash
       // exchange shared by the lag window, the running session number, and
@@ -2257,6 +2287,14 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q91_compaction" ->
+      // plain per-source aggregates over documents — equality proves the
+      // compacted fleet lost/duplicated nothing; both pins TRUE
+      """SELECT source, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           TRUE AS compacted, TRUE AS big_kept
+         FROM documents GROUP BY source ORDER BY source""",
     "q88_sessionize" ->
       // identical epoch-microsecond gap test, identical ROWS-framed running
       // boundary sum with the event_id tiebreak, same DECIMAL(28,6) sums

@@ -28,16 +28,94 @@ object StatsManifest {
   def write(df: DataFrame, dir: String, statsCols: Seq[String]): DataFrame = {
     require(statsCols.nonEmpty, "at least one stats column")
     df.write.mode("overwrite").parquet(dir)
-    val spark = df.sparkSession
+    refreshManifest(df.sparkSession, dir, statsCols)
+  }
+
+  /** Append `df` to an existing layout and refresh the manifest (the
+    * incremental-ingest path that produces the small-file problem
+    * `compact` exists to fix).
+    */
+  def append(df: DataFrame, dir: String, statsCols: Seq[String]): DataFrame = {
+    df.write.mode("append").parquet(dir)
+    refreshManifest(df.sparkSession, dir, statsCols)
+  }
+
+  /** Rebuild `<dir>_manifest` from a read-back pass: per-file min/max of
+    * every stats column, row count, and file size (`_metadata.file_size` —
+    * the bin-packing currency for `compact`).
+    */
+  def refreshManifest(spark: SparkSession, dir: String,
+                      statsCols: Seq[String]): DataFrame = {
+    require(statsCols.nonEmpty, "at least one stats column")
     val back = spark.read.parquet(dir)
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      Seq(count(lit(1)).as("n_rows"),
+        max(col("_metadata.file_size")).as("file_bytes"))
     val man = back
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
     man.coalesce(1).write.mode("overwrite").parquet(dir + "_manifest")
     spark.read.parquet(dir + "_manifest")
+  }
+
+  /** Small-file compaction (OPTIMIZE bin-packing — the maintenance op
+    * every incremental sink needs): files below `smallBytes` are first-fit
+    * bin-packed (deterministic file order) into rewrite groups of up to
+    * `targetBytes`, each group rewritten as ONE file (coalesce(1) — a
+    * single task reading only that group, no shuffle); full-size files are
+    * untouched and cost zero I/O. Originals are deleted and the manifest
+    * refreshed. Returns (filesBefore, filesAfter).
+    *
+    * 100 TB design: planning reads only the manifest (file-count-sized);
+    * the driver-side loop is over BINS (metadata-scale, like Delta
+    * OPTIMIZE job planning — at cluster scale the bin jobs submit in
+    * parallel, a scheduling change, not a plan change). Fewer than two
+    * small files is a no-op, so compaction is idempotent.
+    */
+  def compact(spark: SparkSession, dir: String, statsCols: Seq[String],
+              smallBytes: Long, targetBytes: Long): (Long, Long) = {
+    val man = spark.read.parquet(dir + "_manifest")
+    val before = man.count()
+    val small = man.where(col("file_bytes") < smallBytes)
+      .select("file", "file_bytes").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    if (small.length < 2) return (before, before)
+    val bins = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    var acc = 0L
+    small.foreach { case (f, b) =>
+      if (acc + b > targetBytes && bins.last.nonEmpty) {
+        bins += scala.collection.mutable.ArrayBuffer.empty[String]
+        acc = 0L
+      }
+      bins.last += f
+      acc += b
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".compact-tmp")
+    bins.zipWithIndex.foreach { case (bin, i) =>
+      spark.read.parquet(bin.toIndexedSeq: _*).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("compaction bin produced no parquet part"))
+      val tag = java.lang.Long.toHexString {
+        val crc = new java.util.zip.CRC32
+        bin.foreach(f => crc.update(f.getBytes("UTF-8")))
+        crc.getValue
+      }
+      fs.rename(part, new org.apache.hadoop.fs.Path(dirPath,
+        s"compact-$i-$tag.parquet"))
+    }
+    fs.delete(tmp, true)
+    small.foreach { case (f, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+    }
+    val after = refreshManifest(spark, dir, statsCols).count()
+    (before, after)
   }
 
   /** 16-bit Morton spread as Column bit math (same 4-step shift-or-mask as
