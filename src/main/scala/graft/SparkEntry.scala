@@ -633,6 +633,36 @@ object SparkEntry {
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
     }),
+    "q92_bucketed_join" -> ((s, d) => {
+      // co-located big-big join: both sides written bucketBy(8, doc_id) —
+      // the sort-merge join then reads bucket-aligned splits with NO
+      // shuffle on either side (at 100 TB this is THE way to join two
+      // fact tables repeatedly: pay the bucketed write once, never pay
+      // the join exchange again). `shuffle_free` is computed from the
+      // executed plan (SortMergeJoin present, zero hash-partition
+      // exchanges) and pinned TRUE by the oracle — if this layout ever
+      // starts shuffling, the gate goes red.
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q92_data").getAbsolutePath
+      val docs = s.read.parquet(p(d, "documents"))
+      val bands = TextOps.minhashBandTable(docs, k = 3, bands = 16, rows = 2)
+      docs.write.mode("overwrite").format("parquet")
+        .option("path", s"$base/docs")
+        .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("g92_docs")
+      bands.write.mode("overwrite").format("parquet")
+        .option("path", s"$base/bands")
+        .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("g92_bands")
+      val joined = s.table("g92_docs").hint("merge")
+        .join(s.table("g92_bands"), Seq("doc_id"))
+        .groupBy("doc_id", "n_chars")
+        .agg(count(lit(1)).as("n_bands"),
+          min(col("band_hash")).as("hash_min"),
+          max(col("band_hash")).as("hash_max"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val shuffleFree = plan.contains("SortMergeJoin") &&
+        !plan.contains("Exchange hashpartitioning")
+      joined.withColumn("shuffle_free", lit(shuffleFree)).orderBy("doc_id")
+    }),
     "q91_compaction" -> ((s, d) => {
       // OPTIMIZE bin-packing: 2 big base files + 10 small incremental
       // appends, small fleet compacted into packed files, big files
@@ -2287,6 +2317,14 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q92_bucketed_join" ->
+      // the same join + rollup over the dumped band table (identical
+      // k/bands/rows); `shuffle_free` pinned TRUE
+      s"""SELECT d.doc_id, d.n_chars, COUNT(*)::BIGINT AS n_bands,
+            MIN(b.band_hash) AS hash_min, MAX(b.band_hash) AS hash_max,
+            TRUE AS shuffle_free
+          FROM documents d JOIN ${O.inp("minhash_bands")} b USING (doc_id)
+          GROUP BY d.doc_id, d.n_chars ORDER BY d.doc_id""",
     "q91_compaction" ->
       // plain per-source aggregates over documents — equality proves the
       // compacted fleet lost/duplicated nothing; both pins TRUE
