@@ -633,6 +633,31 @@ object SparkEntry {
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
     }),
+    "q93_time_travel" -> ((s, d) => {
+      // snapshot log + AS OF reads: write (v1), append (v2), compact (v3)
+      // — each commit is a numbered manifest; v1/v2 reads reconstruct the
+      // table exactly as of those commits even though v3's compaction
+      // superseded the small files (they stay on disk until vacuum).
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q93_data").getAbsolutePath
+      val docs = s.read.parquet(p(d, "documents"))
+      graft.sources.StatsManifest.write(docs.where(col("doc_id") < 400)
+        .repartitionByRange(2, col("n_chars")), dir, Seq("n_chars"))
+      graft.sources.StatsManifest.append(docs.where(col("doc_id") >= 400)
+        .repartition(10, col("doc_id")), dir, Seq("n_chars"))
+      val man = s.read.parquet(dir + "_manifest")
+        .orderBy(desc("file_bytes")).collect()
+      val thr = (man.drop(2).map(_.getAs[Long]("file_bytes")).max +
+        man.take(2).map(_.getAs[Long]("file_bytes")).min) / 2
+      graft.sources.StatsManifest.compact(s, dir, Seq("n_chars"), thr, 1L << 20)
+      def leg(v: Long): DataFrame =
+        graft.sources.StatsManifest.timeTravelRead(s, dir, v)
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("chars_sum"))
+          .select(lit(s"v$v").as("version"), col("n_docs"), col("id_sum"),
+            col("chars_sum"))
+      leg(1L).unionByName(leg(2L)).unionByName(leg(3L)).orderBy("version")
+    }),
     "q92_bucketed_join" -> ((s, d) => {
       // co-located big-big join: both sides written bucketBy(8, doc_id) —
       // the sort-merge join then reads bucket-aligned splits with NO
@@ -2317,6 +2342,20 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q93_time_travel" ->
+      // v1 = the pre-append subset, v2 = full, v3 = full (compaction
+      // preserves content) — all three reconstructed from documents
+      """SELECT 'v1' AS version, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+         FROM documents WHERE doc_id < 400
+         UNION ALL
+         SELECT 'v2', COUNT(*)::BIGINT, CAST(SUM(doc_id) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT) FROM documents
+         UNION ALL
+         SELECT 'v3', COUNT(*)::BIGINT, CAST(SUM(doc_id) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT) FROM documents
+         ORDER BY version""",
     "q92_bucketed_join" ->
       // the same join + rollup over the dumped band table (identical
       // k/bands/rows); `shuffle_free` pinned TRUE

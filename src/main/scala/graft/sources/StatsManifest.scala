@@ -28,7 +28,16 @@ object StatsManifest {
   def write(df: DataFrame, dir: String, statsCols: Seq[String]): DataFrame = {
     require(statsCols.nonEmpty, "at least one stats column")
     df.write.mode("overwrite").parquet(dir)
-    refreshManifest(df.sparkSession, dir, statsCols)
+    // a fresh overwrite is a new table birth: reset the snapshot log so
+    // version numbers are deterministic across reruns
+    val spark = df.sparkSession
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val parent = dirPath.getParent
+    val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(parent).map(_.getPath)
+      .filter(_.getName.startsWith(s"${dirPath.getName}_manifest"))
+      .foreach(fs.delete(_, true))
+    refreshManifest(spark, dir, statsCols)
   }
 
   /** Append `df` to an existing layout and refresh the manifest (the
@@ -40,23 +49,94 @@ object StatsManifest {
     refreshManifest(df.sparkSession, dir, statsCols)
   }
 
-  /** Rebuild `<dir>_manifest` from a read-back pass: per-file min/max of
-    * every stats column, row count, and file size (`_metadata.file_size` —
-    * the bin-packing currency for `compact`).
+  /** Per-file stats of `scanned` (a read-back frame): min/max of every
+    * stats column, row count, file size (`_metadata.file_size` — the
+    * bin-packing currency for `compact`).
     */
-  def refreshManifest(spark: SparkSession, dir: String,
-                      statsCols: Seq[String]): DataFrame = {
-    require(statsCols.nonEmpty, "at least one stats column")
-    val back = spark.read.parquet(dir)
+  private def manifestOf(scanned: DataFrame,
+                         statsCols: Seq[String]): DataFrame = {
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
       Seq(count(lit(1)).as("n_rows"),
         max(col("_metadata.file_size")).as("file_bytes"))
-    val man = back
-      .groupBy(col("_metadata.file_path").as("file"))
+    scanned.groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Commit `man` as the current manifest AND as the next numbered
+    * snapshot (`<dir>_manifest_v<N>`) — the Delta/Iceberg log entry that
+    * makes `timeTravelRead` possible. Returns the committed version.
+    */
+  private def commitManifest(spark: SparkSession, dir: String,
+                             man: DataFrame): Long = {
+    val v = latestVersion(spark, dir) + 1
     man.coalesce(1).write.mode("overwrite").parquet(dir + "_manifest")
+    spark.read.parquet(dir + "_manifest").coalesce(1)
+      .write.mode("overwrite").parquet(s"${dir}_manifest_v$v")
+    v
+  }
+
+  /** Highest committed snapshot version (0 = none). */
+  def latestVersion(spark: SparkSession, dir: String): Long = {
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    val name = new org.apache.hadoop.fs.Path(dir).getName
+    val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(parent)) return 0L
+    fs.listStatus(parent).map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"${name}_manifest_v") =>
+        n.stripPrefix(s"${name}_manifest_v").toLong
+      }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Rebuild `<dir>_manifest` from a full-directory read-back and commit a
+    * snapshot. Correct only while every file under `dir` is live (write/
+    * append); `compact` maintains its manifest incrementally instead, so
+    * superseded files stay on disk for time travel without re-entering the
+    * manifest.
+    */
+  def refreshManifest(spark: SparkSession, dir: String,
+                      statsCols: Seq[String]): DataFrame = {
+    require(statsCols.nonEmpty, "at least one stats column")
+    commitManifest(spark, dir, manifestOf(spark.read.parquet(dir), statsCols))
     spark.read.parquet(dir + "_manifest")
+  }
+
+  /** Read the table as of snapshot `version`: the full file list of that
+    * manifest (superseded files resolve as long as `vacuum` has not run).
+    */
+  def timeTravelRead(spark: SparkSession, dir: String,
+                     version: Long): DataFrame = {
+    val files = spark.read.parquet(s"${dir}_manifest_v$version")
+      .select("file").collect().map(_.getString(0))
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Delete every data file not referenced by the CURRENT manifest, plus
+    * all non-current snapshot manifests — reclaims the space compaction
+    * left behind and (by design, like Delta VACUUM) forfeits time travel.
+    * Returns the number of data files deleted.
+    */
+  def vacuum(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val live = spark.read.parquet(dir + "_manifest")
+      .select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    val stale = fs.listStatus(dirPath).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !live(p.getName))
+    stale.foreach(fs.delete(_, false))
+    val current = latestVersion(spark, dir)
+    val parent = dirPath.getParent
+    val name = dirPath.getName
+    fs.listStatus(parent).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith(s"${name}_manifest_v") &&
+          p.getName != s"${name}_manifest_v$current"
+      }
+      .foreach(fs.delete(_, true))
+    stale.length.toLong
   }
 
   /** Small-file compaction (OPTIMIZE bin-packing — the maintenance op
@@ -71,7 +151,11 @@ object StatsManifest {
     * the driver-side loop is over BINS (metadata-scale, like Delta
     * OPTIMIZE job planning — at cluster scale the bin jobs submit in
     * parallel, a scheduling change, not a plan change). Fewer than two
-    * small files is a no-op, so compaction is idempotent.
+    * small files is a no-op, so compaction is idempotent. Superseded
+    * originals stay on disk (invisible — the new manifest is maintained
+    * INCREMENTALLY, old rows minus small files plus new-file stats, never
+    * a directory re-scan) so earlier snapshots still time-travel; `vacuum`
+    * reclaims them.
     */
   def compact(spark: SparkSession, dir: String, statsCols: Seq[String],
               smallBytes: Long, targetBytes: Long): (Long, Long) = {
@@ -96,7 +180,8 @@ object StatsManifest {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(dir, ".compact-tmp")
-    bins.zipWithIndex.foreach { case (bin, i) =>
+    val vNext = latestVersion(spark, dir) + 1
+    val newFiles = bins.toIndexedSeq.zipWithIndex.map { case (bin, i) =>
       spark.read.parquet(bin.toIndexedSeq: _*).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath)
@@ -107,14 +192,21 @@ object StatsManifest {
         bin.foreach(f => crc.update(f.getBytes("UTF-8")))
         crc.getValue
       }
-      fs.rename(part, new org.apache.hadoop.fs.Path(dirPath,
-        s"compact-$i-$tag.parquet"))
+      val target = new org.apache.hadoop.fs.Path(dirPath,
+        s"compact-v$vNext-$i-$tag.parquet")
+      fs.rename(part, target)
+      target.toString
     }
     fs.delete(tmp, true)
-    small.foreach { case (f, _) =>
-      fs.delete(new org.apache.hadoop.fs.Path(f), false)
-    }
-    val after = refreshManifest(spark, dir, statsCols).count()
+    val smallSet = small.map(_._1).toSet
+    // localCheckpoint: the new manifest's plan reads the current manifest
+    // file — materialize it BEFORE commitManifest overwrites that file
+    val newMan = man.where(!col("file").isin(smallSet.toSeq: _*))
+      .unionByName(manifestOf(
+        spark.read.parquet(newFiles: _*), statsCols))
+      .localCheckpoint(true)
+    val after = before - smallSet.size + newFiles.size
+    commitManifest(spark, dir, newMan)
     (before, after)
   }
 
