@@ -633,6 +633,13 @@ object SparkEntry {
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
     }),
+    "q94_rag_chunks" -> ((s, d) => {
+      // RAG chunking: 32-token windows, step 24 (8-token overlap); the
+      // 60-bit chunk hash is the downstream join currency — chunk text
+      // never shuffles. Zero UDF, zero exchange (explode is narrow).
+      TextOps.ragChunks(s.read.parquet(p(d, "documents")),
+        window = 32, step = 24).orderBy("doc_id", "chunk_idx")
+    }),
     "q93_time_travel" -> ((s, d) => {
       // snapshot log + AS OF reads: write (v1), append (v2), compact (v3)
       // — each commit is a numbered manifest; v1/v2 reads reconstruct the
@@ -2342,6 +2349,23 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q94_rag_chunks" ->
+      // identical chunk-count arithmetic, 1-based list slice, and 60-bit
+      // md5 over the space-rejoined chunk
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+          c AS (SELECT doc_id, toks,
+                  unnest(range(0, CASE WHEN len(toks) <= 32 THEN 1
+                    ELSE (len(toks) - 32 + 23) // 24 + 1 END)) AS chunk_idx
+                FROM t),
+          s AS (SELECT doc_id, chunk_idx,
+                  list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32)
+                    AS chunk
+                FROM c)
+          SELECT doc_id, chunk_idx,
+            len(chunk)::BIGINT AS n_chunk_tokens,
+            ${O.md5n("array_to_string(chunk, ' ')")} AS chunk_hash
+          FROM s ORDER BY doc_id, chunk_idx""",
     "q93_time_travel" ->
       // v1 = the pre-append subset, v2 = full, v3 = full (compaction
       // preserves content) — all three reconstructed from documents

@@ -297,6 +297,39 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** RAG chunking (the op between a filtered corpus and an embedding
+    * index): split each document into `window`-token chunks advancing by
+    * `step` tokens (overlap = window − step keeps sentence context across
+    * boundaries); the final chunk may be short, a sub-window document is
+    * one chunk. Emits (doc_id, chunk_idx, n_chunk_tokens, chunk_hash) —
+    * the 60-bit md5 chunk hash is the downstream dedup/join currency, so
+    * chunk TEXT never has to shuffle. Pure codegen'd column math
+    * (sequence + transform + slice), zero UDF, zero exchange.
+    */
+  def ragChunks(documents: DataFrame, window: Int, step: Int): DataFrame = {
+    require(window >= 1 && step >= 1 && step <= window,
+      "need 1 <= step <= window")
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    // ceil((n - window) / step) + 1 for n > window, else 1 — exact integer
+    // math: operands are positive and < 2^53, so the double-division cast
+    // is an exact floor
+    val nChunks = when(n <= window, lit(1L))
+      .otherwise(((n - window + step - 1).cast("long") / step)
+        .cast("long") + 1L)
+    documents
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), (col("chunk_idx") * step + 1).cast("int"),
+            lit(window))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        conv(substring(md5(concat_ws(" ", col("chunk"))), 1, 15), 16, 10)
+          .cast("long").as("chunk_hash"))
+  }
+
   /** Incremental dedup (the production shape: today's crawl increment
     * against a frozen historical corpus): stage 1 drops exact dups by
     * md5(text) equality against the history; stage 2 flags near-dups when
