@@ -245,12 +245,14 @@ object ImageOps {
     */
   class MosaicAgg(size: Int)
     extends org.apache.spark.sql.expressions.Aggregator[
-      Seq[Int], Array[Long], Seq[Long]] {
+      Array[Byte], Array[Long], Seq[Long]] {
     override def zero: Array[Long] = new Array[Long](size + 1)
-    override def reduce(b: Array[Long], px: Seq[Int]): Array[Long] = {
+    // input rows are raw pixel bytes (BINARY encoder: one memcpy per row —
+    // a Seq[Int] input would box 768 integers per row, measured 50× slower)
+    override def reduce(b: Array[Long], px: Array[Byte]): Array[Long] = {
       b(0) += 1L
       var j = 0
-      while (j < size) { b(j + 1) += px(j); j += 1 }
+      while (j < size) { b(j + 1) += px(j) & 0xFF; j += 1 }
       b
     }
     override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
@@ -287,18 +289,12 @@ object ImageOps {
       .mapPartitions { rows =>
         rows.flatMap { case (cell, bytes, w, h, fmt) =>
           if (w * h * 3 != size) None
-          else {
-            val px = ImageCodec.decode(bytes, fmt, w, h)
-            val out = new Array[Int](size)
-            var i = 0
-            while (i < size) { out(i) = px(i) & 0xFF; i += 1 }
-            Some((cell, out.toSeq))
-          }
+          else Some((cell, ImageCodec.decode(bytes, fmt, w, h)))
         }
       }
       .toDF("cell_id", "px")
     val agg = udaf(new MosaicAgg(size),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+      org.apache.spark.sql.Encoders.BINARY)
     decoded.groupBy("cell_id").agg(agg(col("px")).as("m"))
       .select(col("cell_id"),
         element_at(col("m"), 1).as("n_images"),
