@@ -633,6 +633,29 @@ object SparkEntry {
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
     }),
+    "q95_stream_sessions" -> ((s, d) => {
+      // streaming sessionization under the gate: the events table replayed
+      // through the file source into Spark's native session_window (gap
+      // 30 min), memory sink in complete mode; the oracle replays the
+      // >=-gap session split relationally. The streaming operator and the
+      // batch window chain MUST produce identical sessions.
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = s.read.parquet(p(d, "events"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q95").toString
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/in")
+      val qn = "q95_session_sink"
+      s.catalog.dropTempView(qn)
+      val q = graft.streaming.StreamingIngest.sessionWindows(
+          stream.withColumn("ts", col("ts").cast("timestamp")), "30 minutes")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("val_sum"))
+        .orderBy("user_id", "session_start_us")
+    }),
     "q94_rag_chunks" -> ((s, d) => {
       // RAG chunking: 32-token windows, step 24 (8-token overlap); the
       // 60-bit chunk hash is the downstream join currency — chunk text
@@ -2349,6 +2372,32 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q95_stream_sessions" ->
+      // the session_window semantics replayed relationally: the gap is
+      // INCLUSIVE (SessionizeSpec pins it) — a session closes only when
+      // the next event is STRICTLY more than 30 min after the previous,
+      // identical to the batch op's boundary
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+                    FROM events),
+          l AS (SELECT *, LAG(ts_us) OVER
+                  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+                FROM e),
+          b AS (SELECT user_id, value, ts_us,
+                  CASE WHEN prev_us IS NOT NULL
+                            AND ts_us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS boundary
+                FROM l),
+          a AS (SELECT user_id, value, ts_us,
+                  SUM(boundary) OVER (PARTITION BY user_id
+                    ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+                FROM b)
+          SELECT user_id, MIN(ts_us) AS session_start_us,
+            COUNT(*)::BIGINT AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS val_sum
+          FROM a GROUP BY user_id, session_id
+          ORDER BY user_id, session_start_us""",
     "q94_rag_chunks" ->
       // identical chunk-count arithmetic, 1-based list slice, and 60-bit
       // md5 over the space-rejoined chunk

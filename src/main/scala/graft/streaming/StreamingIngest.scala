@@ -51,6 +51,22 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
 
+  /** Native session windows (Spark's `session_window` operator — the
+    * streaming counterpart of the batch `ops.Sessionize`): a session keeps
+    * absorbing events while each next event arrives strictly inside
+    * `gap` of the previous one; at `gap` or beyond a new session opens
+    * (note `>=` close vs the batch op's `>` — both gated, semantics
+    * documented). The watermark bounds state in append mode; the q95 gate
+    * replays in complete mode for single-run determinism, value sums
+    * through the DECIMAL(28,6) discipline.
+    */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("val_sum"))
+
   /** Streaming exact dedup with CUSTOM STATE (training-pipeline op): keyed
     * by content hash via `flatMapGroupsWithState` — the first arrival of a
     * hash is emitted, every later duplicate (same batch or any later batch)

@@ -45,6 +45,22 @@ class SessionizeSpec extends AnyFunSuite {
     assert(a.toSeq === Seq((0L, 0L), (1L, 0L), (3L, 0L), (4L, 1L)))
   }
 
+  test("session_window gap is INCLUSIVE — agrees with the batch > boundary") {
+    def sw(events: org.apache.spark.sql.DataFrame): Long = events
+      .groupBy(org.apache.spark.sql.functions.session_window(
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"),
+        "1 minute"), org.apache.spark.sql.functions.col("user_id"))
+      .count().count()
+    // exactly at the gap: BOTH keep one session
+    val at = df(Seq(ev(0L, 1L, 0L, 1.0), ev(1L, 1L, 60L, 1.0)))
+    assert(Sessionize.sessions(at, GapUs).count() === 1L)
+    assert(sw(at) === 1L)
+    // one past the gap: BOTH split
+    val past = df(Seq(ev(0L, 1L, 0L, 1.0), ev(1L, 1L, 61L, 1.0)))
+    assert(Sessionize.sessions(past, GapUs).count() === 2L)
+    assert(sw(past) === 2L)
+  }
+
   test("partition invariance") {
     val base = (0 until 200).map { i =>
       ev(i.toLong, (i % 7).toLong, (i * 37 % 500).toLong, 0.25 * i)
