@@ -633,6 +633,28 @@ object SparkEntry {
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
     }),
+    "q96_cell_pyramid" -> ((s, d) => {
+      // map-tile pyramid: per-cell counts at zoom 14, then each coarser
+      // level aggregates the PREVIOUS level's cell rows (parent id = two
+      // shifts + OR, codegen'd) — raw images are scanned ONCE; levels 12
+      // and 10 roll up from cell-count-sized frames. The oracle derives
+      // every level independently from the anchors.
+      val base = SpatialOps.imageCells(synthImages(s, d))
+        .groupBy("cell_id").agg(count(lit(1)).as("n_images"))
+        .localCheckpoint(true)
+      def up(df: DataFrame, from: Int, to: Int): DataFrame =
+        df.groupBy(ImageOps.parentCell(col("cell_id"), from, from - to)
+            .as("cell_id"))
+          .agg(sum(col("n_images")).as("n_images"))
+      val l12 = up(base, 14, 12).localCheckpoint(true)
+      val l10 = up(l12, 12, 10)
+      base.select(lit(14L).as("level"), col("cell_id"), col("n_images"))
+        .unionByName(l12.select(lit(12L).as("level"), col("cell_id"),
+          col("n_images")))
+        .unionByName(l10.select(lit(10L).as("level"), col("cell_id"),
+          col("n_images")))
+        .orderBy("level", "cell_id")
+    }),
     "q95_stream_sessions" -> ((s, d) => {
       // streaming sessionization under the gate: the events table replayed
       // through the file source into Spark's native session_window (gap
@@ -2372,6 +2394,23 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q96_cell_pyramid" ->
+      // every level recomputed INDEPENDENTLY from the anchors (the engine
+      // rolls coarser levels up from the finer level's aggregates — the
+      // two paths must land on identical pyramids)
+      s"""SELECT CAST(14 AS BIGINT) AS level,
+            ${O.cell("anchor_x", "anchor_y", 14)} AS cell_id,
+            COUNT(*)::BIGINT AS n_images
+          FROM ${O.inp("images")} GROUP BY 2
+          UNION ALL
+          SELECT CAST(12 AS BIGINT),
+            ${O.cell("anchor_x", "anchor_y", 12)}, COUNT(*)::BIGINT
+          FROM ${O.inp("images")} GROUP BY 2
+          UNION ALL
+          SELECT CAST(10 AS BIGINT),
+            ${O.cell("anchor_x", "anchor_y", 10)}, COUNT(*)::BIGINT
+          FROM ${O.inp("images")} GROUP BY 2
+          ORDER BY level, cell_id""",
     "q95_stream_sessions" ->
       // the session_window semantics replayed relationally: the gap is
       // INCLUSIVE (SessionizeSpec pins it) — a session closes only when
