@@ -633,6 +633,53 @@ object SparkEntry {
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
     }),
+    "q97_pair_construction" -> ((s, d) => {
+      // multimodal training-pair construction: parse the caption's
+      // building reference, broadcast-join per-building geometry stats
+      // onto every image — the (image, caption, structured-metadata) rows
+      // a captioning/contrastive trainer consumes. The 4M-image side
+      // never shuffles; the building stats are dimension-sized.
+      val imgs = synthImages(s, d).select(col("image_id"), col("caption"),
+        regexp_extract(col("caption"), "building (\\d+) ", 1)
+          .cast("long").as("bref"))
+      val bstats = synthSurfaces(s, d).groupBy(col("building_ord"))
+        .agg(count(lit(1)).as("n_surfaces"),
+          sum(when(col("surface_class") === "RoofSurface", 1L)
+            .otherwise(0L)).as("n_roof"))
+      imgs.join(broadcast(bstats),
+          imgs("bref") === bstats("building_ord"), "left")
+        .select(col("image_id"), col("bref"),
+          coalesce(col("n_surfaces"), lit(0L)).as("n_surfaces"),
+          coalesce(col("n_roof"), lit(0L)).as("n_roof"))
+        .orderBy("image_id")
+    }),
+    "q98_negative_sampling" -> ((s, d) => {
+      // deterministic in-batch negatives for contrastive training: for
+      // each image, K=2 negative partners from disjoint bit fields of a
+      // seeded md5 (self-hits bumped by one, mod n) — no RNG state,
+      // engine/partitioning/rerun invariant; the partner's caption ref
+      // arrives via a self-join on the dense image index.
+      val imgs = synthImages(s, d).select(col("image_id"),
+        regexp_extract(col("caption"), "building (\\d+) ", 1)
+          .cast("long").as("bref"),
+        substring(col("image_id"), 4, 12).cast("long").as("img_ord"))
+      val n = lit(imgs.count())
+      val withNeg = imgs
+        .select(col("image_id"), col("img_ord"),
+          explode(array(lit(0L), lit(1L))).as("neg_slot"))
+        .withColumn("hsh", conv(substring(md5(concat(col("image_id"),
+          lit("@neg"), col("neg_slot"))), 1, 15), 16, 10).cast("long"))
+        .withColumn("cand", pmod(col("hsh"), n))
+        .withColumn("neg_ord",
+          when(col("cand") === col("img_ord"),
+            pmod(col("cand") + 1L, n)).otherwise(col("cand")))
+      withNeg.join(imgs.select(col("img_ord").as("neg_ord"),
+          col("image_id").as("neg_image_id"), col("bref").as("neg_bref")),
+          Seq("neg_ord"))
+        .select(col("image_id"), col("neg_slot"), col("neg_image_id"),
+          col("neg_bref"))
+        .orderBy("image_id", "neg_slot")
+    }),
     "q96_cell_pyramid" -> ((s, d) => {
       // map-tile pyramid: per-cell counts at zoom 14, then each coarser
       // level aggregates the PREVIOUS level's cell rows (parent id = two
@@ -2394,6 +2441,43 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q97_pair_construction" ->
+      // identical caption regex + per-building rollup join
+      s"""WITH b AS (SELECT building_ord, COUNT(*)::BIGINT AS n_surfaces,
+                       CAST(SUM(CASE WHEN surface_class = 'RoofSurface'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_roof
+                     FROM ${O.inp("surfaces")} GROUP BY 1)
+          SELECT i.image_id,
+            CAST(regexp_extract(i.caption, 'building (\\d+) ', 1)
+              AS BIGINT) AS bref,
+            COALESCE(b.n_surfaces, 0) AS n_surfaces,
+            COALESCE(b.n_roof, 0) AS n_roof
+          FROM ${O.inp("images")} i
+          LEFT JOIN b ON b.building_ord =
+            CAST(regexp_extract(i.caption, 'building (\\d+) ', 1) AS BIGINT)
+          ORDER BY i.image_id""",
+    "q98_negative_sampling" ->
+      // identical md5 bit fields, self-bump, and dense-index partner join
+      s"""WITH i AS (SELECT image_id,
+                       CAST(regexp_extract(caption, 'building (\\d+) ', 1)
+                         AS BIGINT) AS bref,
+                       CAST(substr(image_id, 4, 12) AS BIGINT) AS img_ord
+                     FROM ${O.inp("images")}),
+          n AS (SELECT COUNT(*) AS n FROM i),
+          x AS (SELECT i.image_id, i.img_ord, s.neg_slot,
+                  ${O.md5n("i.image_id || '@neg' || s.neg_slot")} AS hsh
+                FROM i CROSS JOIN (SELECT unnest(range(0, 2)) AS neg_slot) s),
+          y AS (SELECT image_id, img_ord, neg_slot,
+                  hsh % (SELECT n FROM n) AS cand FROM x),
+          z AS (SELECT image_id, neg_slot,
+                  CASE WHEN cand = img_ord
+                       THEN (cand + 1) % (SELECT n FROM n)
+                       ELSE cand END AS neg_ord
+                FROM y)
+          SELECT z.image_id, z.neg_slot, p.image_id AS neg_image_id,
+            p.bref AS neg_bref
+          FROM z JOIN i p ON p.img_ord = z.neg_ord
+          ORDER BY z.image_id, z.neg_slot""",
     "q96_cell_pyramid" ->
       // every level recomputed INDEPENDENTLY from the anchors (the engine
       // rolls coarser levels up from the finer level's aggregates — the
