@@ -633,6 +633,37 @@ object SparkEntry {
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
     }),
+    "q99_leakage_safe_split" -> ((s, d) => {
+      // leakage-safe train/val/test split: assignment hashes the near-dup
+      // COMPONENT representative, not the doc — so near-duplicates can
+      // never straddle train and test (the eval-contamination failure mode
+      // of naive per-doc splits). 80/10/10 by seeded md5, no RNG state.
+      val docs = q62Corpus(s, d)
+      val kl = Clustering.keepList(docs.select("doc_id"), q62Edges(docs))
+      val h = pmod(conv(substring(md5(concat(
+        col("component").cast("string"), lit("@split"))), 1, 15), 16, 10)
+        .cast("long"), lit(10L))
+      kl.withColumn("split",
+          when(h < 8, "train").when(h < 9, "val").otherwise("test"))
+        .select(col("doc_id"), col("component"), col("split"))
+        .orderBy("doc_id")
+    }),
+    "q100_profile" -> ((s, d) => {
+      // dataset profiling (the stats card every corpus release ships):
+      // per-source row/null/distinct counts, char-length range, exact
+      // mean; one map-side-combined aggregate pass.
+      val docs = s.read.parquet(p(d, "documents"))
+      docs.groupBy("source").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("text").isNull.cast("long")).as("null_text"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          (round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+            + 0.0).as("avg_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        .orderBy("source")
+    }),
     "q97_pair_construction" -> ((s, d) => {
       // multimodal training-pair construction: parse the caption's
       // building reference, broadcast-join per-building geometry stats
@@ -2441,6 +2472,36 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q99_leakage_safe_split" ->
+      // q62's transitive-closure components + the same representative-hash
+      // split thresholds
+      s"""WITH RECURSIVE e AS (
+            SELECT doc_a AS a, doc_b AS b FROM ${O.inp("neardup_edges")}
+            UNION SELECT doc_b, doc_a FROM ${O.inp("neardup_edges")}),
+          reach(v, r) AS (
+            SELECT doc_id, doc_id FROM ${O.inp("neardup_vertices")}
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v),
+          c AS (SELECT v AS doc_id, MIN(r) AS component
+                FROM reach GROUP BY v),
+          hh AS (SELECT doc_id, component,
+                   ${O.md5n("component::VARCHAR || '@split'")} % 10 AS h
+                 FROM c)
+          SELECT doc_id, component,
+            CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM hh ORDER BY doc_id""",
+    "q100_profile" ->
+      // identical aggregate set; exact mean as sum::DOUBLE / count
+      """SELECT source, COUNT(*)::BIGINT AS n_rows,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_text,
+           COUNT(DISTINCT lang)::BIGINT AS n_langs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) + 0.0
+             AS avg_chars,
+           COUNT(DISTINCT md5(text))::BIGINT AS n_distinct_texts
+         FROM documents GROUP BY source ORDER BY source""",
     "q97_pair_construction" ->
       // identical caption regex + per-building rollup join
       s"""WITH b AS (SELECT building_ord, COUNT(*)::BIGINT AS n_surfaces,
