@@ -633,6 +633,66 @@ object SparkEntry {
         s.read.parquet(p(d, "documents")))
         .orderBy("doc_id")
     }),
+    "q101_stream_interval_join" -> ((s, d) => {
+      // stream-stream event-time interval join under the gate: the events
+      // table replayed through TWO file streams (views / clicks), joined
+      // on user with click in [view_ts, view_ts + 120 min]. A single
+      // AvailableNow batch makes the append-mode inner join deterministic
+      // — it must equal the relational interval join the oracle runs.
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = s.read.parquet(p(d, "events"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q101").toString
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      def side(t: String) = s.readStream.schema(ev.schema)
+        .parquet(s"$tmp/in").where(col("event_type") === t)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val qn = "q101_join_sink"
+      s.catalog.dropTempView(qn)
+      val q = graft.streaming.StreamingIngest
+        .intervalJoin(side("view"), side("click"), horizonMinutes = 120)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(col("user_id"), col("view_id"), col("click_id"),
+          unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("click_ts")).as("click_us"))
+        .orderBy("view_id", "click_id")
+    }),
+    "q102_weighted_sample" -> ((s, d) => {
+      // deterministic weighted sampling without replacement (Efraimidis-
+      // Spirtes A-ES): 10 docs per source, selection probability
+      // proportional to n_chars, zero RNG state — the corpus-weighting
+      // subsample every data recipe draws, reproducible across engines.
+      TextOps.weightedSample(s.read.parquet(p(d, "documents")),
+        k = 10, seed = 7).orderBy("source", "doc_id")
+    }),
+    "q103_pagerank" -> ((s, d) => {
+      // deterministic integer PageRank (5 iterations, damping 85/100) over
+      // a 3-regular md5-derived link graph on the documents table — the
+      // crawl-quality rank signal. Ordinals come from the DISTRIBUTED
+      // two-pass assignOrdinals pattern (no global single-reducer window);
+      // all rank math is integer micro-units, so sums are order-independent
+      // and the oracle replays the 5 iterations as an unrolled CTE chain.
+      val docs = s.read.parquet(p(d, "documents")).select("doc_id")
+      val nodes = ObjPipeline.assignOrdinals(docs.select(col("doc_id"),
+          lit("all").as("cls"),
+          struct(col("doc_id").as("h"), col("doc_id").as("doc_id"))
+            .as("first_seen")))
+        .select(col("doc_id"), (col("ordinal") - 1).cast("long").as("ord"))
+        .localCheckpoint()
+      val n = nodes.count()
+      val edges = nodes
+        .select(col("ord").as("src"), col("doc_id"),
+          explode(sequence(lit(0), lit(2))).as("k"))
+        .select(col("src"),
+          pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("@pr"), col("k").cast("string"))), 1, 15), 16, 10)
+            .cast("long"), lit(n)).as("dst"))
+      Clustering.pageRank(nodes.select(col("ord").as("id")), edges, iters = 5)
+        .join(nodes, col("id") === col("ord"))
+        .select(col("doc_id"), col("rank_u"))
+        .orderBy("doc_id")
+    }),
     "q99_leakage_safe_split" -> ((s, d) => {
       // leakage-safe train/val/test split: assignment hashes the near-dup
       // COMPONENT representative, not the doc — so near-duplicates can
@@ -2472,6 +2532,56 @@ object SparkEntry {
                  ELSE 'new' END AS status
           FROM inc i LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
           ORDER BY i.doc_id""",
+    "q101_stream_interval_join" ->
+      // the streaming interval join must equal the relational one
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+         FROM events v JOIN events c ON c.user_id = v.user_id
+          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 120 MINUTE
+         WHERE v.event_type = 'view' AND c.event_type = 'click'
+         ORDER BY view_id, click_id""",
+    "q102_weighted_sample" ->
+      // identical uniform (md5+1)/2^60, identical score chain
+      // round(ln(u)/w, 9) + 0.0, same (score DESC, doc_id) cut
+      s"""WITH h AS (SELECT doc_id, source, n_chars,
+                       (${O.md5n("doc_id::VARCHAR || '@ws7'")} + 1)::DOUBLE
+                         / 1152921504606846976.0 AS u
+                     FROM documents),
+          sc AS (SELECT doc_id, source, n_chars,
+                   round(ln(u) / n_chars, 9) + 0.0 AS score FROM h),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY score DESC, doc_id) AS rnk FROM sc)
+          SELECT source, doc_id, n_chars AS weight, score FROM rk
+          WHERE rnk <= 10 ORDER BY source, doc_id""",
+    "q103_pagerank" ->
+      // the 5 integer-math iterations unrolled as a CTE chain: same
+      // ordinals, same md5 edge targets, same div/floor chain — rank_u
+      // must match bit for bit
+      s"""WITH nodes AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY doc_id) - 1 AS ord
+                         FROM documents),
+          n AS (SELECT COUNT(*) AS n FROM nodes),
+          edges AS (SELECT nd.ord AS src,
+                      ${O.md5n("nd.doc_id::VARCHAR || '@pr' || k.k")}
+                        % (SELECT n FROM n) AS dst
+                    FROM nodes nd
+                    CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k),
+          r0 AS (SELECT ord AS id,
+                   (1000000000000::BIGINT // (SELECT n FROM n)) AS rank_u
+                 FROM nodes),
+          ${(1 to 5).map { i =>
+        s"""i$i AS (SELECT e.dst AS id,
+                      CAST(SUM(r.rank_u // 3) AS BIGINT) AS s
+                    FROM edges e JOIN r${i - 1} r ON r.id = e.src
+                    GROUP BY e.dst),
+          r$i AS (SELECT nd.ord AS id,
+                    ((1000000000000::BIGINT * 15 // 100) // (SELECT n FROM n))
+                      + (85 * COALESCE(i.s, 0)) // 100 AS rank_u
+                  FROM nodes nd LEFT JOIN i$i i ON i.id = nd.ord)"""
+      }.mkString(",\n          ")}
+          SELECT nd.doc_id, r.rank_u FROM r5 r
+          JOIN nodes nd ON nd.ord = r.id
+          ORDER BY nd.doc_id""",
     "q99_leakage_safe_split" ->
       // q62's transitive-closure components + the same representative-hash
       // split thresholds

@@ -101,4 +101,58 @@ object Clustering {
                bCol: String = "doc_b"): DataFrame =
     connectedComponents(vertices, edges, idCol, aCol, bCol)
       .withColumn("is_keep", col(idCol) === col("component"))
+
+  /** Deterministic integer PageRank with a FIXED iteration count — the
+    * link-graph quality signal a web-crawl corpus pipeline attaches to
+    * pages (rank-as-quality-weight, the classic crawl-filtering side
+    * input).
+    *
+    * All arithmetic is INTEGER: ranks live in `scale` micro-units
+    * (initial mass `scale div n` each), an edge carries
+    * `rank_u div out_degree`, and the damped update is
+    * `(15*scale div 100) div n + (85 * inflow) div 100`. Integer sums are
+    * order-independent, so the result is bit-identical across engines,
+    * partitionings, and reruns — the q103 oracle unrolls the same five
+    * iterations as a SQL CTE chain. Truncation "leaks" < 1 unit per edge
+    * per round (the documented leaked-mass variant); a dangling vertex
+    * keeps only its base mass.
+    *
+    * Plan shape per iteration: ONE hash equi-join of the slim (id, rank)
+    * frame onto the out-degree-annotated edge table + one
+    * map-side-combined groupBy(dst) sum. The rank frame is eagerly
+    * localCheckpoint'ed each round (the kNN-ladder /
+    * [[connectedComponents]] pattern) so the iterative lineage truncates
+    * and blocks free on GC; the edge table is checkpointed once outside
+    * the loop.
+    */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int,
+               idCol: String = "id", srcCol: String = "src",
+               dstCol: String = "dst",
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0 && scale > 0, "iters >= 0, scale > 0")
+    val verts = vertices.select(col(idCol).cast("long").as("v"))
+      .distinct().localCheckpoint()
+    val n = verts.count()
+    require(n > 0, "pageRank needs at least one vertex")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("odeg")), Seq("src"))
+      .localCheckpoint()
+    // driver-side Long division == SQL integer `div` for non-negative
+    // operands — the oracle carries the identical base literal chain
+    val base = (scale * 15L / 100L) / n
+    var ranks = verts.withColumn("rank_u", lit(scale / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = withDeg
+        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), expr("rank_u div odeg").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("s"))
+      ranks = verts.join(inflow, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr("(85 * coalesce(s, 0)) div 100")).as("rank_u"))
+        .localCheckpoint()
+    }
+    ranks.select(col("v").as(idCol), col("rank_u"))
+  }
 }

@@ -645,4 +645,33 @@ object TextOps {
         when(n >= 3, (n3 - col("__g3.nd")).cast("double") / n3.cast("double"))
           .otherwise(lit(0.0)).as("dup3_frac"))
   }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirtes 2006, "algorithm A-ES"): each row draws key u^(1/w) with u
+    * uniform in (0,1] and w its weight — the k largest keys per stratum
+    * are exactly a weighted sample without replacement. The uniform is
+    * the seeded cross-engine md5 hash ((h+1)/2^60, never 0), compared via
+    * the monotone-equivalent score ln(u)/w (larger = better; round(_, 9)
+    * shields the transcendental on both engines, doc_id breaks rounded
+    * ties) — so there is NO RNG state: the sample is identical across
+    * partitionings, reruns, and engines, and the oracle replays it
+    * verbatim. One window shuffle per stratum over (score, doc_id); the
+    * document body never shuffles if callers project it away first.
+    */
+  def weightedSample(documents: DataFrame, k: Int, seed: Long,
+                     strataCol: String = "source",
+                     weightCol: String = "n_chars"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(s"@ws$seed"))), 1, 15), 16, 10).cast("long") + lit(1L))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val score = round(log(u) / col(weightCol), 9) + lit(0.0)
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col("score").desc, col("doc_id"))
+    documents.withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col(strataCol), col("doc_id"), col(weightCol).as("weight"),
+        col("score"))
+  }
 }

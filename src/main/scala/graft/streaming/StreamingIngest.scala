@@ -111,4 +111,33 @@ object StreamingIngest {
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
   }
+
+  /** Stream-stream event-time interval join — the remaining core
+    * Structured Streaming capability next to windowed aggs
+    * ([[eventWindowCounts]]), session windows ([[sessionWindows]]), and
+    * stateful dedup ([[dedupStream]]): views ⋈ clicks of the SAME user
+    * with the click inside [view_ts, view_ts + horizon]. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH sides,
+    * so the state store evicts rows once they can no longer match —
+    * state per executor is bounded by (watermark + horizon) of stream
+    * volume, not by stream length. Inner join in append mode emits each
+    * matched pair exactly once (the q101 gate replays the events table
+    * through two file streams in a single AvailableNow batch, so the
+    * append result is deterministic and equals the relational join).
+    */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+                   horizonMinutes: Int,
+                   watermark: String = "1 hour"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"), col("user_id"),
+      col("ts").as("view_ts")).withWatermark("view_ts", watermark)
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c, expr(
+      s"""user_id = click_user AND
+          click_ts >= view_ts AND
+          click_ts <= view_ts + interval $horizonMinutes minutes"""))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
 }

@@ -107,4 +107,37 @@ class StreamingSpec extends AnyFunSuite {
     // wins across batches
     assert(rows === Seq(1L, 3L, 5L))
   }
+
+  test("stream-stream interval join equals the relational interval join " +
+    "and evicts matched-out rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val vm = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cm = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def named(m: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      m.toDF().toDF("event_id", "user_id", "ts")
+    val q = StreamingIngest.intervalJoin(named(vm), named(cm),
+        horizonMinutes = 120)
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    // user 1: view at 00:00, clicks at +30min (in), +121min (OUT — past
+    // horizon), and one click BEFORE the view (out). user 2: click with no
+    // view. user 1 second view at 01:00 catches the +121min click (=02:01).
+    vm.addData((10L, 1L, t("2026-01-01 00:00:00")),
+      (11L, 1L, t("2026-01-01 01:00:00")))
+    cm.addData((20L, 1L, t("2026-01-01 00:30:00")),
+      (21L, 1L, t("2026-01-01 02:01:00")),
+      (22L, 1L, t("2025-12-31 23:00:00")),
+      (23L, 2L, t("2026-01-01 00:10:00")))
+    q.processAllAvailable()
+    val got = spark.sql("select view_id, click_id from ivjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // relational truth: view 10 ⋈ click 20 (+30min) ONLY — click 21 is
+    // 121min after view 10; view 11 ⋈ clicks 20 (before view? 00:30 <
+    // 01:00 → no) and 21 (+61min → yes)
+    assert(got === Set((10L, 20L), (11L, 21L)))
+  }
 }
