@@ -183,7 +183,10 @@ object SparkEntry {
     // SQL); here the oracle replays the CLUSTERING — components + keep
     // flags via a recursive CTE over these dumps
     val cdocs = q62Corpus(s, sfDir)
-    w(cdocs.select("doc_id"), "neardup_vertices")
+    // n_chars rides along for q105's keep-by-quality argmax (q62/q99 read
+    // only doc_id)
+    w(cdocs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars")), "neardup_vertices")
     w(q62Edges(cdocs), "neardup_edges")
     // trained BPE merge table for q63 (precedent: ivf_centroids — training
     // output dumped, its deterministic math pinned by BpeSpec; the oracle
@@ -691,6 +694,62 @@ object SparkEntry {
       Clustering.pageRank(nodes.select(col("ord").as("id")), edges, iters = 5)
         .join(nodes, col("id") === col("ord"))
         .select(col("doc_id"), col("rank_u"))
+        .orderBy("doc_id")
+    }),
+    "q104_quality_classifier" -> ((s, d) => {
+      // model-based quality filtering (the fastText-classifier stage):
+      // hard-sigmoid logistic regression trained by 8 full-batch GD steps
+      // in pure integer micro-unit math — weights are bit-identical across
+      // engines/partitionings (order-independent integer gradient sums),
+      // so the oracle replays the whole training run as a linear CTE
+      // chain. Label = the heuristic gate being distilled (length +
+      // stopword frequency); features = integer ratio stats, centered by
+      // integer means. Each GD step is ONE map-side-combined aggregate
+      // over a checkpointed 6-long-column frame; scoring is one literal
+      // projection — zero data-sized shuffles.
+      val S = MlOps.Scale
+      val raw = s.read.parquet(p(d, "documents"))
+        .select(col("doc_id"), col("n_chars"),
+          expr("length(text) - length(replace(text, ' ', ''))")
+            .as("spaces"),
+          expr("(length(text) - length(replace(text, 'the', ''))) div 3")
+            .as("thecnt"))
+        .select(col("doc_id"),
+          expr("CASE WHEN n_chars >= 250 AND thecnt * 1000 >= " +
+            "8 * (spaces + 1) THEN CAST(1 AS BIGINT) ELSE 0 END").as("y"),
+          expr(s"((n_chars * $S) div (spaces + 1)) div 16").as("r1"),
+          expr(s"(spaces * $S) div greatest(n_chars, 1)").as("r2"),
+          expr(s"(least(n_chars, 512) * $S) div 512").as("r3"),
+          expr(s"(thecnt * $S) div (spaces + 1)").as("r4"))
+        .localCheckpoint()
+      val rs = Seq("r1", "r2", "r3", "r4")
+      val mu = MlOps.integerMeans(raw, rs)
+      val xs = Seq("x1", "x2", "x3", "x4")
+      val feat = raw.select(col("doc_id") +: col("y") +:
+        rs.zip(xs).zipWithIndex.map { case ((r, x), i) =>
+          (col(r) - lit(mu(i))).as(x)
+        }: _*)
+      val model = MlOps.trainHardSigmoidLr(feat, "y", xs, iters = 8, lr = 2L)
+      feat.select(col("doc_id"), col("y"),
+          MlOps.scoreU(model, xs).as("score_u"))
+        .withColumn("keep", expr(s"CASE WHEN score_u >= ${S / 2} " +
+          "THEN CAST(1 AS BIGINT) ELSE 0 END"))
+        .orderBy("doc_id")
+    }),
+    "q105_canonical_by_quality" -> ((s, d) => {
+      // canonicalization by QUALITY: each near-dup component keeps its
+      // LONGEST copy (ties → min doc_id) instead of the arbitrary min-id
+      // representative — what production dedup actually does with a
+      // cluster. On the chained corpus the winner differs from q62's
+      // min-id keep, so the gate distinguishes the two semantics. The
+      // argmax is a max_by PARTIAL aggregate (map-side combined): a
+      // degenerate giant component costs a combine, never a
+      // single-reducer window sort.
+      val docs = q62Corpus(s, d)
+      Clustering.keepListBy(docs.select("doc_id"),
+          docs.select(col("doc_id"),
+            length(col("text")).cast("long").as("score")),
+          q62Edges(docs))
         .orderBy("doc_id")
     }),
     "q99_leakage_safe_split" -> ((s, d) => {
@@ -2582,6 +2641,88 @@ object SparkEntry {
           SELECT nd.doc_id, r.rank_u FROM r5 r
           JOIN nodes nd ON nd.ord = r.id
           ORDER BY nd.doc_id""",
+    "q104_quality_classifier" ->
+      // the full integer-GD training run replayed as a LINEAR CTE chain:
+      // identical features, centering, hard sigmoid, gradient div chain
+      // and update rule — weights (and so every score) match bit for bit.
+      // Each g$i carries the previous weights through as MIN()s so the
+      // chain references each predecessor exactly once (iters scans, not
+      // 2^iters re-inlinings).
+      s"""WITH raw AS (SELECT doc_id,
+            CAST(CASE WHEN n_chars >= 250
+                   AND (length(text)-length(replace(text,'the','')))//3
+                       * 1000 >=
+                       8 * ((length(text)-length(replace(text,' ','')))+1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS y,
+            ((n_chars*1000000)
+              // ((length(text)-length(replace(text,' ','')))+1)) // 16
+              AS r1,
+            ((length(text)-length(replace(text,' ',''))) * 1000000)
+              // greatest(n_chars,1) AS r2,
+            (least(n_chars,512)*1000000) // 512 AS r3,
+            ((length(text)-length(replace(text,'the','')))//3 * 1000000)
+              // ((length(text)-length(replace(text,' ','')))+1) AS r4
+          FROM documents),
+          nn AS (SELECT COUNT(*) AS n FROM raw),
+          mu AS (SELECT CAST(SUM(r1) AS BIGINT)//(SELECT n FROM nn) AS m1,
+                   CAST(SUM(r2) AS BIGINT)//(SELECT n FROM nn) AS m2,
+                   CAST(SUM(r3) AS BIGINT)//(SELECT n FROM nn) AS m3,
+                   CAST(SUM(r4) AS BIGINT)//(SELECT n FROM nn) AS m4
+                 FROM raw),
+          feat AS (SELECT doc_id, y, r1-m1 AS x1, r2-m2 AS x2,
+                     r3-m3 AS x3, r4-m4 AS x4 FROM raw CROSS JOIN mu),
+          w0 AS (SELECT 0::BIGINT AS b, 0::BIGINT AS w1, 0::BIGINT AS w2,
+                   0::BIGINT AS w3, 0::BIGINT AS w4),
+          ${(1 to 8).map { i =>
+        s"""g$i AS (SELECT CAST(SUM(e) AS BIGINT) AS gb,
+              CAST(SUM((e*x1)//1000000) AS BIGINT) AS g1,
+              CAST(SUM((e*x2)//1000000) AS BIGINT) AS g2,
+              CAST(SUM((e*x3)//1000000) AS BIGINT) AS g3,
+              CAST(SUM((e*x4)//1000000) AS BIGINT) AS g4,
+              MIN(pb) AS pb, MIN(pw1) AS pw1, MIN(pw2) AS pw2,
+              MIN(pw3) AS pw3, MIN(pw4) AS pw4, COUNT(*) AS n
+            FROM (SELECT least(greatest(
+                    ((w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)
+                      //1000000 + w.b)//4 + 500000, 0), 1000000)
+                    - f.y*1000000 AS e,
+                  f.x1, f.x2, f.x3, f.x4, w.b AS pb, w.w1 AS pw1,
+                  w.w2 AS pw2, w.w3 AS pw3, w.w4 AS pw4
+                  FROM feat f CROSS JOIN w${i - 1} w)),
+          w$i AS (SELECT pb - (2*gb)//n AS b, pw1 - (2*g1)//n AS w1,
+                    pw2 - (2*g2)//n AS w2, pw3 - (2*g3)//n AS w3,
+                    pw4 - (2*g4)//n AS w4 FROM g$i)"""
+      }.mkString(",\n          ")},
+          scored AS (SELECT f.doc_id, f.y,
+            least(greatest(
+              ((w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4)//1000000
+                + w.b)//4 + 500000, 0), 1000000) AS score_u
+            FROM feat f CROSS JOIN w8 w)
+          SELECT doc_id, y, score_u,
+            CAST(CASE WHEN score_u >= 500000 THEN 1 ELSE 0 END AS BIGINT)
+              AS keep
+          FROM scored ORDER BY doc_id""",
+    "q105_canonical_by_quality" ->
+      // q62's transitive-closure components + the keep-by-quality argmax:
+      // best score wins, ties to the smallest id (the window tiebreak
+      // resolves identically to the engine's max_by(id, (score, -id)))
+      s"""WITH RECURSIVE e AS (
+            SELECT doc_a AS a, doc_b AS b FROM ${O.inp("neardup_edges")}
+            UNION SELECT doc_b, doc_a FROM ${O.inp("neardup_edges")}),
+          reach(v, r) AS (
+            SELECT doc_id, doc_id FROM ${O.inp("neardup_vertices")}
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v),
+          c AS (SELECT v AS doc_id, MIN(r) AS component
+                FROM reach GROUP BY v),
+          sc AS (SELECT c.doc_id, c.component, v.n_chars AS score
+                 FROM c JOIN ${O.inp("neardup_vertices")} v USING (doc_id)),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY component
+                   ORDER BY score DESC, doc_id) AS rnk FROM sc),
+          k AS (SELECT component, doc_id AS keep_doc_id FROM rk
+                WHERE rnk = 1)
+          SELECT sc.doc_id, sc.component, sc.score, k.keep_doc_id,
+            sc.doc_id = k.keep_doc_id AS is_keep
+          FROM sc JOIN k USING (component) ORDER BY sc.doc_id""",
     "q99_leakage_safe_split" ->
       // q62's transitive-closure components + the same representative-hash
       // split thresholds

@@ -102,6 +102,31 @@ object Clustering {
     connectedComponents(vertices, edges, idCol, aCol, bCol)
       .withColumn("is_keep", col(idCol) === col("component"))
 
+  /** Canonicalization by QUALITY: per near-dup component keep the
+    * best-`scoreCol` vertex (ties → smallest id) instead of the arbitrary
+    * min-id representative — "keep the longest / highest-quality copy",
+    * which is what production dedup pipelines actually do with a cluster.
+    *
+    * The argmax is a `max_by(id, struct(score, -id))` PARTIAL aggregate,
+    * not a per-component window: a degenerate giant component (the
+    * hot-bucket corpus) costs a map-side combine, never a single-reducer
+    * sort. Returns (id, component, score, keep_id, is_keep).
+    */
+  def keepListBy(vertices: DataFrame, scores: DataFrame, edges: DataFrame,
+                 scoreCol: String = "score", idCol: String = "doc_id",
+                 aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val comp = connectedComponents(vertices, edges, idCol, aCol, bCol)
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val best = comp.groupBy(col("component")).agg(
+      max_by(col(idCol),
+        struct(col(scoreCol), (col(idCol) * lit(-1)).as("neg")))
+        .as(s"keep_$idCol"))
+    comp.join(best, Seq("component"))
+      .withColumn("is_keep", col(idCol) === col(s"keep_$idCol"))
+      .select(col(idCol), col("component"), col(scoreCol),
+        col(s"keep_$idCol"), col("is_keep"))
+  }
+
   /** Deterministic integer PageRank with a FIXED iteration count — the
     * link-graph quality signal a web-crawl corpus pipeline attaches to
     * pages (rank-as-quality-weight, the classic crawl-filtering side

@@ -78,4 +78,48 @@ class ClusteringSpec extends AnyFunSuite {
       assert(comp === id && keep)
     }
   }
+
+  test("keepListBy: best score wins the component, ties break to min id") {
+    import spark.implicits._
+    // two components {0,1,2} and {10,11}, plus singleton 20
+    val verts = Seq(0L, 1L, 2L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    // 1 outscores its peers; 10 and 11 TIE → min id 10 must win
+    val scores = Seq((0L, 5L), (1L, 9L), (2L, 7L), (10L, 4L), (11L, 4L),
+      (20L, 1L)).toDF("doc_id", "score")
+    val got = Clustering.keepListBy(verts, scores, edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(0L) === ((0L, 5L, 1L, false)))
+    assert(got(1L) === ((0L, 9L, 1L, true)))
+    assert(got(2L) === ((0L, 7L, 1L, false)))
+    assert(got(10L) === ((10L, 4L, 10L, true)))
+    assert(got(11L) === ((10L, 4L, 10L, false)))
+    assert(got(20L) === ((20L, 1L, 20L, true)))
+    // partition invariance: integer argmax is order-independent
+    val rep = Clustering.keepListBy(verts.repartition(5),
+        scores.repartition(3), edges.repartition(2))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(rep === got.map { case (k, v) => (k, v._3) })
+  }
+
+  test("keepListBy on the chained corpus picks the LONGEST copy, not the " +
+    "min id") {
+    val docs = graft.model.Synth.chainDocs(spark, 4)
+    val edges = graft.SparkEntry.q62Edges(docs)
+    val scores = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("score"))
+    val got = Clustering.keepListBy(docs.select("doc_id"), scores, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.filter(_._1 < 12).foreach { case (id, keepId, isKeep) =>
+      val g = id / 3
+      val best = (3 * g to 3 * g + 2).maxBy(i => (lens(i), -i))
+      assert(keepId === best, s"doc $id: keep must be the longest copy")
+      assert(isKeep === (id == best))
+      // the whole point: the longest chain copy is NOT the min-id rep
+      assert(best !== 3 * g, s"fixture must make quality-keep differ")
+    }
+  }
 }
