@@ -752,6 +752,25 @@ object SparkEntry {
           q62Edges(docs))
         .orderBy("doc_id")
     }),
+    "q106_zonal_stats" -> ((s, d) => {
+      // zonal statistics (the geo×raster classic): per building-footprint
+      // AABB, count + exact integer BT.601-luma sum + integer mean of
+      // every tile pixel whose center (anchor + (i+0.5)·res) falls inside
+      // the zone. Tiles decode once; pairs come from a slim cell_cover
+      // equi-join (the luma payload crosses ONE hash join); window sums
+      // are a codegen'd nested higher-order aggregate — no 256× pixel
+      // explosion. Building 0 is the downtown hot cell (~20% of all
+      // tiles), so the rollup's map-side combine absorbs real join skew.
+      val pts = synthSurfaces(s, d)
+        .where(col("surface_class").isin("GroundSurface", "WallSurface",
+          "RoofSurface", "ClosureSurface", "CeilingSurface"))
+        .select(col("building_ord"), explode(col("ext")).as("p"))
+      val zones = pts.groupBy("building_ord").agg(
+        min(col("p.x")).as("xmin"), max(col("p.x")).as("xmax"),
+        min(col("p.y")).as("ymin"), max(col("p.y")).as("ymax"))
+      ImageOps.zonalStats(s, synthImages(s, d), zones)
+        .orderBy("building_ord")
+    }),
     "q99_leakage_safe_split" -> ((s, d) => {
       // leakage-safe train/val/test split: assignment hashes the near-dup
       // COMPONENT representative, not the doc — so near-duplicates can
@@ -2723,6 +2742,46 @@ object SparkEntry {
           SELECT sc.doc_id, sc.component, sc.score, k.keep_doc_id,
             sc.doc_id = k.keep_doc_id AS is_keep
           FROM sc JOIN k USING (component) ORDER BY sc.doc_id""",
+    "q106_zonal_stats" ->
+      // zones from the dumped surfaces (the q24 AABB derivation, buffer
+      // 0), tiles from images+pixels; the per-pixel center-in-zone
+      // predicate and the raw 299r+587g+114b numerators are the exact
+      // expressions the engine folds — the cell prefilter is plan-side
+      // only (the rect join is a conservative superset; pairs with no
+      // center inside vanish from both engines)
+      s"""WITH pts AS (SELECT building_ord, unnest(ext) AS p
+                       FROM ${O.inp("surfaces")}
+                       WHERE surface_class IN $StructuralClasses),
+          z AS (SELECT building_ord, MIN(p.x) AS xmin, MAX(p.x) AS xmax,
+                  MIN(p.y) AS ymin, MAX(p.y) AS ymax FROM pts GROUP BY 1),
+          img AS (SELECT i.image_id, i.anchor_x, i.anchor_y, i.w, i.h, x.px
+                  FROM ${O.inp("images")} i
+                  JOIN ${O.inp("pixels")} x USING (image_id)),
+          pair AS (SELECT z.building_ord, m.*, z.xmin, z.xmax, z.ymin,
+                     z.ymax
+                   FROM z JOIN img m ON m.anchor_x <= z.xmax
+                    AND m.anchor_x + m.w * 1.0 >= z.xmin
+                    AND m.anchor_y <= z.ymax
+                    AND m.anchor_y + m.h * 1.0 >= z.ymin),
+          gpx AS (SELECT p.building_ord, p.image_id, COUNT(*) AS n_px,
+                    CAST(SUM(299*p.px[(jy.jy*16 + ix.ix)*3 + 1]
+                           + 587*p.px[(jy.jy*16 + ix.ix)*3 + 2]
+                           + 114*p.px[(jy.jy*16 + ix.ix)*3 + 3]) AS BIGINT)
+                      AS lsum
+                  FROM pair p
+                  CROSS JOIN (SELECT unnest(range(0,16)) AS ix) ix
+                  CROSS JOIN (SELECT unnest(range(0,16)) AS jy) jy
+                  WHERE p.anchor_x + (ix.ix + 0.5) * 1.0
+                          BETWEEN p.xmin AND p.xmax
+                    AND p.anchor_y + (jy.jy + 0.5) * 1.0
+                          BETWEEN p.ymin AND p.ymax
+                  GROUP BY 1, 2)
+          SELECT building_ord, COUNT(*)::BIGINT AS n_images,
+            CAST(SUM(n_px) AS BIGINT) AS n_px,
+            CAST(SUM(lsum) AS BIGINT) AS luma_sum,
+            CAST(SUM(lsum) AS BIGINT) // CAST(SUM(n_px) AS BIGINT)
+              AS mean_luma
+          FROM gpx GROUP BY 1 ORDER BY 1""",
     "q99_leakage_safe_split" ->
       // q62's transitive-closure components + the same representative-hash
       // split thresholds

@@ -538,4 +538,79 @@ object ImageOps {
     HammingBlocking.nearDupPairs(sigs, "image_id", "dhash", "img_a", "img_b",
       maxHamming, longHamming = true, maxBucket = maxBucket)
   }
+
+  /** Zonal statistics — the classic geo×raster op (per-zone pixel stats of
+    * a georeferenced tile set): for every zone rectangle, the count and
+    * integer BT.601-luma sum of all pixels whose CENTER
+    * (anchor + (i + 0.5)·res) falls inside the zone, plus the exact
+    * integer mean (`luma_sum div n_px`, in 0..255000 milli-luma — the raw
+    * 299r+587g+114b numerator is kept undivided so every sum is exact).
+    *
+    * Plan: each tile decodes ONCE where the payload lives (typed
+    * mapPartitions → per-pixel luma array, eagerly localCheckpoint'ed so
+    * the slim pass and the payload join don't decode twice); candidate
+    * (zone, tile) pairs come from a SLIM cell_cover equi-join — the luma
+    * array crosses exactly one hash join on image_id and never rides the
+    * multi-cell explode; per-pair window sums are one codegen'd nested
+    * higher-order aggregate over the luma array (no 256× per-pixel row
+    * explosion — the q87 lesson); the per-zone rollup partial-aggregates
+    * four longs. The cell prefilter keeps the rect-rect theta join from
+    * degenerating to a cross product at scale; the residual overlap
+    * predicate is a conservative superset of "some pixel center inside",
+    * so the final `n_px > 0` filter fixes the exact semantics.
+    */
+  def zonalStats(spark: SparkSession, imagesWithAnchors: DataFrame,
+                 zones: DataFrame, zoneCol: String = "building_ord",
+                 res: Double = 1.0, level: Int = 14): DataFrame = {
+    import spark.implicits._
+    import graft.expr.GeomFunctions.cell_cover
+    val lum = imagesWithAnchors
+      .select("image_id", "bytes", "w", "h", "fmt", "anchor_x", "anchor_y")
+      .as[(String, Array[Byte], Int, Int, String, Double, Double)]
+      .mapPartitions(_.map { case (id, bytes, w, h, fmt, ax, ay) =>
+        val px = ImageCodec.decode(bytes, fmt, w, h)
+        val l = new Array[Long](w * h)
+        var j = 0
+        while (j < w * h) {
+          l(j) = 299L * (px(3 * j) & 0xFF) + 587L * (px(3 * j + 1) & 0xFF) +
+            114L * (px(3 * j + 2) & 0xFF)
+          j += 1
+        }
+        (id, ax, ay, w, h, l)
+      }).toDF("image_id", "anchor_x", "anchor_y", "w", "h", "luma")
+      .localCheckpoint()
+    val slimTile = lum.drop("luma")
+      .withColumn("txmin", col("anchor_x"))
+      .withColumn("txmax", col("anchor_x") + col("w") * lit(res))
+      .withColumn("tymin", col("anchor_y"))
+      .withColumn("tymax", col("anchor_y") + col("h") * lit(res))
+    val zc = zones.withColumn("zcell", explode(cell_cover(
+      col("xmin"), col("ymin"), col("xmax"), col("ymax"), lit(level))))
+    val tc = slimTile.withColumn("zcell", explode(cell_cover(
+      col("txmin"), col("tymin"), col("txmax"), col("tymax"), lit(level))))
+    val pairs = tc.join(zc, Seq("zcell"))
+      .where(col("txmin") <= col("xmax") && col("txmax") >= col("xmin") &&
+             col("tymin") <= col("ymax") && col("tymax") >= col("ymin"))
+      .select(col(zoneCol), col("image_id"), col("anchor_x"),
+        col("anchor_y"), col("w"), col("h"),
+        col("xmin"), col("xmax"), col("ymin"), col("ymax"))
+      .distinct()
+    def windowAgg(term: String) =
+      s"""aggregate(sequence(0, h - 1), CAST(0 AS BIGINT), (accj, jy) ->
+            accj + aggregate(sequence(0, w - 1), CAST(0 AS BIGINT),
+              (acci, ix) -> acci + (CASE
+                WHEN anchor_x + (ix + 0.5) * $res BETWEEN xmin AND xmax
+                 AND anchor_y + (jy + 0.5) * $res BETWEEN ymin AND ymax
+                THEN $term ELSE CAST(0 AS BIGINT) END)))"""
+    pairs.join(lum.select("image_id", "luma"), Seq("image_id"))
+      .withColumn("n_px", expr(windowAgg("CAST(1 AS BIGINT)")))
+      .withColumn("lsum",
+        expr(windowAgg("element_at(luma, (jy * w + ix) + 1)")))
+      .where(col("n_px") > 0)
+      .groupBy(col(zoneCol)).agg(
+        count(lit(1)).as("n_images"),
+        sum(col("n_px")).as("n_px"),
+        sum(col("lsum")).as("luma_sum"))
+      .withColumn("mean_luma", expr("luma_sum div n_px"))
+  }
 }
