@@ -771,6 +771,39 @@ object SparkEntry {
       ImageOps.zonalStats(s, synthImages(s, d), zones)
         .orderBy("building_ord")
     }),
+    "q107_hotspots" -> ((s, d) => {
+      // spatial hot-spot screen (Getis-Ord-style): per occupied 16 m grid
+      // cell, the anchor count, the 3×3-window count, and an EXACT integer
+      // hot flag (window density > 4× the mean occupied-cell density via
+      // cross-multiplication — no float z-score). One point-sized pass;
+      // the neighbor sum explodes only cell-count rows. The downtown hot
+      // cell (~20% of all anchors in one block) must flag.
+      SpatialOps.hotSpots(synthImages(s, d), cw = 16.0, k = 4L)
+        .orderBy("cx", "cy")
+    }),
+    "q108_solar_exposure" -> ((s, d) => {
+      // per-building solar-exposure rollup (the CityGML solar-potential
+      // use case): for every VALIDATED roof polygon, incidence factor =
+      // max(0, cos(unit Newell normal, fixed sun vector)) × 3D shoelace
+      // area; per-term round(·,6) then DECIMAL(28,6) sums so the rollup is
+      // order-independent (the q72/q88 discipline). Pure per-row kernel
+      // math + one partial-aggregated groupBy.
+      val (ok, _) = ObjPipeline.validated(synthSurfaces(s, d))
+      val n = poly_normal(col("ext"))
+      val (nx, ny, nz) = (n.getField("x"), n.getField("y"), n.getField("z"))
+      val mag = sqrt(nx * nx + ny * ny + nz * nz)
+      val cosi = greatest(lit(0.0),
+        (nx * lit(0.0) + ny * lit(-0.7071067811865476) +
+          nz * lit(0.7071067811865476)) / mag)
+      ok.where(col("surface_class") === "RoofSurface")
+        .withColumn("expo",
+          round(area_3d(col("ext")) * cosi, 6) + lit(0.0))
+        .groupBy("building_id").agg(count(lit(1)).as("n_roofs"),
+          sum(col("expo").cast("decimal(28,6)")).as("dsum"))
+        .select(col("building_id"), col("n_roofs"),
+          (round(col("dsum").cast("double"), 6) + lit(0.0)).as("exposure"))
+        .orderBy("building_id")
+    }),
     "q99_leakage_safe_split" -> ((s, d) => {
       // leakage-safe train/val/test split: assignment hashes the near-dup
       // COMPONENT representative, not the doc — so near-duplicates can
@@ -2782,6 +2815,51 @@ object SparkEntry {
             CAST(SUM(lsum) AS BIGINT) // CAST(SUM(n_px) AS BIGINT)
               AS mean_luma
           FROM gpx GROUP BY 1 ORDER BY 1""",
+    "q107_hotspots" ->
+      // identical floor-grid bucketing, 3×3 window sum, and integer
+      // cross-multiplied hot flag (n_window·n_cells > 36·n_points)
+      s"""WITH pt AS (SELECT CAST(floor(anchor_x / 16.0) AS BIGINT) AS cx,
+                        CAST(floor(anchor_y / 16.0) AS BIGINT) AS cy
+                      FROM ${O.inp("images")}),
+          cells AS (SELECT cx, cy, COUNT(*)::BIGINT AS n_self
+                    FROM pt GROUP BY 1, 2),
+          tot AS (SELECT CAST(SUM(n_self) AS BIGINT) AS n_points,
+                    COUNT(*)::BIGINT AS n_cells FROM cells),
+          nbr AS (SELECT c.cx + dx.dx AS cx, c.cy + dy.dy AS cy,
+                    CAST(SUM(c.n_self) AS BIGINT) AS n_window
+                  FROM cells c
+                  CROSS JOIN (SELECT unnest(range(-1,2)) AS dx) dx
+                  CROSS JOIN (SELECT unnest(range(-1,2)) AS dy) dy
+                  GROUP BY 1, 2)
+          SELECT c.cx, c.cy, c.n_self, n.n_window,
+            n.n_window * (SELECT n_cells FROM tot)
+              > 36 * (SELECT n_points FROM tot) AS is_hot
+          FROM cells c JOIN nbr n USING (cx, cy) ORDER BY cx, cy""",
+    "q108_solar_exposure" ->
+      // clean → validate → RoofSurface; incidence from the raw Newell
+      // normal (newellRaw replay), area from the first-3-normal shoelace
+      // (the q38 replay); per-term round(·,6)+0.0 then exact DECIMAL sums
+      s"""WITH s0 AS (SELECT building_id, surface_id, surface_class,
+                        ${O.clean("ext")} AS c FROM ${O.inp("surfaces")}),
+          s1 AS (SELECT *, ${O.normalCols("c")} FROM s0),
+          sv AS (SELECT * FROM s1 WHERE ${O.isValid("c")}
+                 AND surface_class = 'RoofSurface'),
+          nw AS (SELECT building_id, c, nx, ny, nz,
+                   ${O.newellRaw("c", "x")} AS rwx,
+                   ${O.newellRaw("c", "y")} AS rwy,
+                   ${O.newellRaw("c", "z")} AS rwz
+                 FROM sv),
+          ex AS (SELECT building_id,
+                   round(${O.area("c")} * greatest(0.0,
+                     (rwx*0.0 + rwy*-0.7071067811865476
+                       + rwz*0.7071067811865476)
+                       / sqrt(rwx*rwx + rwy*rwy + rwz*rwz)), 6) + 0.0
+                     AS expo
+                 FROM nw)
+          SELECT building_id, COUNT(*)::BIGINT AS n_roofs,
+            round(CAST(SUM(CAST(expo AS DECIMAL(28,6))) AS DOUBLE), 6)
+              + 0.0 AS exposure
+          FROM ex GROUP BY 1 ORDER BY 1""",
     "q99_leakage_safe_split" ->
       // q62's transitive-closure components + the same representative-hash
       // split thresholds

@@ -352,6 +352,43 @@ object SpatialOps {
       .drop("bb_cell")
   }
 
+  /** Spatial hot-spot detection (the Getis-Ord-style window-density
+    * screen): bucket points into a cw-sized grid, then flag every occupied
+    * cell whose 3×3-window count exceeds `k`× the mean density of occupied
+    * cells. The decision is EXACT integer cross-multiplication
+    * (n_window · n_cells > 9k · n_points) — no float z-score, so the flag
+    * is bit-stable across engines and partitionings.
+    *
+    * Plan: one partial-aggregated groupBy over the points (the only
+    * point-sized pass); the neighbor sum explodes CELL-COUNT rows 9× (cell
+    * table, orders of magnitude smaller than the points) into one
+    * equi-join; totals are a 2-scalar driver collect. The inner join back
+    * to occupied cells drops window rows centered on empty cells.
+    */
+  def hotSpots(points: DataFrame, xCol: String = "anchor_x",
+               yCol: String = "anchor_y", cw: Double = 16.0,
+               k: Long = 4L): DataFrame = {
+    val cells = points.select(
+        floor(col(xCol) / lit(cw)).cast("long").as("cx"),
+        floor(col(yCol) / lit(cw)).cast("long").as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n_self"))
+      .localCheckpoint() // reused thrice: totals, neighbor explode, join
+    val tot = cells.agg(sum(col("n_self")), count(lit(1))).head()
+    val (nPoints, nCells) = (tot.getLong(0), tot.getLong(1))
+    val nbr = cells
+      .select(col("cx").as("bx"), col("cy").as("by"),
+        col("n_self").as("c"))
+      .withColumn("dx", explode(array((-1 to 1).map(lit(_)): _*)))
+      .withColumn("dy", explode(array((-1 to 1).map(lit(_)): _*)))
+      .select((col("bx") + col("dx")).as("cx"),
+        (col("by") + col("dy")).as("cy"), col("c"))
+      .groupBy("cx", "cy").agg(sum(col("c")).as("n_window"))
+    cells.join(nbr, Seq("cx", "cy"))
+      .withColumn("is_hot",
+        col("n_window") * lit(nCells) > lit(9L * k) * lit(nPoints))
+      .select("cx", "cy", "n_self", "n_window", "is_hot")
+  }
+
   /** O-43 corner triangles: 8 unit-edge triangles at the buffered bbox
     * corners (componentseparationmodule.py:13-33, 225-241) — emitted as
     * triangle rows compatible with the OBJ writers.
