@@ -216,4 +216,81 @@ object OracleSql {
   def centroidCols: String =
     """list_aggregate(list_transform(ext, p -> p.x), 'sum') / len(ext) AS cx,
        list_aggregate(list_transform(ext, p -> p.y), 'sum') / len(ext) AS cy"""
+
+  // ---- Sutherland-Hodgman rectangle clip (q109 vector→raster transfer) --
+
+  /** One half-plane clip step of Sutherland-Hodgman over a
+    * LIST<STRUCT(x,y)> polygon column `p`: keeps the region where
+    * f(pt) ≥ 0, with f = (pt.axis − bound) for the min edge (`isMin`) or
+    * (bound − pt.axis) for the max edge. Per directed edge cur→next the
+    * step emits [maybe intersection] ++ [next if inside] — the classic SH
+    * edge walk — so four chained calls clip against a full rectangle.
+    *
+    * DIALECT-ABSTRACTED: one template renders the Spark SQL expression
+    * (`spark = true`, for `expr(...)` in the query) and the DuckDB
+    * expression (false, for the oracle). Both engines therefore evaluate
+    * the IDENTICAL IEEE-754 tree — the intersection point's one division
+    * and two multiplications come out bit-equal, and clipped areas
+    * hash-compare exactly. The intersection divisor is nonzero by
+    * construction: it is only evaluated when f changes sign across the
+    * edge, which requires the two coordinates to differ.
+    */
+  def shClip(p: String, axis: Char, isMin: Boolean, bound: String,
+             spark: Boolean): String = {
+    val size = if (spark) s"size($p)" else s"len($p)"
+    def el(i: String) = if (spark) s"element_at($p, $i)" else s"$p[$i]"
+    val cur = el("i")
+    val nxt = el(s"CASE WHEN i = $size THEN 1 ELSE i + 1 END")
+    def f(pt: String) = {
+      val v = s"($pt).$axis"
+      if (isMin) s"($v - $bound)" else s"($bound - $v)"
+    }
+    val (fc, fn) = (f(cur), f(nxt))
+    val inter =
+      if (axis == 'x') {
+        val iy = s"($cur).y + ($bound - ($cur).x) * (($nxt).y - ($cur).y)" +
+          s" / (($nxt).x - ($cur).x)"
+        if (spark) s"named_struct('x', $bound, 'y', $iy)"
+        else s"{'x': $bound, 'y': $iy}"
+      } else {
+        val ix = s"($cur).x + ($bound - ($cur).y) * (($nxt).x - ($cur).x)" +
+          s" / (($nxt).y - ($cur).y)"
+        if (spark) s"named_struct('x', $ix, 'y', $bound)"
+        else s"{'x': $ix, 'y': $bound}"
+      }
+    def one(e: String) = if (spark) s"array($e)" else s"[$e]"
+    val empty = if (spark) s"slice($p, 1, 0)" else s"$p[1:0]"
+    val cat = if (spark) "concat" else "list_concat"
+    val emit = s"$cat(" +
+      s"CASE WHEN ($fc >= 0) <> ($fn >= 0) THEN ${one(inter)} " +
+      s"ELSE $empty END, " +
+      s"CASE WHEN $fn >= 0 THEN ${one(nxt)} ELSE $empty END)"
+    val body =
+      if (spark) s"flatten(transform(sequence(1, $size), i -> $emit))"
+      else s"flatten(list_transform(range(1, $size + 1), i -> $emit))"
+    // guard: Spark's sequence(1, 0) would COUNT DOWN ([1, 0]) on an empty
+    // polygon; DuckDB's range(1, 1) is empty — unify via the CASE
+    s"CASE WHEN $size = 0 THEN $p ELSE $body END"
+  }
+
+  /** |shoelace|/2 of the LIST<STRUCT(x,y)> polygon column `p` (open ring,
+    * wraparound), dialect-abstracted like [[shClip]]. Left-to-right float
+    * fold both sides (Spark aggregate from 0.0 == DuckDB list_reduce from
+    * the first element, since 0.0 + v == v). Degenerate (< 3 points) → 0.
+    */
+  def shArea(p: String, spark: Boolean): String = {
+    val size = if (spark) s"size($p)" else s"len($p)"
+    def el(i: String) = if (spark) s"element_at($p, $i)" else s"$p[$i]"
+    val cur = el("sl")
+    val nxt = el(s"CASE WHEN sl = $size THEN 1 ELSE sl + 1 END")
+    val term = s"($cur).x * ($nxt).y - ($cur).y * ($nxt).x"
+    val fold =
+      if (spark)
+        s"aggregate(sequence(1, $size), CAST(0 AS DOUBLE), " +
+          s"(sl_a, sl) -> sl_a + ($term))"
+      else
+        s"list_reduce(list_transform(range(1, $size + 1), sl -> $term), " +
+          s"(sl_a, sl_v) -> sl_a + sl_v)"
+    s"CASE WHEN $size < 3 THEN 0.0 ELSE abs($fold) / 2.0 END"
+  }
 }

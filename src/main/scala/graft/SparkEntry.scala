@@ -804,6 +804,25 @@ object SparkEntry {
           (round(col("dsum").cast("double"), 6) + lit(0.0)).as("exposure"))
         .orderBy("building_id")
     }),
+    "q109_clip_transfer" -> ((s, d) => {
+      // exact vector→raster area transfer: every ground triangle is
+      // Sutherland-Hodgman-clipped against each 16 m cell it spans and the
+      // cell accumulates the EXACT clipped area (Σ over cells ≡ triangle
+      // area — conservation pinned by ClipTransferSpec). The 4 half-plane
+      // clips and the shoelace are ONE dialect-abstracted expression
+      // template (OracleSql.shClip/shArea) rendered for both engines, so
+      // the intersection-point float math is bit-identical and the gate
+      // compares areas exactly. Pure codegen'd column math per
+      // (triangle, cell) pair — no UDF, no shuffle before the final
+      // cell rollup.
+      val (ok, _) = ObjPipeline.validated(synthSurfaces(s, d))
+      val tri = SpatialOps.triangles(ObjPipeline.withoutOpenings(ok))
+        .where(col("surface_class") === "GroundSurface")
+        .select(col("tri.a.x").as("ax"), col("tri.a.y").as("ay"),
+          col("tri.b.x").as("bx"), col("tri.b.y").as("by"),
+          col("tri.c.x").as("cx"), col("tri.c.y").as("cy"))
+      SpatialOps.clipTransfer(tri, cs = 16.0).orderBy("gx", "gy")
+    }),
     "q99_leakage_safe_split" -> ((s, d) => {
       // leakage-safe train/val/test split: assignment hashes the near-dup
       // COMPONENT representative, not the doc — so near-duplicates can
@@ -2860,6 +2879,45 @@ object SparkEntry {
             round(CAST(SUM(CAST(expo AS DECIMAL(28,6))) AS DOUBLE), 6)
               + 0.0 AS exposure
           FROM ex GROUP BY 1 ORDER BY 1""",
+    "q109_clip_transfer" ->
+      // the SAME dialect-abstracted clip template (OracleSql.shClip /
+      // shArea) rendered for DuckDB — both engines run the identical
+      // IEEE expression tree over the dumped ground triangles
+      s"""WITH t AS (SELECT ax, ay, bx, by, cx, cy
+                     FROM ${O.inp("triangles")}
+                     WHERE surface_class = 'GroundSurface'),
+          b AS (SELECT *,
+                  CAST(floor(least(ax,bx,cx) / 16.0) AS BIGINT) AS gx0,
+                  CAST(floor(greatest(ax,bx,cx) / 16.0) AS BIGINT) AS gx1,
+                  CAST(floor(least(ay,by,cy) / 16.0) AS BIGINT) AS gy0,
+                  CAST(floor(greatest(ay,by,cy) / 16.0) AS BIGINT) AS gy1
+                FROM t),
+          gxs AS (SELECT *, unnest(range(gx0, gx1 + 1)) AS gx FROM b),
+          g AS (SELECT *, unnest(range(gy0, gy1 + 1)) AS gy FROM gxs),
+          q0 AS (SELECT gx, gy, gx*16.0 AS rx0, (gx+1)*16.0 AS rx1,
+                   gy*16.0 AS ry0, (gy+1)*16.0 AS ry1,
+                   [{'x': ax, 'y': ay}, {'x': bx, 'y': by},
+                    {'x': cx, 'y': cy}] AS p0
+                 FROM g),
+          q1 AS (SELECT *, ${O.shClip("p0", 'x', isMin = true, "rx0",
+        spark = false)} AS p1 FROM q0),
+          q2 AS (SELECT *, ${O.shClip("p1", 'x', isMin = false, "rx1",
+        spark = false)} AS p2 FROM q1),
+          q3 AS (SELECT *, ${O.shClip("p2", 'y', isMin = true, "ry0",
+        spark = false)} AS p3 FROM q2),
+          q4 AS (SELECT *, ${O.shClip("p3", 'y', isMin = false, "ry1",
+        spark = false)} AS p4 FROM q3),
+          a AS (SELECT gx, gy,
+                  round(${O.shArea("p4", spark = false)}, 6) + 0.0 AS ar
+                FROM q4)
+          SELECT gx, gy,
+            CAST(SUM(CASE WHEN ar > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_tris,
+            round(CAST(SUM(CAST(ar AS DECIMAL(28,6))) AS DOUBLE), 6) + 0.0
+              AS area_sum
+          FROM a GROUP BY 1, 2
+          HAVING CAST(SUM(CASE WHEN ar > 0 THEN 1 ELSE 0 END) AS BIGINT) > 0
+          ORDER BY 1, 2""",
     "q99_leakage_safe_split" ->
       // q62's transitive-closure components + the same representative-hash
       // split thresholds

@@ -389,6 +389,68 @@ object SpatialOps {
       .select("cx", "cy", "n_self", "n_window", "is_hot")
   }
 
+  /** Per-(triangle, cell) EXACT clipped areas — the kernel of the q109
+    * vector→raster transfer. Input rows carry flat 2D corners
+    * (ax, ay, bx, by, cx, cy) plus any passthrough columns; output adds
+    * (gx, gy, ar) where ar = round(area(triangle ∩ cell rect), 6) for
+    * every `cs`-sized grid cell the triangle's bbox spans. The four
+    * Sutherland-Hodgman half-plane clips and the shoelace run as ONE
+    * dialect-abstracted codegen'd expression chain
+    * ([[graft.OracleSql.shClip]]/[[graft.OracleSql.shArea]] with
+    * spark = true) — the DuckDB oracle renders the same template, so the
+    * intersection float math is bit-identical across engines. No UDF, no
+    * shuffle: pure per-row column math after a bbox-bounded explode.
+    */
+  def clipCellAreas(tri2d: DataFrame, cs: Double = 16.0): DataFrame = {
+    val O = graft.OracleSql
+    tri2d
+      .withColumn("gx0",
+        floor(least(col("ax"), col("bx"), col("cx")) / cs).cast("long"))
+      .withColumn("gx1",
+        floor(greatest(col("ax"), col("bx"), col("cx")) / cs).cast("long"))
+      .withColumn("gy0",
+        floor(least(col("ay"), col("by"), col("cy")) / cs).cast("long"))
+      .withColumn("gy1",
+        floor(greatest(col("ay"), col("by"), col("cy")) / cs).cast("long"))
+      .withColumn("gx", explode(sequence(col("gx0"), col("gx1"))))
+      .withColumn("gy", explode(sequence(col("gy0"), col("gy1"))))
+      .withColumn("rx0", col("gx") * cs)
+      .withColumn("rx1", (col("gx") + 1) * cs)
+      .withColumn("ry0", col("gy") * cs)
+      .withColumn("ry1", (col("gy") + 1) * cs)
+      .withColumn("p0", array(
+        struct(col("ax").as("x"), col("ay").as("y")),
+        struct(col("bx").as("x"), col("by").as("y")),
+        struct(col("cx").as("x"), col("cy").as("y"))))
+      .withColumn("p1", expr(O.shClip("p0", 'x', isMin = true, "rx0",
+        spark = true)))
+      .withColumn("p2", expr(O.shClip("p1", 'x', isMin = false, "rx1",
+        spark = true)))
+      .withColumn("p3", expr(O.shClip("p2", 'y', isMin = true, "ry0",
+        spark = true)))
+      .withColumn("p4", expr(O.shClip("p3", 'y', isMin = false, "ry1",
+        spark = true)))
+      .withColumn("ar",
+        round(expr(O.shArea("p4", spark = true)), 6) + lit(0.0))
+      .drop("gx0", "gx1", "gy0", "gy1", "rx0", "rx1", "ry0", "ry1",
+        "p0", "p1", "p2", "p3", "p4")
+  }
+
+  /** Vector→raster area transfer rollup: per grid cell, the number of
+    * triangles contributing positive clipped area and the exact
+    * DECIMAL(28,6) sum of the per-pair rounded areas (order-independent).
+    * Σ over a triangle's cells equals its area — conservation is pinned by
+    * ClipTransferSpec.
+    */
+  def clipTransfer(tri2d: DataFrame, cs: Double = 16.0): DataFrame =
+    clipCellAreas(tri2d, cs)
+      .groupBy("gx", "gy").agg(
+        sum(when(col("ar") > 0, 1L).otherwise(0L)).as("n_tris"),
+        sum(col("ar").cast("decimal(28,6)")).as("dsum"))
+      .where(col("n_tris") > 0)
+      .select(col("gx"), col("gy"), col("n_tris"),
+        (round(col("dsum").cast("double"), 6) + lit(0.0)).as("area_sum"))
+
   /** O-43 corner triangles: 8 unit-edge triangles at the buffered bbox
     * corners (componentseparationmodule.py:13-33, 225-241) — emitted as
     * triangle rows compatible with the OBJ writers.
