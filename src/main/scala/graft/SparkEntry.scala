@@ -823,6 +823,19 @@ object SparkEntry {
           col("tri.c.x").as("cx"), col("tri.c.y").as("cy"))
       SpatialOps.clipTransfer(tri, cs = 16.0).orderBy("gx", "gy")
     }),
+    "q110_skyline" -> ((s, d) => {
+      // distributed 2-D skyline (Pareto frontier): the corpus quality
+      // frontier maximizing (n_chars, distinct tokens). Phase 1 computes
+      // per-partition local skylines with a zero-exchange sorted scan
+      // (exact: every global frontier point survives its partition);
+      // phase 2 re-scans only the bounded candidate union in one task.
+      val f = s.read.parquet(p(d, "documents")).select(col("doc_id"),
+        col("n_chars"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("n_toks"))
+      Skyline.skyline2(s, f, "doc_id", "n_chars", "n_toks")
+        .orderBy("doc_id")
+    }),
     "q99_leakage_safe_split" -> ((s, d) => {
       // leakage-safe train/val/test split: assignment hashes the near-dup
       // COMPONENT representative, not the doc — so near-duplicates can
@@ -2918,6 +2931,17 @@ object SparkEntry {
           FROM a GROUP BY 1, 2
           HAVING CAST(SUM(CASE WHEN ar > 0 THEN 1 ELSE 0 END) AS BIGINT) > 0
           ORDER BY 1, 2""",
+    "q110_skyline" ->
+      // textbook NOT-EXISTS dominance: b dominates a iff ≥ in both dims
+      // and > in one — duplicates of a frontier point all survive
+      """WITH f AS (SELECT doc_id, n_chars,
+             len(list_distinct(string_split(text, ' ')))::BIGINT AS n_toks
+           FROM documents)
+         SELECT a.doc_id, a.n_chars, a.n_toks FROM f a
+         WHERE NOT EXISTS (SELECT 1 FROM f b
+           WHERE b.n_chars >= a.n_chars AND b.n_toks >= a.n_toks
+             AND (b.n_chars > a.n_chars OR b.n_toks > a.n_toks))
+         ORDER BY a.doc_id""",
     "q99_leakage_safe_split" ->
       // q62's transitive-closure components + the same representative-hash
       // split thresholds
