@@ -836,6 +836,48 @@ object SparkEntry {
       Skyline.skyline2(s, f, "doc_id", "n_chars", "n_toks")
         .orderBy("doc_id")
     }),
+    "q111_idw_surface" -> ((s, d) => {
+      // IDW interpolation surface (the geostatistics classic): at every
+      // occupied 16 m cell center, the inverse-distance-weighted mean of
+      // the 3×3-neighborhood samples (value = per-image luma sum,
+      // w = 1/(d²+1)). Each float term is rounded to 9 decimals then
+      // DECIMAL(38,12)-summed, so the weighted sums are order-independent
+      // and bit-identical across engines. One decode pass; contributions
+      // explode slim sample rows 9×; one partial-aggregated rollup.
+      val samp = ImageOps.lumaSamples(s, synthImages(s, d))
+        .withColumn("scx", floor(col("anchor_x") / 16.0).cast("long"))
+        .withColumn("scy", floor(col("anchor_y") / 16.0).cast("long"))
+        .localCheckpoint()
+      val occupied = samp.select(col("scx").as("ox"), col("scy").as("oy"))
+        .distinct()
+      val contrib = samp
+        .withColumn("dx", explode(array((-1 to 1).map(lit(_)): _*)))
+        .withColumn("dy", explode(array((-1 to 1).map(lit(_)): _*)))
+        .select((col("scx") + col("dx")).as("cx"),
+          (col("scy") + col("dy")).as("cy"),
+          col("anchor_x"), col("anchor_y"), col("lum_sum"))
+        .withColumn("mx", (col("cx").cast("double") + 0.5) * 16.0)
+        .withColumn("my", (col("cy").cast("double") + 0.5) * 16.0)
+        .withColumn("d2",
+          (col("anchor_x") - col("mx")) * (col("anchor_x") - col("mx")) +
+          (col("anchor_y") - col("my")) * (col("anchor_y") - col("my")))
+        .withColumn("w", lit(1.0) / (col("d2") + lit(1.0)))
+        .withColumn("wn", round(col("w") * col("lum_sum").cast("double"), 9)
+          .cast("decimal(38,12)"))
+        .withColumn("wd", round(col("w"), 9).cast("decimal(38,12)"))
+      contrib.groupBy("cx", "cy").agg(
+          count(lit(1)).as("n_samples"),
+          sum(col("wn")).as("num"), sum(col("wd")).as("den"))
+        .join(occupied, col("cx") === col("ox") && col("cy") === col("oy"),
+          "left_semi")
+        .select(col("cx"), col("cy"), col("n_samples"),
+          // floor(ratio·1e6) instead of round(ratio, 6): the quotient
+          // double is bit-identical on both engines, but Spark and DuckDB
+          // disagree on decimal-tie rounding ~1/250 rows — floor is exact
+          floor(col("num").cast("double") / col("den").cast("double")
+            * lit(1000000.0)).cast("long").as("idw_micro"))
+        .orderBy("cx", "cy")
+    }),
     "q99_leakage_safe_split" -> ((s, d) => {
       // leakage-safe train/val/test split: assignment hashes the near-dup
       // COMPONENT representative, not the doc — so near-duplicates can
@@ -2942,6 +2984,41 @@ object SparkEntry {
            WHERE b.n_chars >= a.n_chars AND b.n_toks >= a.n_toks
              AND (b.n_chars > a.n_chars OR b.n_toks > a.n_toks))
          ORDER BY a.doc_id""",
+    "q111_idw_surface" ->
+      // luma sums recomputed from the pixels dump; identical weight chain
+      // (1/(d²+1)), identical per-term round(·,9) → DECIMAL(38,12) sums
+      s"""WITH ls AS (SELECT i.image_id, i.anchor_x, i.anchor_y,
+                        CAST(list_reduce(list_transform(range(0, 256), j ->
+                          299*x.px[j*3+1] + 587*x.px[j*3+2]
+                            + 114*x.px[j*3+3]),
+                          (la, lv) -> la + lv) AS BIGINT) AS lum_sum,
+                        CAST(floor(i.anchor_x / 16.0) AS BIGINT) AS scx,
+                        CAST(floor(i.anchor_y / 16.0) AS BIGINT) AS scy
+                      FROM ${O.inp("images")} i
+                      JOIN ${O.inp("pixels")} x USING (image_id)),
+          occ AS (SELECT DISTINCT scx, scy FROM ls),
+          con AS (SELECT ls.scx + dx.dx AS cx, ls.scy + dy.dy AS cy,
+                    anchor_x, anchor_y, lum_sum
+                  FROM ls
+                  CROSS JOIN (SELECT unnest(range(-1,2)) AS dx) dx
+                  CROSS JOIN (SELECT unnest(range(-1,2)) AS dy) dy),
+          t AS (SELECT cx, cy, anchor_x, anchor_y, lum_sum,
+                  (CAST(cx AS DOUBLE) + 0.5) * 16.0 AS mx,
+                  (CAST(cy AS DOUBLE) + 0.5) * 16.0 AS my FROM con),
+          t2 AS (SELECT cx, cy, lum_sum,
+                   (anchor_x - mx) * (anchor_x - mx)
+                     + (anchor_y - my) * (anchor_y - my) AS d2 FROM t),
+          t3 AS (SELECT cx, cy, lum_sum, 1.0 / (d2 + 1.0) AS w FROM t2),
+          agg AS (SELECT cx, cy, COUNT(*)::BIGINT AS n_samples,
+                    SUM(CAST(round(w * CAST(lum_sum AS DOUBLE), 9)
+                      AS DECIMAL(38,12))) AS num,
+                    SUM(CAST(round(w, 9) AS DECIMAL(38,12))) AS den
+                  FROM t3 GROUP BY 1, 2)
+          SELECT a.cx, a.cy, a.n_samples,
+            CAST(floor(CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE)
+              * 1000000.0) AS BIGINT) AS idw_micro
+          FROM agg a JOIN occ o ON o.scx = a.cx AND o.scy = a.cy
+          ORDER BY 1, 2""",
     "q99_leakage_safe_split" ->
       // q62's transitive-closure components + the same representative-hash
       // split thresholds

@@ -539,6 +539,29 @@ object ImageOps {
       maxHamming, longHamming = true, maxBucket = maxBucket)
   }
 
+  /** Per-image sample table for interpolation ops (q111): anchor point +
+    * the raw integer BT.601 luma numerator summed over all pixels — one
+    * typed decode pass where the payload lives, slim rows out.
+    */
+  def lumaSamples(spark: SparkSession,
+                  imagesWithAnchors: DataFrame): DataFrame = {
+    import spark.implicits._
+    imagesWithAnchors
+      .select("image_id", "bytes", "w", "h", "fmt", "anchor_x", "anchor_y")
+      .as[(String, Array[Byte], Int, Int, String, Double, Double)]
+      .mapPartitions(_.map { case (id, bytes, w, h, fmt, ax, ay) =>
+        val px = ImageCodec.decode(bytes, fmt, w, h)
+        var s = 0L
+        var j = 0
+        while (j < w * h) {
+          s += 299L * (px(3 * j) & 0xFF) + 587L * (px(3 * j + 1) & 0xFF) +
+            114L * (px(3 * j + 2) & 0xFF)
+          j += 1
+        }
+        (id, ax, ay, s)
+      }).toDF("image_id", "anchor_x", "anchor_y", "lum_sum")
+  }
+
   /** Zonal statistics — the classic geo×raster op (per-zone pixel stats of
     * a georeferenced tile set): for every zone rectangle, the count and
     * integer BT.601-luma sum of all pixels whose CENTER

@@ -74,6 +74,19 @@ class ZonalStatsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 1L).get._3 === 3L)
   }
 
+  test("lumaSamples: per-image raw luma numerator sums match brute force") {
+    val got = ImageOps.lumaSamples(spark, tiles())
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    for (i <- 0 until 4) {
+      val px = ImageCodec.seededPixels(16, 16, graft.model.Synth.mix64(77L + i))
+      val want = (0 until 256).map { j =>
+        299L * (px(3 * j) & 0xFF) + 587L * (px(3 * j + 1) & 0xFF) +
+          114L * (px(3 * j + 2) & 0xFF)
+      }.sum
+      assert(got("t%02d".format(i)) === want)
+    }
+  }
+
   test("partition invariance") {
     val zones = Seq((0L, 2.0, 30.0, 1.0, 14.0)).toDF(
       "building_ord", "xmin", "xmax", "ymin", "ymax")
