@@ -878,6 +878,51 @@ object SparkEntry {
             * lit(1000000.0)).cast("long").as("idw_micro"))
         .orderBy("cx", "cy")
     }),
+    "q112_psi_drift" -> ((s, d) => {
+      // PSI drift monitor (the corpus-monitoring staple): population
+      // stability index of the n_chars distribution, reference slice
+      // (src0-9) vs current slice (src10-19), 8 fixed 64-char bins with
+      // Laplace smoothing so empty bins stay finite. Per-bin term in
+      // integer nano-units (the q77 micro-nat rule: round(ln·scale, 0) →
+      // BIGINT — transcendental shielded, sums exact). Two aggregate
+      // passes over slim columns; the bin spine is generated so all 8
+      // bins always appear.
+      val docs = s.read.parquet(p(d, "documents"))
+        .select(expr("least(n_chars div 64, 7)").as("bin"),
+          expr("CAST(substring(source, 4, 8) AS INT) < 10").as("is_ref"))
+      val counts = docs.groupBy("bin").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cur_n"))
+      val tot = counts.agg(sum(col("ref_n")), sum(col("cur_n"))).head()
+      val (rt, ct) = (tot.getLong(0), tot.getLong(1))
+      s.range(0, 8).select(col("id").as("bin"))
+        .join(counts, Seq("bin"), "left")
+        .select(col("bin"),
+          coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+          coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+        .withColumn("pr",
+          (col("ref_n") + lit(1L)).cast("double") / lit((rt + 8).toDouble))
+        .withColumn("qc",
+          (col("cur_n") + lit(1L)).cast("double") / lit((ct + 8).toDouble))
+        .withColumn("term_nano",
+          round((col("pr") - col("qc")) * log(col("pr") / col("qc"))
+            * lit(1000000000.0), 0).cast("long"))
+        .select("bin", "ref_n", "cur_n", "term_nano")
+        .orderBy("bin")
+    }),
+    "q113_pair_verify" -> ((s, d) => {
+      // exact verify of the image near-dup candidates (the stage after
+      // hash blocking): per q51 pair, integer sum of absolute channel
+      // differences + exact milli-MAE. Decode once, one codegen'd
+      // zip_with fold per pair — payload crosses exactly the two joins
+      // the metric inherently needs.
+      val imgs = synthImages(s, d)
+      val all = imgs.select("image_id", "bytes", "w", "h", "fmt")
+        .unionByName(ImageOps.perturbedDups(s, imgs))
+      val pairs = ImageOps.dhashNearDups(s, all, maxHamming = 3)
+        .select("img_a", "img_b")
+      ImageOps.pairPixelSad(s, all, pairs).orderBy("img_a", "img_b")
+    }),
     "q99_leakage_safe_split" -> ((s, d) => {
       // leakage-safe train/val/test split: assignment hashes the near-dup
       // COMPONENT representative, not the doc — so near-duplicates can
@@ -3019,6 +3064,71 @@ object SparkEntry {
               * 1000000.0) AS BIGINT) AS idw_micro
           FROM agg a JOIN occ o ON o.scx = a.cx AND o.scy = a.cy
           ORDER BY 1, 2""",
+    "q112_psi_drift" ->
+      // identical binning, Laplace smoothing, and nano-unit term rounding;
+      // totals as scalar subqueries equal the engine's collected literals
+      """WITH d AS (SELECT least(n_chars // 64, 7) AS bin,
+              CAST(substr(source, 4) AS INT) < 10 AS is_ref
+            FROM documents),
+          c AS (SELECT bin,
+                  CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ref_n,
+                  CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                    AS cur_n
+                FROM d GROUP BY 1),
+          t AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS rt,
+                  CAST(SUM(cur_n) AS BIGINT) AS ct FROM c),
+          sp AS (SELECT unnest(range(0, 8)) AS bin),
+          f AS (SELECT sp.bin, COALESCE(c.ref_n, 0) AS ref_n,
+                  COALESCE(c.cur_n, 0) AS cur_n
+                FROM sp LEFT JOIN c USING (bin)),
+          pq AS (SELECT bin, ref_n, cur_n,
+                   CAST(ref_n + 1 AS DOUBLE)
+                     / CAST((SELECT rt FROM t) + 8 AS DOUBLE) AS pr,
+                   CAST(cur_n + 1 AS DOUBLE)
+                     / CAST((SELECT ct FROM t) + 8 AS DOUBLE) AS qc
+                 FROM f)
+          SELECT bin, ref_n, cur_n,
+            CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
+              AS BIGINT) AS term_nano
+          FROM pq ORDER BY bin""",
+    "q113_pair_verify" ->
+      // the q51 pair derivation (dHash + pigeonhole blocking + exact
+      // hamming, replayed in full), then the exact SAD fold over both
+      // pair members' decoded pixel lists
+      s"""WITH dh_im AS (SELECT i.image_id, i.w, i.h, p.px
+                         FROM ${O.inp("images")} i
+                         JOIN ${O.inp("pixels")} p USING (image_id)
+                         UNION ALL
+                         SELECT image_id, w, h, px FROM ${O.inp("dup_pixels")}),
+          $dhashCtes,
+          g AS (SELECT bits, MIN(image_id) AS rep FROM dh_bits GROUP BY bits),
+          gp AS (SELECT g.rep AS img_a, d.image_id AS img_b
+                 FROM dh_bits d JOIN g USING (bits) WHERE d.image_id <> g.rep),
+          ch AS (SELECT rep, bits, ci.ci AS ci,
+                   substr(bits, ci * 16 + 1, 16) AS chunk
+                 FROM g, range(0, 4) AS ci(ci)),
+          cand AS (SELECT DISTINCT a.rep AS img_a, b.rep AS img_b,
+                     a.bits AS ba, b.bits AS bb
+                   FROM ch a JOIN ch b ON a.ci = b.ci AND a.chunk = b.chunk
+                     AND a.rep < b.rep),
+          hm AS (SELECT img_a, img_b,
+                   len(list_filter(range(1, 65),
+                     hb -> substr(ba, hb, 1) <> substr(bb, hb, 1))) AS hamming
+                 FROM cand),
+          pr AS (SELECT img_a, img_b FROM hm WHERE hamming <= 3
+                 UNION ALL SELECT img_a, img_b FROM gp),
+          j AS (SELECT pr.img_a, pr.img_b, a.px AS pa, b.px AS pb
+                FROM pr JOIN dh_im a ON a.image_id = pr.img_a
+                        JOIN dh_im b ON b.image_id = pr.img_b),
+          s2 AS (SELECT img_a, img_b,
+                   CAST(list_reduce(list_transform(range(1, len(pa) + 1),
+                     zi -> abs(pa[zi] - pb[zi])), (za, zv) -> za + zv)
+                     AS BIGINT) AS sad,
+                   len(pa)::BIGINT AS n_px
+                 FROM j)
+          SELECT img_a, img_b, sad, n_px, (sad * 1000) // n_px AS mae_milli
+          FROM s2 ORDER BY img_a, img_b""",
     "q99_leakage_safe_split" ->
       // q62's transitive-closure components + the same representative-hash
       // split thresholds

@@ -539,6 +539,38 @@ object ImageOps {
       maxHamming, longHamming = true, maxBucket = maxBucket)
   }
 
+  /** Exact pixel-difference verification of candidate image pairs (the
+    * "exact verify on candidates" stage after hash blocking, q113): per
+    * pair, the integer sum of absolute channel differences (SAD), the
+    * channel count, and the exact milli-MAE ((sad·1000) div n). Decode
+    * runs once per image (typed pass, eager localCheckpoint — the frame
+    * joins twice); the per-pair fold is one codegen'd zip_with+aggregate,
+    * no per-pixel row explosion. Payload crosses exactly two hash joins —
+    * inherent: the metric needs both images' pixels side by side.
+    */
+  def pairPixelSad(spark: SparkSession, images: DataFrame, pairs: DataFrame,
+                   aCol: String = "img_a", bCol: String = "img_b")
+      : DataFrame = {
+    import spark.implicits._
+    val px = images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions(_.map { case (id, bytes, w, h, fmt) =>
+        (id, ImageCodec.decode(bytes, fmt, w, h).map(b => (b & 0xFF)))
+      }).toDF("image_id", "px")
+      .localCheckpoint()
+    pairs.select(col(aCol), col(bCol))
+      .join(px.select(col("image_id").as(aCol), col("px").as("pa")),
+        Seq(aCol))
+      .join(px.select(col("image_id").as(bCol), col("px").as("pb")),
+        Seq(bCol))
+      .withColumn("sad", expr(
+        "aggregate(zip_with(pa, pb, (zx, zy) -> abs(zx - zy)), " +
+          "CAST(0 AS BIGINT), (za, zv) -> za + zv)"))
+      .withColumn("n_px", size(col("pa")).cast("long"))
+      .withColumn("mae_milli", expr("(sad * 1000) div n_px"))
+      .select(aCol, bCol, "sad", "n_px", "mae_milli")
+  }
+
   /** Per-image sample table for interpolation ops (q111): anchor point +
     * the raw integer BT.601 luma numerator summed over all pixels — one
     * typed decode pass where the payload lives, slim rows out.
