@@ -18,7 +18,11 @@ object OpProbes {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // SPARK_GRAFT_PROBE_ONLY: comma-separated name substrings to run
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Nil)
     def time[A](name: String, n: Long)(f: => A): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
@@ -69,6 +73,60 @@ object OpProbes {
     time("rag_chunks_2m", 2000000L) {
       ops.TextOps.ragChunks(docs, 32, 24)
         .agg(count(lit(1)), max("chunk_hash")).head
+    }
+    // ---- late-round-5 ops ----
+    time("zonal_stats_1m", nImg) {
+      val pts = spark.range(0L, 2000L).select(col("id").as("building_ord"),
+        (col("id") % 45L).cast("double") * 22.0 + 100.0,
+        (col("id") / 45L).cast("double") * 22.0 + 100.0)
+        .toDF("building_ord", "x0", "y0")
+        .select(col("building_ord"), col("x0").as("xmin"),
+          (col("x0") + 12.0).as("xmax"), col("y0").as("ymin"),
+          (col("y0") + 12.0).as("ymax"))
+      ops.ImageOps.zonalStats(spark, imgs, pts)
+        .agg(count(lit(1)), sum("luma_sum")).head
+    }
+    time("hotspots_1m", nImg) {
+      ops.SpatialOps.hotSpots(imgs)
+        .agg(count(lit(1)), sum("n_window")).head
+    }
+    time("idw_samples_1m", nImg) {
+      ops.ImageOps.lumaSamples(spark, imgs)
+        .agg(count(lit(1)), sum("lum_sum")).head
+    }
+    val tris = spark.range(0L, 2000000L, 1L, 64).select(
+      (col("id") % 1000L).cast("double") * 40.0,
+      (col("id") / 1000L).cast("double") * 1.7,
+      lit(0.0), lit(0.0))
+      .toDF("x0", "y0", "z1", "z2")
+      .select((col("x0") + 1.0).as("ax"), (col("y0") + 1.0).as("ay"),
+        (col("x0") + 29.0).as("bx"), (col("y0") + 3.0).as("by"),
+        (col("x0") + 11.0).as("cx"), (col("y0") + 27.0).as("cy"))
+      .localCheckpoint(true)
+    tris.count()
+    time("clip_transfer_2m_tris", 2000000L) {
+      ops.SpatialOps.clipTransfer(tris)
+        .agg(count(lit(1)), sum("n_tris")).head
+    }
+    val sky = spark.range(0L, 20000000L, 1L, 64).select(
+      col("id").as("doc_id"),
+      pmod(col("id") * 2654435761L, lit(1000000L)).as("x"),
+      pmod(col("id") * 1103515245L + 12345L, lit(1000000L)).as("y"))
+      .localCheckpoint(true)
+    sky.count()
+    time("skyline_20m", 20000000L) {
+      ops.Skyline.skyline2(spark, sky, "doc_id", "x", "y")
+        .agg(count(lit(1))).head
+    }
+    val feats = spark.range(0L, 20000000L, 1L, 64).select(
+      (col("id") % 2L).as("y"),
+      (pmod(col("id") * 31L, lit(1000000L)) - 500000L).as("x1"),
+      (pmod(col("id") * 37L, lit(1000000L)) - 500000L).as("x2"))
+      .localCheckpoint(true)
+    feats.count()
+    time("lr_train_8iter_20m", 20000000L * 8) {
+      ops.MlOps.trainHardSigmoidLr(feats, "y", Seq("x1", "x2"),
+        iters = 8, lr = 2L)
     }
     spark.stop()
   }

