@@ -32,6 +32,10 @@ object SparkEntry {
   def nBuildings(sf: Double): Long = math.max(16L, (4000 * sf).toLong)
   def nImages(sf: Double): Long = math.max(256L, (400000 * sf).toLong)
   def nOther(sf: Double): Long = math.max(16L, nBuildings(sf) / 2)
+  // q114 mosaic: side×side 16-px tiles (3 at smoke scale, 6 at the sf0.01
+  // gate, capped 12 — the oracle's transitive-closure CTE is quadratic in
+  // blob size, so gate-scale stays deliberately bounded)
+  def mosaicSide(sf: Double): Int = math.max(3, math.min(12, (sf * 600).toInt))
 
   private def synthSurfaces(s: SparkSession, dir: String): DataFrame =
     Synth.surfaces(s, nBuildings(sfOf(dir))).toDF()
@@ -207,6 +211,16 @@ object SparkEntry {
       (c, code) <- book.zipWithIndex.toSeq
     } yield (si, code, c.toSeq)).toDF("sub_idx", "code", "centroid"),
       "pq_codebooks")
+    // stitched-mosaic tile pixels (world tile coords ride along): q114's
+    // oracle rebuilds the whole-raster pixel graph from this dump
+    w(Synth.mosaicTiles(s, mosaicSide(sfOf(sfDir)))
+      .select(col("tile_x"), col("tile_y"), col("bytes"), col("w"),
+        col("h"), col("fmt"))
+      .as[(Int, Int, Array[Byte], Int, Int, String)]
+      .map { case (tx, ty, bytes, wd, ht, fmt) =>
+        (tx, ty, graft.model.ImageCodec.decode(bytes, fmt, wd, ht)
+          .map(b => b & 0xFF).toSeq)
+      }.toDF("tile_x", "tile_y", "px"), "mosaic_pixels")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -909,6 +923,16 @@ object SparkEntry {
             * lit(1000000000.0), 0).cast("long"))
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
+    }),
+    "q114_raster_cc" -> ((s, d) => {
+      // distributed cross-tile raster connected-component labeling: local
+      // union-find per tile (decode once, typed flatMap) → slim per-blob
+      // stats + boundary-pixel rows only → two equi-joins for cross-tile
+      // merge edges → q62's label-propagation clustering over LABELS →
+      // per-component rollup. The oracle recomputes whole-raster CCL from
+      // the dumped pixels with a transitive-closure CTE.
+      ImageOps.rasterComponents(s, Synth.mosaicTiles(s, mosaicSide(sfOf(d))),
+        threshold = 128).orderBy("component")
     }),
     "q113_pair_verify" -> ((s, d) => {
       // exact verify of the image near-dup candidates (the stage after
@@ -3092,6 +3116,40 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q114_raster_cc" ->
+      // whole-raster pixel CCL from first principles: decoded dump →
+      // integer BT.601 mask → 4-adjacency edges by world ordinal
+      // (wy·2^22 + wx) → transitive-closure CTE (the q62 machinery over
+      // a pixel graph) → per-component rollup
+      s"""WITH RECURSIVE pxl AS (
+            SELECT tile_x*16 + (j.j % 16) AS wx,
+                   tile_y*16 + (j.j // 16) AS wy,
+                   ((299*px[j.j*3+1] + 587*px[j.j*3+2] + 114*px[j.j*3+3])
+                     // 1000) AS lum
+            FROM ${O.inp("mosaic_pixels")}, range(0, 256) AS j(j)),
+          nodes AS (SELECT wy*4194304 + wx AS p, wx, wy, lum FROM pxl
+                    WHERE lum >= 128),
+          e AS (SELECT a.p AS a, b.p AS b FROM nodes a JOIN nodes b
+                  ON b.p = a.p + 1 AND b.wy = a.wy
+                UNION ALL
+                SELECT a.p, b.p FROM nodes a JOIN nodes b
+                  ON b.p = a.p + 4194304),
+          sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+          reach(v, r) AS (
+            SELECT p, p FROM nodes
+            UNION
+            SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.v),
+          comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+          SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_px,
+            CAST(COUNT(DISTINCT (n.wy // 16) * 1024 + (n.wx // 16))
+              AS BIGINT) AS n_tiles,
+            CAST(MIN(n.wx) AS BIGINT) AS min_wx,
+            CAST(MIN(n.wy) AS BIGINT) AS min_wy,
+            CAST(MAX(n.wx) AS BIGINT) AS max_wx,
+            CAST(MAX(n.wy) AS BIGINT) AS max_wy,
+            CAST(SUM(n.lum) AS BIGINT) AS lum_sum
+          FROM comp c JOIN nodes n ON n.p = c.v
+          GROUP BY c.component ORDER BY c.component""",
     "q113_pair_verify" ->
       // the q51 pair derivation (dHash + pigeonhole blocking + exact
       // hamming, replayed in full), then the exact SAD fold over both

@@ -246,6 +246,44 @@ object Synth {
     images.withColumn("anchor_x", ax).withColumn("anchor_y", ay)
   }
 
+  /** Tile mosaic fixture for distributed raster connected-component
+    * labeling (q114): `side`×`side` tiles of 16×16 RGB pixels cut from ONE
+    * deterministic virtual raster, so foreground blobs are coherent ACROSS
+    * tile boundaries — the case per-tile labeling alone cannot solve.
+    * Pixel (wx, wy) in world coordinates: a 4×4 super-cell site mask
+    * (35% density — below the 4-adjacency site-percolation threshold, so
+    * blobs stay bounded and the oracle's transitive-closure CTE stays
+    * small) picks bright (~190 luma) vs dark (~60) base, with per-pixel
+    * channel jitter that keeps every pixel strictly on its side of the
+    * 128 threshold while exercising the BT.601 luma math. ~10% of tiles
+    * PNG-encoded, rest raw (the q57 container-mix discipline).
+    */
+  def mosaicTiles(spark: SparkSession, side: Int): DataFrame = {
+    import spark.implicits._
+    val parts = math.max(1, math.min(16, side * side / 4))
+    spark.range(0L, side.toLong * side, 1L, parts).map { id =>
+      val tx = (id % side).toInt; val ty = (id / side).toInt
+      val w = 16; val h = 16
+      val px = new Array[Byte](w * h * 3)
+      var j = 0
+      while (j < w * h) {
+        val wx = tx * w + j % w; val wy = ty * h + j / w
+        val on = java.lang.Long.remainderUnsigned(
+          mix64(wy.toLong / 4 * 1000003L + wx / 4), 100L) < 35L
+        val base = if (on) 190 else 60
+        px(3 * j) = (base + wx % 7).toByte
+        px(3 * j + 1) = (base + wy % 5).toByte
+        px(3 * j + 2) = (base + (wx + wy) % 3).toByte
+        j += 1
+      }
+      val isPng = java.lang.Long.remainderUnsigned(mix64(id + 77L), 10L) == 0L
+      val bytes = if (isPng) ImageCodec.encodePng(px, w, h)
+                  else ImageCodec.encodeRaw(px)
+      (f"mos_${tx}%03d_${ty}%03d", bytes, w, h, if (isPng) "png" else "raw",
+        tx, ty)
+    }.toDF("image_id", "bytes", "w", "h", "fmt", "tile_x", "tile_y")
+  }
+
   /** Clustered embedding corpus — mixture of `nClusters` directions with
     * per-point noise `eps` (deterministic, splitmix64-seeded). Real
     * embedding corpora are CLUSTERED, not uniform: the uniform synth table

@@ -699,4 +699,140 @@ object ImageOps {
         sum(col("lsum")).as("luma_sum"))
       .withColumn("mean_luma", expr("luma_sum div n_px"))
   }
+
+  /** Distributed raster connected-component labeling (blob detection)
+    * across tile boundaries — the geo×image op a mosaic pipeline needs once
+    * rasters outgrow one task: label foreground pixels (integer BT.601
+    * luma ≥ `threshold`, 4-adjacency) with the component they belong to in
+    * the WHOLE stitched raster, not just their own tile.
+    *
+    * Three stages, none of which ever shuffles pixel payloads:
+    *  1. per-tile pass (typed mapPartitions, decode ONCE): local union-find
+    *     CCL; every local component collapses to one slim stats row
+    *     (label = min world-pixel ordinal `wy·2^22 + wx`, count/bbox/luma
+    *     sums) plus its BOUNDARY pixels only (≤ 4·16 of 256 per tile) as
+    *     (wx, wy, label) rows — interior pixels never leave the task.
+    *  2. cross-tile merge edges: two slim equi-joins of the boundary table
+    *     with itself on the neighbor ordinal (p+1 horizontal, p+2^22
+    *     vertical) — exactly the pairs of masked pixels that touch across
+    *     a tile edge.
+    *  3. [[graft.ops.Clustering.connectedComponents]] over (local labels,
+    *     merge edges) — O(log diameter) rounds of label propagation on
+    *     label ids only — then one rollup of the stats rows by component.
+    *
+    * Component ids are the min world-pixel ordinal of the blob, so results
+    * are partition-invariant and the DuckDB oracle recomputes them from the
+    * dumped pixels with a transitive-closure CTE (the q62 machinery over a
+    * pixel-adjacency graph).
+    *
+    * 100 TB notes: a continental mosaic has billions of pixels but the
+    * relational stages see only O(components) + O(tile perimeter) rows;
+    * the label-propagation rounds are bounded by the log of the blob
+    * diameter IN TILES (within-tile paths are pre-collapsed), not pixels.
+    */
+  def rasterComponents(spark: SparkSession, tiles: DataFrame,
+                       threshold: Int = 128): DataFrame = {
+    import spark.implicits._
+    val Shift = 22 // wy << 22 | wx — world sides < 4M pixels
+    val tagged = tiles
+      .select("image_id", "bytes", "w", "h", "fmt", "tile_x", "tile_y")
+      .as[(String, Array[Byte], Int, Int, String, Int, Int)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes, w, h, fmt, tx, ty) =>
+          val px = ImageCodec.decode(bytes, fmt, w, h)
+          val n = w * h
+          val lum = new Array[Int](n)
+          val mask = new Array[Boolean](n)
+          var j = 0
+          while (j < n) {
+            val l = (299 * (px(3 * j) & 0xFF) + 587 * (px(3 * j + 1) & 0xFF) +
+              114 * (px(3 * j + 2) & 0xFF)) / 1000
+            lum(j) = l; mask(j) = l >= threshold; j += 1
+          }
+          // union-find; union points the LARGER root at the smaller, so
+          // every root is the min local index of its component — and local
+          // row-major order equals world-ordinal order within a tile
+          val parent = Array.tabulate(n)(identity)
+          def find(a: Int): Int = {
+            var x = a
+            while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+            x
+          }
+          j = 0
+          while (j < n) {
+            if (mask(j)) {
+              val x = j % w
+              if (x + 1 < w && mask(j + 1)) {
+                val ra = find(j); val rb = find(j + 1)
+                if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+              }
+              if (j + w < n && mask(j + w)) {
+                val ra = find(j); val rb = find(j + w)
+                if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+              }
+            }
+            j += 1
+          }
+          // one pass: fold stats per root, emit boundary pixels
+          val stats = scala.collection.mutable.LongMap.empty[Array[Long]]
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, String, Long, Long, Long, Long, Long, Long, Long)]
+          j = 0
+          while (j < n) {
+            if (mask(j)) {
+              val r = find(j)
+              val x = j % w; val y = j / w
+              val wx = tx.toLong * w + x; val wy = ty.toLong * h + y
+              val lbl = ((ty.toLong * h + r / w) << Shift) | (tx.toLong * w + r % w)
+              val a = stats.getOrElseUpdate(lbl,
+                Array(0L, Long.MaxValue, Long.MaxValue, Long.MinValue,
+                  Long.MinValue, 0L))
+              a(0) += 1
+              if (wx < a(1)) a(1) = wx
+              if (wy < a(2)) a(2) = wy
+              if (wx > a(3)) a(3) = wx
+              if (wy > a(4)) a(4) = wy
+              a(5) += lum(j)
+              if (x == 0 || x == w - 1 || y == 0 || y == h - 1)
+                out += ((1, id, lbl, (wy << Shift) | wx, 0L, 0L, 0L, 0L, 0L))
+            }
+            j += 1
+          }
+          stats.foreach { case (lbl, a) =>
+            out += ((0, id, lbl, a(0), a(1), a(2), a(3), a(4), a(5)))
+          }
+          out.iterator
+        }
+      }
+      .toDF("kind", "image_id", "label", "a", "b", "c", "d", "e", "f")
+      // decode once: stats and boundary rows both read this materialized
+      // slim frame (≤ 64 boundary + components rows per 256-px tile)
+      .localCheckpoint()
+    val stats = tagged.where(col("kind") === 0).select(col("image_id"),
+      col("label"), col("a").as("n_px"), col("b").as("min_wx"),
+      col("c").as("min_wy"), col("d").as("max_wx"), col("e").as("max_wy"),
+      col("f").as("lum_sum"))
+    val bnd = tagged.where(col("kind") === 1)
+      .select(col("label"), col("a").as("p"))
+    // neighbor ordinals: +1 = (wx+1, wy) — wx < 2^22-1 so no wrap;
+    // +2^22 = (wx, wy+1). Two slim equi-joins, then the symmetric closure
+    // happens inside connectedComponents.
+    val e1 = bnd.select((col("p") + 1L).as("pn"), col("label").as("la"))
+      .join(bnd.select(col("p").as("pn"), col("label").as("lb")), Seq("pn"))
+    val e2 = bnd.select((col("p") + (1L << Shift)).as("pn"),
+        col("label").as("la"))
+      .join(bnd.select(col("p").as("pn"), col("label").as("lb")), Seq("pn"))
+    val edges = e1.unionByName(e2).where(col("la") =!= col("lb"))
+      .select("la", "lb").distinct()
+    val comp = Clustering.connectedComponents(
+      stats.select(col("label")), edges, idCol = "label",
+      aCol = "la", bCol = "lb")
+    stats.join(comp, Seq("label"))
+      .groupBy(col("component"))
+      .agg(sum(col("n_px")).as("n_px"),
+        countDistinct(col("image_id")).as("n_tiles"),
+        min(col("min_wx")).as("min_wx"), min(col("min_wy")).as("min_wy"),
+        max(col("max_wx")).as("max_wx"), max(col("max_wy")).as("max_wy"),
+        sum(col("lum_sum")).as("lum_sum"))
+  }
 }
