@@ -924,6 +924,17 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q115_hist_equalize" -> ((s, d) => {
+      // per-image histogram equalization remap table: integer BT.601 luma
+      // histogram → CDF → floor remap, all inside the single decode pass
+      // (zero shuffle; ≤ 256 slim rows per image at any image size). Gate
+      // runs a deterministic 1-in-40 image slice to keep the compare
+      // light; the oracle replays the math with SQL windows (ROWS frame,
+      // exact integer floor division) over the dumped pixels.
+      ImageOps.histogramEqualize(s, synthImages(s, d)
+          .where(substring(col("image_id"), 4, 12).cast("long") % 40 === 0))
+        .orderBy("image_id", "lum")
+    }),
     "q114_raster_cc" -> ((s, d) => {
       // distributed cross-tile raster connected-component labeling: local
       // union-find per tile (decode once, typed flatMap) → slim per-blob
@@ -3116,6 +3127,30 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q115_hist_equalize" ->
+      // histogram → ROWS-frame CDF → first-bin cdf_min → exact integer
+      // floor remap, per image, over the decoded pixel dump
+      s"""WITH l AS (
+            SELECT image_id,
+              ((299*px[j.j*3+1] + 587*px[j.j*3+2] + 114*px[j.j*3+3])
+                // 1000) AS lum
+            FROM ${O.inp("pixels")}, range(0, 256) AS j(j)
+            WHERE CAST(SUBSTR(image_id, 4) AS BIGINT) % 40 = 0),
+          h AS (SELECT image_id, lum, CAST(COUNT(*) AS BIGINT) AS n
+                FROM l GROUP BY 1, 2),
+          c AS (SELECT image_id, lum, n,
+                  SUM(n) OVER (PARTITION BY image_id ORDER BY lum
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf,
+                  SUM(n) OVER (PARTITION BY image_id) AS npx,
+                  FIRST_VALUE(n) OVER (PARTITION BY image_id ORDER BY lum)
+                    AS cdfmin
+                FROM h)
+          SELECT image_id, CAST(lum AS BIGINT) AS lum, n,
+            CAST(cdf AS BIGINT) AS cdf,
+            CAST(CASE WHEN npx > cdfmin
+                 THEN (cdf - cdfmin) * 255 // (npx - cdfmin)
+                 ELSE 0 END AS BIGINT) AS eq
+          FROM c ORDER BY image_id, lum""",
     "q114_raster_cc" ->
       // whole-raster pixel CCL from first principles: decoded dump →
       // integer BT.601 mask → 4-adjacency edges by world ordinal

@@ -700,6 +700,60 @@ object ImageOps {
       .withColumn("mean_luma", expr("luma_sum div n_px"))
   }
 
+  /** Per-image histogram equalization (the contrast-normalization op of an
+    * image-preprocessing pipeline): the standard CDF remap of integer
+    * BT.601 luma,
+    *     eq(l) = (cdf(l) − cdf_min) · 255 ∕ (n_px − cdf_min)   (floor),
+    * with cdf_min = count of the lowest occupied bin; a constant image
+    * (n_px = cdf_min) maps to 0. Emits the per-image REMAP TABLE — one row
+    * per occupied luma bin: (image_id, lum, n, cdf, eq).
+    *
+    * Zero shuffle: histogram, CDF, and remap are all per-image local math
+    * and run inside the single decode pass (the qualityStats pattern) — at
+    * most 256 slim rows leave per image regardless of image size, and the
+    * whole-stage stays embarrassingly parallel at 100 TB. The oracle
+    * replays the math with SQL windows over the dumped pixels (ROWS frame
+    * + exact integer floor division).
+    */
+  def histogramEqualize(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions { rows =>
+        val hist = new Array[Long](256)
+        rows.flatMap { case (id, bytes, w, h, fmt) =>
+          java.util.Arrays.fill(hist, 0L)
+          val px = ImageCodec.decode(bytes, fmt, w, h)
+          val n = w * h
+          var j = 0
+          while (j < n) {
+            hist((299 * (px(3 * j) & 0xFF) + 587 * (px(3 * j + 1) & 0xFF) +
+              114 * (px(3 * j + 2) & 0xFF)) / 1000) += 1
+            j += 1
+          }
+          var cdfMin = 0L
+          var l = 0
+          while (l < 256 && hist(l) == 0) l += 1
+          if (l < 256) cdfMin = hist(l)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long)]
+          var cdf = 0L
+          l = 0
+          while (l < 256) {
+            if (hist(l) > 0) {
+              cdf += hist(l)
+              val eq = if (n > cdfMin) (cdf - cdfMin) * 255L / (n - cdfMin)
+                       else 0L
+              out += ((id, l.toLong, hist(l), cdf, eq))
+            }
+            l += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("image_id", "lum", "n", "cdf", "eq")
+  }
+
   /** Distributed raster connected-component labeling (blob detection)
     * across tile boundaries — the geo×image op a mosaic pipeline needs once
     * rasters outgrow one task: label foreground pixels (integer BT.601
