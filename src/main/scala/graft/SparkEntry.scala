@@ -924,6 +924,17 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q116_dsir_resample" -> ((s, d) => {
+      // DSIR-style importance resampling (public method, Xie et al. 2023):
+      // hashed-bigram log-likelihood ratio of reference (source 'src0') vs
+      // raw corpus, nano-nat integer terms (q77/q112 discipline), keep =
+      // more reference-like than raw. Weight table ≤ 1024 rows, broadcast;
+      // the oracle replays bucket counts, smoothing, ln, and the per-doc
+      // sums in SQL.
+      TextOps.dsirScores(s.read.parquet(p(d, "documents")),
+        isRef = col("source") === "src0", buckets = 1024)
+        .orderBy("doc_id")
+    }),
     "q115_hist_equalize" -> ((s, d) => {
       // per-image histogram equalization remap table: integer BT.601 luma
       // histogram → CDF → floor remap, all inside the single decode pass
@@ -3127,6 +3138,35 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q116_dsir_resample" ->
+      // full DSIR replay: bigram positions → 60-bit md5 buckets →
+      // smoothed ln ratio in nano-nats → per-doc integer sums
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+                     FROM documents),
+          g AS (SELECT doc_id, source,
+                  unnest(CASE WHEN len(tk) >= 2 THEN
+                    list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1]) ELSE [] END) AS gram
+                FROM t),
+          gb AS (SELECT doc_id, source, ${O.md5n("gram")} % 1024 AS b
+                 FROM g),
+          c AS (SELECT b,
+                  SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ref_n,
+                  COUNT(*) AS raw_n FROM gb GROUP BY b),
+          tot AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS rt,
+                         CAST(SUM(raw_n) AS BIGINT) AS qt FROM c),
+          w AS (SELECT b, CAST(round(
+                  (ln((ref_n + 1.0) / ((SELECT rt FROM tot) + 1024.0))
+                   - ln((raw_n + 1.0) / ((SELECT qt FROM tot) + 1024.0)))
+                  * 1000000000.0, 0) AS BIGINT) AS w_nano FROM c),
+          s AS (SELECT gb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                  CAST(SUM(w.w_nano) AS BIGINT) AS score_nano
+                FROM gb JOIN w USING (b) GROUP BY 1)
+          SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+            COALESCE(s.score_nano, 0) AS score_nano,
+            COALESCE(s.score_nano, 0) > 0 AS keep
+          FROM documents d LEFT JOIN s USING (doc_id)
+          ORDER BY d.doc_id""",
     "q115_hist_equalize" ->
       // histogram → ROWS-frame CDF → first-bin cdf_min → exact integer
       // floor remap, per image, over the decoded pixel dump

@@ -674,4 +674,52 @@ object TextOps {
       .select(col(strataCol), col("doc_id"), col(weightCol).as("weight"),
         col("score"))
   }
+
+  /** DSIR-style importance resampling (data selection for language-model
+    * pretraining, Xie et al. 2023, public method): score every document by
+    * how much more likely its hashed-bigram features are under a REFERENCE
+    * corpus than under the raw corpus,
+    *     score = Σ_positions [ ln p̂_ref(bucket) − ln p̂_raw(bucket) ],
+    * with add-one-smoothed bucket probabilities over `buckets` hashed
+    * bigram buckets; keep = score > 0 (more reference-like than raw).
+    * Per-bucket log-ratios are rounded to integer NANO-nats (the q77/q112
+    * discipline: the only transcendental is shielded behind a fixed-point
+    * rounding, so per-doc sums of longs are order-independent and
+    * engine-portable).
+    *
+    * 100 TB plan: one explode → hashed-bucket aggregate builds the
+    * (≤ `buckets`)-row weight table (map-side combined); totals are two
+    * O(1) scalars; scoring is the same explode joined against the
+    * BROADCAST weight table and summed per doc — no shuffle ever carries
+    * more than (doc_id, bucket) pairs, and the weight table is bounded by
+    * construction.
+    */
+  def dsirScores(documents: DataFrame, isRef: Column,
+                 buckets: Int = 1024): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), isRef.as("is_ref"),
+        explode(shingles(col("text"), 2)).as("gram"))
+      .withColumn("b", pmod(
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+      .select("doc_id", "is_ref", "b")
+    val counts = grams.groupBy("b").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+      count(lit(1)).as("raw_n"))
+    val tot = counts.agg(sum("ref_n"), sum("raw_n")).head()
+    val rt = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val qt = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    val w = counts.withColumn("w_nano",
+      round((log((col("ref_n") + lit(1.0)) / lit((rt + buckets).toDouble))
+        - log((col("raw_n") + lit(1.0)) / lit((qt + buckets).toDouble)))
+        * lit(1000000000.0), 0).cast("long"))
+    val scored = grams.join(broadcast(w.select("b", "w_nano")), Seq("b"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+        sum("w_nano").as("score_nano"))
+    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score_nano"), lit(0L)).as("score_nano"))
+      .withColumn("keep", col("score_nano") > 0L)
+  }
 }
