@@ -924,6 +924,22 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q117_geohash" -> ((s, d) => {
+      // geohash encode (public standard) as pure column bit math over the
+      // image anchors (local CRS meters → degrees by a fixed /1000 map),
+      // rolled up by 5-char prefix — the locality-partitioning surface
+      // real geo pipelines bucket and prefix-filter by. Validated against
+      // the classic bisection algorithm (GeohashSpec); the oracle replays
+      // every shift/and/or in SQL.
+      synthImages(s, d)
+        .withColumn("gh", SpatialOps.geohashEncode(
+          col("anchor_x") / lit(1000.0), col("anchor_y") / lit(1000.0), 8))
+        .groupBy(substring(col("gh"), 1, 5).as("gh5"))
+        .agg(count(lit(1)).as("n_images"),
+          min("anchor_x").as("min_x"), max("anchor_x").as("max_x"),
+          min("anchor_y").as("min_y"), max("anchor_y").as("max_y"))
+        .orderBy("gh5")
+    }),
     "q116_dsir_resample" -> ((s, d) => {
       // DSIR-style importance resampling (public method, Xie et al. 2023):
       // hashed-bigram log-likelihood ratio of reference (source 'src0') vs
@@ -3138,6 +3154,31 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q117_geohash" ->
+      // bit-exact geohash replay: quantize → interleave (lon first) →
+      // base32 via substr — every shift mirrored from the Spark column tree
+      s"""WITH a AS (SELECT image_id, anchor_x, anchor_y,
+            LEAST(CAST(FLOOR((anchor_x / 1000.0 + 180.0) / 360.0
+              * 1048576.0) AS BIGINT), 1048575) AS xn,
+            LEAST(CAST(FLOOR((anchor_y / 1000.0 + 90.0) / 180.0
+              * 1048576.0) AS BIGINT), 1048575) AS yn
+          FROM ${O.inp("images")}),
+          b AS (SELECT image_id, anchor_x, anchor_y, ${
+            (0 until 20).map(k =>
+              s"(((xn >> ${19 - k}) & 1) << ${39 - 2 * k}) | " +
+              s"(((yn >> ${19 - k}) & 1) << ${38 - 2 * k})").mkString(" | ")
+          } AS inter FROM a),
+          g AS (SELECT image_id, anchor_x, anchor_y, ${
+            (0 until 8).map(i =>
+              "substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+              s"CAST(((inter >> ${35 - 5 * i}) & 31) + 1 AS INT), 1)")
+              .mkString(" || ")
+          } AS gh FROM b)
+          SELECT substr(gh, 1, 5) AS gh5, CAST(COUNT(*) AS BIGINT)
+              AS n_images,
+            MIN(anchor_x) AS min_x, MAX(anchor_x) AS max_x,
+            MIN(anchor_y) AS min_y, MAX(anchor_y) AS max_y
+          FROM g GROUP BY 1 ORDER BY 1""",
     "q116_dsir_resample" ->
       // full DSIR replay: bigram positions → 60-bit md5 buckets →
       // smoothed ln ratio in nano-nats → per-doc integer sums

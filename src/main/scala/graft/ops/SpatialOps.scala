@@ -498,4 +498,43 @@ object SpatialOps {
         .select(col("building_id"), lit("pooled").as("surface_id"),
           posexplode(col("tris")).as(Seq("tri_idx", "tri")))
   }
+
+  /** Geohash base32 encoding (public standard: Niemeyer 2008) as PURE
+    * column math — bit-interleaved lon/lat quantization, longitude first,
+    * then 5-bit groups through the geohash alphabet. `chars` ∈ [1, 8]
+    * (8 chars = 40 bits = 20 per axis). Everything is shifts/ands/ors over
+    * codegen'd built-ins (the q84 spread16 discipline) — no UDF — and the
+    * oracle replays every bit in SQL.
+    *
+    * Geohash vs the engine's Morton cells: same space-filling idea, but
+    * geohash's STRING form is the interop surface real pipelines partition
+    * and prefix-filter by — a shared prefix of k chars bounds both axes,
+    * so prefix rollups are locality rollups.
+    */
+  def geohashEncode(lon: Column, lat: Column, chars: Int): Column = {
+    require(chars >= 1 && chars <= 8, s"chars must be in [1, 8], got $chars")
+    val xn = floor((lon + lit(180.0)) / lit(360.0) * lit(1048576.0))
+      .cast("long")
+    val yn = floor((lat + lit(90.0)) / lit(180.0) * lit(1048576.0))
+      .cast("long")
+    // clamp the closed upper edge (lon = 180 / lat = 90) into the last cell
+    val xc = least(xn, lit((1L << 20) - 1))
+    val yc = least(yn, lit((1L << 20) - 1))
+    // bit k of the 40-bit value (MSB first): even positions take lon bits
+    // 19..0, odd positions lat bits 19..0
+    val inter = (0 until 20).foldLeft(lit(0L)) { (acc, k) =>
+      acc
+        .bitwiseOR(shiftleft(
+          shiftright(xc, 19 - k).bitwiseAND(lit(1L)), 39 - 2 * k))
+        .bitwiseOR(shiftleft(
+          shiftright(yc, 19 - k).bitwiseAND(lit(1L)), 38 - 2 * k))
+    }
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val arr = array(alphabet.map(c => lit(c.toString)): _*)
+    concat((0 until chars).map { i =>
+      element_at(arr,
+        (shiftright(inter, 35 - 5 * i).bitwiseAND(lit(31L)) + lit(1L))
+          .cast("int"))
+    }: _*)
+  }
 }
