@@ -924,6 +924,17 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q118_phash" -> ((s, d) => {
+      // DCT perceptual hash: quantized-integer 2D DCT-II (1e6 cosine
+      // table — exact int64 math end to end), 63 AC coefficients, median
+      // threshold. Gate runs the q115 1-in-40 slice; the oracle replays
+      // table, DCT sums, median, and bit packing in SQL. Near-dup
+      // retrieval over the signature reuses the q51 hamming machinery
+      // (PhashSpec pins planted-dup recall).
+      ImageOps.phash(s, synthImages(s, d)
+          .where(substring(col("image_id"), 4, 12).cast("long") % 40 === 0))
+        .orderBy("image_id")
+    }),
     "q117_geohash" -> ((s, d) => {
       // geohash encode (public standard) as pure column bit math over the
       // image anchors (local CRS meters → degrees by a fixed /1000 map),
@@ -3154,6 +3165,37 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q118_phash" ->
+      // full pHash replay: the same 1e6-rounded cosine table (every entry
+      // ≥ 0.03 from a rounding boundary — libm-portable), integer DCT
+      // sums, 32nd-smallest median, bit packing
+      s"""WITH ct AS (SELECT x.x AS x, u.u AS u,
+            CAST(round(cos(pi() * (2*x.x + 1) * u.u / 32) * 1000000, 0)
+              AS BIGINT) AS c
+          FROM range(0,16) x(x), range(0,8) u(u)),
+          l AS (SELECT image_id, (j.j % 16) AS x, (j.j // 16) AS y,
+                  ((299*px[j.j*3+1] + 587*px[j.j*3+2] + 114*px[j.j*3+3])
+                    // 1000) AS lum
+                FROM ${O.inp("pixels")}, range(0,256) AS j(j)
+                WHERE CAST(SUBSTR(image_id, 4) AS BIGINT) % 40 = 0),
+          d AS (SELECT l.image_id, cu.u AS u, cv.u AS v,
+                  SUM(l.lum * cu.c * cv.c) AS coef
+                FROM l JOIN ct cu ON cu.x = l.x JOIN ct cv ON cv.x = l.y
+                GROUP BY 1, 2, 3),
+          ac AS (SELECT image_id, u, v, coef FROM d
+                 WHERE NOT (u = 0 AND v = 0)),
+          md AS (SELECT image_id, coef AS med FROM (
+                   SELECT image_id, coef, ROW_NUMBER() OVER (
+                     PARTITION BY image_id ORDER BY coef, u, v) AS rn
+                   FROM ac) WHERE rn = 32)
+          SELECT ac.image_id,
+            CAST(SUM(CASE WHEN ac.coef > md.med
+              THEN (1::BIGINT << (ac.v*8 + ac.u - 1)) ELSE 0 END) AS BIGINT)
+              AS phash,
+            CAST(SUM(CASE WHEN ac.coef > md.med THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_above
+          FROM ac JOIN md USING (image_id) GROUP BY 1
+          ORDER BY ac.image_id""",
     "q117_geohash" ->
       // bit-exact geohash replay: quantize → interleave (lon first) →
       // base32 via substr — every shift mirrored from the Spark column tree

@@ -754,6 +754,92 @@ object ImageOps {
       .toDF("image_id", "lum", "n", "cdf", "eq")
   }
 
+  /** 1e6-quantized DCT-II cosine table (16 spatial positions × 8
+    * frequencies): the quantization makes the whole pHash pipeline exact
+    * int64 math — order-independent, partition-invariant, and bit-equal to
+    * the oracle's `round(cos(pi()*(2x+1)*u/32)*1e6)` (every entry sits
+    * ≥ 0.03 from a rounding boundary, verified at design time, so a last-
+    * ulp cos difference between libms can never flip a table entry).
+    */
+  private lazy val DctCos: Array[Array[Long]] = Array.tabulate(16, 8) {
+    (x, u) => Math.round(Math.cos(Math.PI * (2 * x + 1) * u / 32) * 1e6)
+  }
+
+  /** DCT perceptual hash (pHash, public method): integer BT.601 luma →
+    * quantized-integer 2D DCT-II → the 63 low-frequency AC coefficients
+    * (8×8 block minus DC) → median threshold → 63-bit signature. Unlike
+    * dHash (gradient signs, q51), pHash captures the global low-frequency
+    * structure, so it survives brightness jitter and small local edits.
+    * Per-image local math inside the single decode pass; slim
+    * (image_id, phash, n_above) rows continue. Signatures drop into the
+    * existing hamming machinery ([[dhashNearDups]]'s HammingBlocking) for
+    * near-dup retrieval.
+    *
+    * Direct (non-separable) 16→8 DCT costs 16k multiplies per image —
+    * fine for thumbnails; a separable row/column pass halves the exponent
+    * with the same fixed-point discipline if inputs grow.
+    */
+  def phash(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions { rows =>
+        val lum = new Array[Long](256)
+        val coefs = new Array[Long](64)
+        val sorted = new Array[Long](63)
+        rows.map { case (id, bytes, w, h, fmt) =>
+          require(w == 16 && h == 16,
+            s"phash expects 16x16 thumbnails (got ${w}x$h) — resize first")
+          val px = ImageCodec.decode(bytes, fmt, w, h)
+          var j = 0
+          while (j < 256) {
+            lum(j) = (299 * (px(3 * j) & 0xFF) + 587 * (px(3 * j + 1) & 0xFF) +
+              114 * (px(3 * j + 2) & 0xFF)) / 1000
+            j += 1
+          }
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              var s = 0L
+              j = 0
+              while (j < 256) {
+                s += lum(j) * DctCos(j % 16)(u) * DctCos(j / 16)(v)
+                j += 1
+              }
+              coefs(v * 8 + u) = s
+              u += 1
+            }
+            v += 1
+          }
+          System.arraycopy(coefs, 1, sorted, 0, 63)
+          java.util.Arrays.sort(sorted)
+          val med = sorted(31)
+          var hash = 0L
+          var nAbove = 0L
+          var i = 1
+          while (i < 64) {
+            if (coefs(i) > med) { hash |= 1L << (i - 1); nAbove += 1 }
+            i += 1
+          }
+          (id, hash, nAbove)
+        }
+      }
+      .toDF("image_id", "phash", "n_above")
+  }
+
+  /** Near-duplicate image pairs by pHash hamming distance — the dHash
+    * pipeline (q51) with the DCT signature swapped in; same hot-bucket-
+    * hardened pigeonhole blocking.
+    */
+  def phashNearDups(spark: SparkSession, images: DataFrame,
+                    maxHamming: Int = 6, maxBucket: Int = -1): DataFrame = {
+    val sigs = phash(spark, images).select("image_id", "phash")
+      .localCheckpoint()
+    HammingBlocking.nearDupPairs(sigs, "image_id", "phash", "img_a", "img_b",
+      maxHamming, longHamming = true, maxBucket = maxBucket)
+  }
+
   /** Distributed raster connected-component labeling (blob detection)
     * across tile boundaries — the geo×image op a mosaic pipeline needs once
     * rasters outgrow one task: label foreground pixels (integer BT.601
