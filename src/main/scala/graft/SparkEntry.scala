@@ -924,6 +924,21 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q119_haversine" -> ((s, d) => {
+      // great-circle radius join (geodesic twin of the planar joins):
+      // 3×3 lon/lat-grid blocking + exact haversine refine, distances as
+      // integer meters (fixed-point shield over asin/sin/cos), per-point
+      // neighbor rollup. The oracle recomputes from an O(n²) brute force —
+      // INDEPENDENT of the blocking, so a dropped candidate cell would
+      // fail the gate, not just a wrong refine.
+      SpatialOps.haversineNeighbors(
+        synthImages(s, d)
+          .where(substring(col("image_id"), 4, 12).cast("long") % 10 === 0)
+          .select(col("image_id"), (col("anchor_x") / lit(1000.0)).as("lon"),
+            (col("anchor_y") / lit(1000.0)).as("lat")),
+        radiusM = 500.0, gridDeg = 0.006)
+        .orderBy("image_id")
+    }),
     "q118_phash" -> ((s, d) => {
       // DCT perceptual hash: quantized-integer 2D DCT-II (1e6 cosine
       // table — exact int64 math end to end), 63 AC coefficients, median
@@ -3165,6 +3180,26 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q119_haversine" ->
+      // blocking-independent brute force: every ordered pair through the
+      // mirrored haversine expression tree, meters-rounded, same rollup
+      s"""WITH p AS (SELECT image_id, anchor_x / 1000.0 AS lon,
+                       anchor_y / 1000.0 AS lat
+                     FROM ${O.inp("images")}
+                     WHERE CAST(SUBSTR(image_id, 4) AS BIGINT) % 10 = 0),
+          d AS (SELECT a.image_id AS ia,
+                  CAST(round(2.0 * 6371000.0 * asin(sqrt(
+                    sin((radians(b.lat) - radians(a.lat)) / 2)
+                      * sin((radians(b.lat) - radians(a.lat)) / 2)
+                    + cos(radians(a.lat)) * cos(radians(b.lat))
+                      * sin((radians(b.lon) - radians(a.lon)) / 2)
+                      * sin((radians(b.lon) - radians(a.lon)) / 2))), 0)
+                    AS BIGINT) AS dm
+                FROM p a JOIN p b ON a.image_id <> b.image_id)
+          SELECT ia AS image_id, CAST(COUNT(*) AS BIGINT) AS n_nbr,
+            CAST(SUM(dm) AS BIGINT) AS sum_dist_m,
+            CAST(MIN(dm) AS BIGINT) AS min_dist_m
+          FROM d WHERE dm <= 500 GROUP BY ia ORDER BY ia""",
     "q118_phash" ->
       // full pHash replay: the same 1e6-rounded cosine table (every entry
       // ≥ 0.03 from a rounding boundary — libm-portable), integer DCT
