@@ -924,6 +924,16 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q120_marching_squares" -> ((s, d) => {
+      // marching-squares contour cells over the stitched mosaic: per-case
+      // cell counts + segment counts, with tile-boundary-straddling cells
+      // broken out (assembled from boundary-pixel corner rows — the q114
+      // exchange shape; pixel payloads never shuffle). The oracle derives
+      // every 2×2 world cell from the pixel dump with a 4-way self-join.
+      ImageOps.marchingSquares(s,
+        Synth.mosaicTiles(s, mosaicSide(sfOf(d))), threshold = 128)
+        .orderBy("ms_case")
+    }),
     "q119_haversine" -> ((s, d) => {
       // great-circle radius join (geodesic twin of the planar joins):
       // 3×3 lon/lat-grid blocking + exact haversine refine, distances as
@@ -3180,6 +3190,29 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q120_marching_squares" ->
+      // every 2×2 world cell by 4-way self-join on world ordinals; same
+      // TL+2·TR+4·BR+8·BL case bits, same saddle segment table
+      s"""WITH pxl AS (SELECT tile_x*16 + (j.j % 16) AS wx,
+              tile_y*16 + (j.j // 16) AS wy,
+              CASE WHEN ((299*px[j.j*3+1] + 587*px[j.j*3+2]
+                + 114*px[j.j*3+3]) // 1000) >= 128 THEN 1 ELSE 0 END AS b
+            FROM ${O.inp("mosaic_pixels")}, range(0,256) j(j)),
+          n AS (SELECT wy*4194304 + wx AS p, wx, wy, b FROM pxl),
+          cells AS (SELECT a.wx, a.wy,
+              (a.wx % 16 = 15 OR a.wy % 16 = 15) AS straddle,
+              a.b + 2*r.b + 4*dr.b + 8*d.b AS ms_case
+            FROM n a JOIN n r ON r.p = a.p + 1 AND r.wy = a.wy
+                   JOIN n d ON d.p = a.p + 4194304
+                   JOIN n dr ON dr.p = a.p + 4194305 AND dr.wy = a.wy + 1)
+          SELECT CAST(ms_case AS BIGINT) AS ms_case,
+            CAST(COUNT(*) AS BIGINT) AS n_cells,
+            CAST(SUM(CASE WHEN straddle THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_straddle,
+            CAST(COUNT(*) * (CASE WHEN ms_case IN (0,15) THEN 0
+              WHEN ms_case IN (5,10) THEN 2 ELSE 1 END) AS BIGINT)
+              AS n_segments
+          FROM cells GROUP BY ms_case ORDER BY ms_case""",
     "q119_haversine" ->
       // blocking-independent brute force: every ordered pair through the
       // mirrored haversine expression tree, meters-rounded, same rollup

@@ -840,6 +840,119 @@ object ImageOps {
       maxHamming, longHamming = true, maxBucket = maxBucket)
   }
 
+  /** Marching-squares contour cells over a stitched tile mosaic (the
+    * vector-extraction step raster pipelines run after classification):
+    * every 2×2 world-pixel cell gets its standard case index
+    * (TL + 2·TR + 4·BR + 8·BL of the luma ≥ `threshold` bits) and its
+    * contour-segment count (0 for empty/full, 2 for the two saddle cases
+    * 5/10, else 1), rolled up per case with the count of cells that
+    * STRADDLE a tile boundary broken out — the distributed part.
+    *
+    * Plan (the q114 boundary-exchange shape): cells interior to a tile are
+    * counted entirely inside the decode pass (one slim 16-row case map per
+    * tile); cells straddling tile edges are assembled by grouping
+    * boundary-pixel bit rows on the cell ordinal — each boundary pixel
+    * emits ≤ 4 (cell, corner-weight·bit) rows, so the exchange carries
+    * O(tile perimeter) rows and pixel payloads never shuffle. Cells keep
+    * exactly 4 corners (HAVING count = 4), which drops the world's outer
+    * rim — mirroring the oracle's 4-way inner join.
+    */
+  def marchingSquares(spark: SparkSession, tiles: DataFrame,
+                      threshold: Int = 128): DataFrame = {
+    import spark.implicits._
+    val Shift = 22
+    val segsOf = Seq(0L, 1, 1, 1, 1, 2, 1, 1, 1, 1, 2, 1, 1, 1, 1, 0)
+    val tagged = tiles
+      .select("image_id", "bytes", "w", "h", "fmt", "tile_x", "tile_y")
+      .as[(String, Array[Byte], Int, Int, String, Int, Int)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (_, bytes, w, h, fmt, tx, ty) =>
+          val px = ImageCodec.decode(bytes, fmt, w, h)
+          val n = w * h
+          val bit = new Array[Int](n)
+          var j = 0
+          while (j < n) {
+            val l = (299 * (px(3 * j) & 0xFF) + 587 * (px(3 * j + 1) & 0xFF)
+              + 114 * (px(3 * j + 2) & 0xFF)) / 1000
+            bit(j) = if (l >= threshold) 1 else 0
+            j += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Long)] // (kind 0=interior case, 1=corner row)
+          // interior cells: all four pixels in this tile
+          val cases = new Array[Long](16)
+          var cy = 0
+          while (cy < h - 1) {
+            var cx = 0
+            while (cx < w - 1) {
+              val c = bit(cy * w + cx) + 2 * bit(cy * w + cx + 1) +
+                4 * bit((cy + 1) * w + cx + 1) + 8 * bit((cy + 1) * w + cx)
+              cases(c) += 1
+              cx += 1
+            }
+            cy += 1
+          }
+          var ci = 0
+          while (ci < 16) {
+            if (cases(ci) > 0) out += ((0, ci.toLong, cases(ci)))
+            ci += 1
+          }
+          // boundary pixels → corner-weight rows of STRADDLING cells
+          j = 0
+          while (j < n) {
+            val x = j % w; val y = j / w
+            if (x == 0 || x == w - 1 || y == 0 || y == h - 1) {
+              val wx = tx.toLong * w + x; val wy = ty.toLong * h + y
+              var dy = 0
+              while (dy <= 1) {
+                var dx = 0
+                while (dx <= 1) {
+                  val ccx = wx - dx; val ccy = wy - dy
+                  // cell straddles a tile edge iff its x or y pixel pair
+                  // crosses a multiple-of-tile boundary
+                  if (ccx >= 0 && ccy >= 0 &&
+                      (ccx % w == w - 1 || ccy % h == h - 1)) {
+                    val weight = (dy * 2 + dx) match {
+                      case 0 => 1L; case 1 => 2L; case 2 => 8L; case 3 => 4L
+                    }
+                    out += ((1, (ccy << Shift) | ccx,
+                      weight * bit(j) + (weight << 32)))
+                  }
+                  dx += 1
+                }
+                dy += 1
+              }
+            }
+            j += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("kind", "k", "v")
+      .localCheckpoint()
+    val interior = tagged.where(col("kind") === 0)
+      .groupBy(col("k").as("ms_case"))
+      .agg(sum(col("v")).as("n_int"))
+    // straddling cells: sum of weight·bit over exactly 4 corners; the
+    // (weight << 32) rider sums to 15·2^32 only for complete cells —
+    // incomplete world-rim cells drop (the oracle's inner-join semantics)
+    val straddle = tagged.where(col("kind") === 1)
+      .groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("nc"))
+      .where(col("nc") === 4 &&
+        shiftright(col("s"), 32) === 15L)
+      .select((col("s").bitwiseAND(lit(0xFFFFFFFFL))).as("ms_case"))
+      .groupBy("ms_case").agg(count(lit(1)).as("n_str"))
+    val segArr = array(segsOf.map(lit): _*)
+    interior.join(straddle, Seq("ms_case"), "full")
+      .select(col("ms_case"),
+        (coalesce(col("n_int"), lit(0L)) + coalesce(col("n_str"), lit(0L)))
+          .as("n_cells"),
+        coalesce(col("n_str"), lit(0L)).as("n_straddle"))
+      .withColumn("n_segments", col("n_cells") *
+        element_at(segArr, col("ms_case").cast("int") + 1))
+  }
+
   /** Distributed raster connected-component labeling (blob detection)
     * across tile boundaries — the geo×image op a mosaic pipeline needs once
     * rasters outgrow one task: label foreground pixels (integer BT.601
