@@ -924,6 +924,17 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q121_bilinear" -> ((s, d) => {
+      // bilinear resample 16×16 → 12×12 with 8-bit fixed-point positions
+      // and weights (stepQ=341 ≈ 1.333·256, offQ=42) — exact integer math
+      // end to end; per-image value + position-weighted checksums pin
+      // every output pixel. Oracle replays the interpolation per output
+      // pixel from the pixel dump.
+      ImageOps.bilinearResample(s, synthImages(s, d)
+          .where(substring(col("image_id"), 4, 12).cast("long") % 10 === 0),
+        outW = 12, outH = 12, stepQ = 341, offQ = 42)
+        .orderBy("image_id")
+    }),
     "q120_marching_squares" -> ((s, d) => {
       // marching-squares contour cells over the stitched mosaic: per-case
       // cell counts + segment counts, with tile-boundary-straddling cells
@@ -3190,6 +3201,32 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q121_bilinear" ->
+      // per-output-pixel integer bilinear replay: fixed-point positions,
+      // LEAST clamp, exact // 65536 blend — mirrored from the typed loop
+      s"""WITH src AS (SELECT image_id, px FROM ${O.inp("pixels")}
+                       WHERE CAST(SUBSTR(image_id, 4) AS BIGINT) % 10 = 0),
+          o AS (SELECT image_id, px, i.i AS i, j.j AS j, c.c AS c,
+                  LEAST((i.i * 341 + 42) // 256, 14) AS x0,
+                  LEAST((j.j * 341 + 42) // 256, 14) AS y0,
+                  (i.i * 341 + 42)
+                    - LEAST((i.i * 341 + 42) // 256, 14) * 256 AS fx,
+                  (j.j * 341 + 42)
+                    - LEAST((j.j * 341 + 42) // 256, 14) * 256 AS fy
+                FROM src, range(0,12) i(i), range(0,12) j(j),
+                     range(0,3) c(c)),
+          v AS (SELECT image_id, i, j, c,
+                  ((256 - fx) * (256 - fy) * px[(y0*16 + x0)*3 + c + 1]
+                   + fx * (256 - fy) * px[(y0*16 + x0 + 1)*3 + c + 1]
+                   + (256 - fx) * fy * px[((y0+1)*16 + x0)*3 + c + 1]
+                   + fx * fy * px[((y0+1)*16 + x0 + 1)*3 + c + 1]
+                   + 32768) // 65536 AS val
+                FROM o)
+          SELECT image_id, CAST(12 AS BIGINT) AS out_w,
+            CAST(12 AS BIGINT) AS out_h,
+            CAST(SUM(val) AS BIGINT) AS v_sum,
+            CAST(SUM(val * ((j*12 + i)*3 + c + 1)) AS BIGINT) AS vw_sum
+          FROM v GROUP BY image_id ORDER BY image_id""",
     "q120_marching_squares" ->
       // every 2×2 world cell by 4-way self-join on world ordinals; same
       // TL+2·TR+4·BR+8·BL case bits, same saddle segment table

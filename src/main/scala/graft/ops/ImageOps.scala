@@ -953,6 +953,61 @@ object ImageOps {
         element_at(segArr, col("ms_case").cast("int") + 1))
   }
 
+  /** Bilinear resampling of tiles onto a `outW`×`outH` target grid (the
+    * standard interpolating resize/reproject of a raster pipeline — the
+    * average-pooling [[thumbnails]] op's quality upgrade). Sample
+    * positions and blend weights are 8-bit FIXED POINT (source coordinate
+    * = (i·stepQ + offQ) / 256), so every output value is exact integer
+    * math — `(w00·v00 + w10·v10 + w01·v01 + w11·v11 + 32768) >> 16` —
+    * identical across engines, partitionings, and the SQL oracle.
+    * Emits per-image integrity sums over all output channels (value sum +
+    * position-weighted sum — a checksum that pins EVERY output pixel),
+    * not the payload: resampled bytes stay where a sink would consume
+    * them; the gate needs only proof the math ran.
+    */
+  def bilinearResample(spark: SparkSession, images: DataFrame,
+                       outW: Int, outH: Int, stepQ: Int,
+                       offQ: Int): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, w, h, fmt) =>
+          val px = ImageCodec.decode(bytes, fmt, w, h)
+          var vSum = 0L
+          var wSum = 0L
+          var j = 0
+          while (j < outH) {
+            val yq = j * stepQ + offQ
+            val y0 = math.min(yq >> 8, h - 2); val fy = yq - (y0 << 8)
+            var i = 0
+            while (i < outW) {
+              val xq = i * stepQ + offQ
+              val x0 = math.min(xq >> 8, w - 2); val fx = xq - (x0 << 8)
+              var c = 0
+              while (c < 3) {
+                val v00 = px((y0 * w + x0) * 3 + c) & 0xFF
+                val v10 = px((y0 * w + x0 + 1) * 3 + c) & 0xFF
+                val v01 = px(((y0 + 1) * w + x0) * 3 + c) & 0xFF
+                val v11 = px(((y0 + 1) * w + x0 + 1) * 3 + c) & 0xFF
+                val v = ((256L - fx) * (256L - fy) * v00
+                  + fx.toLong * (256L - fy) * v10
+                  + (256L - fx) * fy.toLong * v01
+                  + fx.toLong * fy.toLong * v11 + 32768L) >> 16
+                vSum += v
+                wSum += v * ((j * outW + i) * 3 + c + 1)
+                c += 1
+              }
+              i += 1
+            }
+            j += 1
+          }
+          (id, outW.toLong, outH.toLong, vSum, wSum)
+        }
+      }
+      .toDF("image_id", "out_w", "out_h", "v_sum", "vw_sum")
+  }
+
   /** Distributed raster connected-component labeling (blob detection)
     * across tile boundaries — the geo×image op a mosaic pipeline needs once
     * rasters outgrow one task: label foreground pixels (integer BT.601
