@@ -221,6 +221,10 @@ object SparkEntry {
         (tx, ty, graft.model.ImageCodec.decode(bytes, fmt, wd, ht)
           .map(b => b & 0xFF).toSeq)
       }.toDF("tile_x", "tile_y", "px"), "mosaic_pixels")
+    // SOURCE audio samples (same 7919 formula as synthClips, pre-encode):
+    // q122/q123 oracles replay resampling + features from these
+    w(AudioOps.synthSampleTable(s, nOther(sfOf(sfDir)), 1600),
+      "audio_samples")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -923,6 +927,25 @@ object SparkEntry {
             * lit(1000000000.0), 0).cast("long"))
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
+    }),
+    "q122_pcm_resample" -> ((s, d) => {
+      // linear-interpolation PCM resampling over WAV-containered clips:
+      // 8-bit fixed-point positions, non-negative-biased blend so >> 8 is
+      // floor division on both engines — exact integer end to end; the
+      // oracle replays per output sample from the SOURCE sample dump
+      // (never the engine's demux/decode).
+      AudioOps.resamplePcm(s,
+        AudioOps.synthClips(s, nOther(sfOf(d)), nSamples = 1600,
+          window = 400)._1, outN = 1200, stepQ = 341)
+        .orderBy("clip_id")
+    }),
+    "q123_audio_features" -> ((s, d) => {
+      // per-clip curation features: strict zero-crossing count (zeros
+      // never cross — deterministic), peak |sample|, exact |sample| sum.
+      AudioOps.audioFeatures(s,
+        AudioOps.synthClips(s, nOther(sfOf(d)), nSamples = 1600,
+          window = 400)._1)
+        .orderBy("clip_id")
     }),
     "q121_bilinear" -> ((s, d) => {
       // bilinear resample 16×16 → 12×12 with 8-bit fixed-point positions
@@ -3201,6 +3224,32 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q122_pcm_resample" ->
+      // per-output-sample integer blend replay from the source samples
+      s"""WITH o AS (SELECT clip_id, samples, k.k AS k,
+            LEAST((k.k * 341) // 256, len(samples) - 2) AS x0,
+            (k.k * 341)
+              - LEAST((k.k * 341) // 256, len(samples) - 2) * 256 AS f
+          FROM ${O.inp("audio_samples")}, range(0,1200) k(k)),
+          v AS (SELECT clip_id, k,
+              ((samples[x0 + 1] + 32768) * (256 - f)
+               + (samples[x0 + 2] + 32768) * f + 128) // 256 - 32768 AS val
+            FROM o)
+          SELECT clip_id, CAST(1200 AS BIGINT) AS n_out,
+            CAST(SUM(val) AS BIGINT) AS v_sum,
+            CAST(SUM(val * (k + 1)) AS BIGINT) AS vw_sum
+          FROM v GROUP BY clip_id ORDER BY clip_id""",
+    "q123_audio_features" ->
+      // sign products, peak, and |sample| sums from the source samples
+      s"""WITH e AS (SELECT clip_id,
+              unnest(range(1, len(samples) + 1)) AS i, samples
+            FROM ${O.inp("audio_samples")})
+          SELECT clip_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+            CAST(SUM(CASE WHEN i > 1 AND samples[i - 1] * samples[i] < 0
+              THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+            CAST(MAX(ABS(samples[i])) AS BIGINT) AS peak,
+            CAST(SUM(ABS(samples[i])) AS BIGINT) AS abs_sum
+          FROM e GROUP BY clip_id ORDER BY clip_id""",
     "q121_bilinear" ->
       // per-output-pixel integer bilinear replay: fixed-point positions,
       // LEAST clamp, exact // 65536 blend — mirrored from the typed loop

@@ -147,4 +147,78 @@ object AudioOps {
     }).toDF("clip_id", "window_idx", "abs_sum")
     (clips, truth)
   }
+
+  /** SOURCE sample table for the resample/feature oracles: regenerates the
+    * exact [[synthClips]] sample formula (shared constant 7919) as slim
+    * (clip_id, samples) rows — the oracle reads these, never the engine's
+    * demux/decode path (the video_frames discipline).
+    */
+  def synthSampleTable(spark: SparkSession, n: Long,
+                       nSamples: Int): DataFrame = {
+    import spark.implicits._
+    val parts = math.max(1, math.min(64, n / 256 + 1)).toInt
+    spark.range(0L, n, 1L, parts).as[Long].map { c =>
+      (f"clip$c%08d", (0 until nSamples).map(i =>
+        (graft.model.Synth.mix64(c * 7919L + i) & 0xFFFFL).toShort.toInt))
+    }.toDF("clip_id", "samples")
+  }
+
+  /** Linear-interpolation PCM resampling (the sample-rate conversion step
+    * of an audio-curation pipeline) with 8-bit fixed-point positions:
+    * output k reads source position (k·stepQ)/256 and blends the two
+    * neighbors. The blend biases samples to non-negative (+32768) before
+    * the >> 8 so the shift IS floor division on both engines — exact
+    * integer math end to end, SQL-replayable. Emits per-clip checksums
+    * (signed value sum + position-weighted sum — pins every output
+    * sample); resampled payloads stay where a sink would consume them.
+    */
+  def resamplePcm(spark: SparkSession, clips: DataFrame, outN: Int,
+                  stepQ: Int): DataFrame = {
+    import spark.implicits._
+    clips.select("clip_id", "bytes").as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pcm = decodePcmAuto(bytes)
+        var vSum = 0L
+        var wSum = 0L
+        var k = 0
+        while (k < outN) {
+          val xq = k * stepQ
+          val x0 = math.min(xq >> 8, pcm.length - 2)
+          val f = xq - (x0 << 8)
+          val v = (((pcm(x0) + 32768L) * (256L - f)
+            + (pcm(x0 + 1) + 32768L) * f + 128L) >> 8) - 32768L
+          vSum += v
+          wSum += v * (k + 1)
+          k += 1
+        }
+        (id, outN.toLong, vSum, wSum)
+      }
+      .toDF("clip_id", "n_out", "v_sum", "vw_sum")
+  }
+
+  /** Per-clip audio features (the curation stats an audio pipeline filters
+    * on): strict zero-crossing count (s·s′ < 0 — zeros never cross, so the
+    * count is deterministic), peak |sample|, and the exact |sample| sum.
+    * One decode pass, zero shuffle, slim stat rows.
+    */
+  def audioFeatures(spark: SparkSession, clips: DataFrame): DataFrame = {
+    import spark.implicits._
+    clips.select("clip_id", "bytes").as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pcm = decodePcmAuto(bytes)
+        var zcr = 0L
+        var peak = 0L
+        var absSum = 0L
+        var i = 0
+        while (i < pcm.length) {
+          val a = math.abs(pcm(i).toLong)
+          if (a > peak) peak = a
+          absSum += a
+          if (i > 0 && pcm(i - 1).toLong * pcm(i) < 0) zcr += 1
+          i += 1
+        }
+        (id, pcm.length.toLong, zcr, peak, absSum)
+      }
+      .toDF("clip_id", "n_samples", "zcr", "peak", "abs_sum")
+  }
 }

@@ -87,4 +87,68 @@ class AudioOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
     assert(gotRaw === expect)
   }
+
+  test("resamplePcm matches a source-sample brute force (WAV and raw)") {
+    import spark.implicits._
+    for (container <- Seq("wav", "raw")) {
+      val (clips, _) = AudioOps.synthClips(spark, 5L, nSamples = 400,
+        window = 100, container = container)
+      val got = AudioOps.resamplePcm(spark, clips, outN = 300, stepQ = 341)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      val expect = (0 until 5).map { c =>
+        val s = Array.tabulate(400)(i =>
+          (graft.model.Synth.mix64(c.toLong * 7919L + i) & 0xFFFFL).toShort)
+        var vs = 0L; var ws = 0L
+        for (k <- 0 until 300) {
+          val xq = k * 341; val x0 = math.min(xq >> 8, 398)
+          val f = xq - (x0 << 8)
+          val v = (((s(x0) + 32768L) * (256L - f)
+            + (s(x0 + 1) + 32768L) * f + 128L) >> 8) - 32768L
+          vs += v; ws += v * (k + 1)
+        }
+        f"clip$c%08d" -> ((vs, ws))
+      }.toMap
+      assert(got === expect, s"container=$container")
+    }
+  }
+
+  test("resamplePcm identity step reproduces the source sum") {
+    import spark.implicits._
+    val (clips, _) = AudioOps.synthClips(spark, 3L, nSamples = 400,
+      window = 100)
+    val got = AudioOps.resamplePcm(spark, clips, outN = 400, stepQ = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    (0 until 3).foreach { c =>
+      val s = Array.tabulate(400)(i =>
+        (graft.model.Synth.mix64(c.toLong * 7919L + i) & 0xFFFFL).toShort)
+      assert(got(f"clip$c%08d") === s.map(_.toLong).sum)
+    }
+  }
+
+  test("audioFeatures: zcr strictness, peak, abs sum on a hand signal") {
+    import spark.implicits._
+    // 5, -3, 0, -2, 7: crossings at (5,-3) and (-2,7) ONLY — the 0 sample
+    // produces products 0 and 0, neither < 0 (strict contract)
+    val pcm = Array[Short](5, -3, 0, -2, 7)
+    val raw = new Array[Byte](10)
+    pcm.zipWithIndex.foreach { case (v, i) =>
+      raw(2 * i) = (v & 0xFF).toByte; raw(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val got = AudioOps.audioFeatures(spark,
+      Seq(("h", raw)).toDF("clip_id", "bytes")).head()
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+      === ((5L, 2L, 7L, 17L)))
+  }
+
+  test("resample/features partition invariance") {
+    import spark.implicits._
+    val (clips, _) = AudioOps.synthClips(spark, 6L, nSamples = 400,
+      window = 100)
+    val a = AudioOps.audioFeatures(spark, clips).orderBy("clip_id")
+      .collect().toSeq
+    val b = AudioOps.audioFeatures(spark, clips.repartition(5))
+      .orderBy("clip_id").collect().toSeq
+    assert(a === b)
+  }
 }
