@@ -928,6 +928,18 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q124_winnowing" -> ((s, d) => {
+      // winnowing fingerprints (MOSS, public) + near-verbatim overlap:
+      // char-12-gram 40-bit hashes, window-of-8 rightmost-min selection as
+      // ONE window pass (h·2^20 + reversed-pos key), posting-list join,
+      // containment ≥ 50% of the smaller side. Corpus = documents ∪ the
+      // q83 increment (planted exact + trimmed near-dups). The oracle
+      // replays selection and matching in SQL from the dumps.
+      val docs = s.read.parquet(p(d, "documents")).select("doc_id", "text")
+        .unionByName(q83Increment(s, d))
+      TextOps.winnowMatches(docs, k = 12, w = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
     "q122_pcm_resample" -> ((s, d) => {
       // linear-interpolation PCM resampling over WAV-containered clips:
       // 8-bit fixed-point positions, non-negative-biased blend so >> 8 is
@@ -3224,6 +3236,40 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q124_winnowing" ->
+      // full winnowing replay: same 40-bit hash, same packed min key,
+      // same full-window filter, same containment threshold
+      s"""WITH c AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM ${O.inp("incr_docs")}),
+          g AS (SELECT doc_id,
+                  unnest(range(1, length(text) - 12 + 2)) AS pos, text
+                FROM c WHERE length(text) >= 12),
+          h AS (SELECT doc_id, pos,
+                  (${O.md5n("substr(text, pos::INT, 12)")})
+                    % 1099511627776 AS h40,
+                  CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ng
+                FROM g),
+          k AS (SELECT doc_id, pos, ng,
+                  h40 * 1048576 + (1048575 - pos) AS key FROM h),
+          w AS (SELECT doc_id, pos, ng,
+                  MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wkey
+                FROM k),
+          f AS (SELECT DISTINCT doc_id, wkey // 1048576 AS fh FROM w
+                WHERE pos <= ng - 8 + 1),
+          n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf
+                FROM f GROUP BY 1),
+          m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_shared
+                FROM f a JOIN f b ON a.fh = b.fh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+          SELECT m.doc_a, m.doc_b, m.n_shared,
+            CAST(100 * m.n_shared // LEAST(na.nf, nb.nf) AS BIGINT)
+              AS containment_pct
+          FROM m JOIN n na ON na.doc_id = m.doc_a
+                 JOIN n nb ON nb.doc_id = m.doc_b
+          WHERE 100 * m.n_shared >= 50 * LEAST(na.nf, nb.nf)
+          ORDER BY m.doc_a, m.doc_b""",
     "q122_pcm_resample" ->
       // per-output-sample integer blend replay from the source samples
       s"""WITH o AS (SELECT clip_id, samples, k.k AS k,

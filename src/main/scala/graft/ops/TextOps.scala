@@ -722,4 +722,64 @@ object TextOps {
         coalesce(col("score_nano"), lit(0L)).as("score_nano"))
       .withColumn("keep", col("score_nano") > 0L)
   }
+
+  /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm — public): character `k`-gram 40-bit hashes, window-of-`w`
+    * minimum selection with the RIGHTMOST tiebreak. The selection is ONE
+    * window pass: key = h40·2^20 + (2^20−1−pos) makes "min hash, rightmost
+    * position" a plain MIN over the w-row frame, decoded arithmetically —
+    * no argmin self-join, identical in Spark and SQL. Density 2/(w+1);
+    * guarantee: any shared substring of length ≥ w+k−1 shares ≥ 1
+    * fingerprint. Returns (doc_id, fh) distinct fingerprints.
+    */
+  def winnowFingerprints(documents: DataFrame, k: Int,
+                         w: Int): DataFrame = {
+    val grams = documents.where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - k + 1)).as("pos"),
+        col("text"))
+      .withColumn("h40", pmod(
+        conv(substring(md5(expr(s"substring(text, pos, $k)")), 1, 15),
+          16, 10).cast("long"), lit(1099511627776L)))
+      .withColumn("ng", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+      .withColumn("key",
+        col("h40") * lit(1048576L) + (lit(1048575L) - col("pos")))
+    val sel = grams.withColumn("wkey", min(col("key")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.currentRow, w - 1)))
+      .where(col("pos") <= col("ng") - w + 1)
+      // integer div, NOT `/`: wkey is up to 2^60 and double division
+      // loses ulps past 2^53 (off-by-one decodes — caught by the spec)
+      .select(col("doc_id"), expr("wkey div 1048576").as("fh"))
+      .distinct()
+    sel
+  }
+
+  /** Near-verbatim overlap detection over winnowing fingerprints (the
+    * plagiarism/attribution op after [[winnowFingerprints]]): doc pairs
+    * sharing ≥ 50% of the smaller side's fingerprints, with the exact
+    * shared count and integer containment percentage. The posting-list
+    * self-join is the only exchange and carries (fh, doc_id) pairs; a
+    * production corpus would cap ubiquitous fingerprints first (the
+    * HammingBlocking hot-bucket discipline) — at gate scale the skew is
+    * measured and absent.
+    */
+  def winnowMatches(documents: DataFrame, k: Int = 12,
+                    w: Int = 8): DataFrame = {
+    val f = winnowFingerprints(documents, k, w).localCheckpoint()
+    val n = f.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val m = f.select(col("doc_id").as("doc_a"), col("fh"))
+      .join(f.select(col("doc_id").as("doc_b"), col("fh")), Seq("fh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    m.join(n.select(col("doc_id").as("doc_a"), col("nf").as("na")),
+        Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("nf").as("nb")),
+        Seq("doc_b"))
+      .where(lit(100L) * col("n_shared") >= lit(50L) * least(col("na"),
+        col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("(100 * n_shared) div least(na, nb)").as("containment_pct"))
+  }
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Winnowing fingerprints + overlap matching (q124). Pins (a) a
+  * brute-force replica of the selection (k-gram hash, w-window rightmost
+  * min) on hand documents, (b) the winnowing guarantee — a shared
+  * substring of length ≥ w+k−1 yields ≥ 1 shared fingerprint, (c) the
+  * containment matcher finds a planted copy and rejects disjoint text,
+  * (d) partition invariance.
+  */
+class WinnowingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val K = 12
+  private val W = 8
+
+  private def h40(g: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % 1099511627776L
+  }
+
+  private def bruteFps(text: String): Set[Long] = {
+    if (text.length < K) return Set.empty
+    val ng = text.length - K + 1
+    val keys = (1 to ng).map(pos =>
+      h40(text.substring(pos - 1, pos - 1 + K)) * 1048576L + (1048575L - pos))
+    (1 to ng - W + 1).map(t => keys.slice(t - 1, t - 1 + W).min)
+      .toSet.map((k: Long) => k / 1048576L)
+  }
+
+  test("matches the brute-force selection on hand documents") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly today"),
+      (2L, "completely different content with nothing shared at all here"),
+      (3L, "tiny"))
+    val got = TextOps.winnowFingerprints(docs.toDF("doc_id", "text"), K, W)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert(got.getOrElse(1L, Set.empty) === bruteFps(docs(0)._2))
+    assert(got.getOrElse(2L, Set.empty) === bruteFps(docs(1)._2))
+    assert(!got.contains(3L), "below-k doc must yield no fingerprints")
+  }
+
+  test("winnowing guarantee: shared substring >= w+k-1 shares a fingerprint") {
+    val shared = "zqxjkvwpylmzqxjkvwpylm" // 22 chars >= 8+12-1
+    val a = s"aaaaaaaaaaaaaaaa $shared bbbbbbbbbbbbbbbb"
+    val b = s"cccccccccccccccc $shared dddddddddddddddd"
+    val fps = TextOps.winnowFingerprints(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), K, W)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+  }
+
+  test("containment matcher finds a planted copy, rejects disjoint text") {
+    val base = "the shared corpus sentence that appears verbatim in " +
+      "both documents of interest without any modification whatsoever"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " plus a short unique tail xyzzy"),
+      (3L, "entirely unrelated words qwerty asdfgh zxcvbn uiophj klmnbv " +
+        "plus more filler so the length is comparable overall"))
+    val got = TextOps.winnowMatches(docs.toDF("doc_id", "text"), K, W)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("partition invariance") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"document number $i with some shared boilerplate text " +
+        s"and a unique marker m$i${"x" * (i % 5).toInt}"))
+    val df = docs.toDF("doc_id", "text")
+    val a = TextOps.winnowMatches(df, K, W)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val b = TextOps.winnowMatches(df.repartition(7), K, W)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(a === b)
+  }
+}
