@@ -928,6 +928,16 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q125_dup_spans" -> ((s, d) => {
+      // exact-substring span dedup (Lee et al.): maximal per-doc character
+      // spans covered by any >=30-char substring occurring >=2x in the
+      // corpus. Corpus = documents ∪ the q83 increment, whose planted
+      // exact + trimmed copies guarantee long cross-doc shared substrings.
+      val docs = s.read.parquet(p(d, "documents")).select("doc_id", "text")
+        .unionByName(q83Increment(s, d))
+      TextOps.dupSpans(docs, L = 30)
+        .orderBy("doc_id", "span_start")
+    }),
     "q124_winnowing" -> ((s, d) => {
       // winnowing fingerprints (MOSS, public) + near-verbatim overlap:
       // char-12-gram 40-bit hashes, window-of-8 rightmost-min selection as
@@ -3236,6 +3246,33 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q125_dup_spans" ->
+      // full replay: same 60-bit gram hash, same >=2 global count, same
+      // gap<=L island merge via LAG + ROWS-framed running sum
+      s"""WITH c AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM ${O.inp("incr_docs")}),
+          g AS (SELECT doc_id,
+                  unnest(range(1, length(text) - 30 + 2)) AS pos, text
+                FROM c WHERE length(text) >= 30),
+          h AS (SELECT doc_id, pos,
+                  ${O.md5n("substr(text, pos::INT, 30)")} AS h60 FROM g),
+          d AS (SELECT h60 FROM h GROUP BY 1 HAVING COUNT(*) >= 2),
+          m AS (SELECT doc_id, pos FROM h
+                WHERE h60 IN (SELECT h60 FROM d)),
+          b AS (SELECT doc_id, pos,
+                  CASE WHEN pos - LAG(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 30
+                  THEN 1 ELSE 0 END AS brk FROM m),
+          s AS (SELECT doc_id, pos,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM b)
+          SELECT doc_id, MIN(pos) AS span_start,
+            MAX(pos) + 29 AS span_end,
+            MAX(pos) + 29 - MIN(pos) + 1 AS span_chars,
+            CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM s GROUP BY doc_id, sid
+          ORDER BY doc_id, span_start""",
     "q124_winnowing" ->
       // full winnowing replay: same 40-bit hash, same packed min key,
       // same full-window filter, same containment threshold

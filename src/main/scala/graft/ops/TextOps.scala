@@ -782,4 +782,49 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         expr("(100 * n_shared) div least(na, nb)").as("containment_pct"))
   }
+
+  /** Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — public): per document, the
+    * maximal character spans covered by some substring of length ≥ `L`
+    * that occurs ≥ 2 times in the corpus (across or within documents).
+    * Position p is marked iff its char `L`-gram hash occurs globally ≥ 2
+    * times; marked positions whose successor gap is ≤ `L` merge into one
+    * maximal span [min pos, max pos + L − 1] — exactly the union of
+    * duplicated-L-gram coverage, which equals the union of duplicated
+    * substrings of length ≥ L (modulo 60-bit hash collisions). The
+    * reference implementation is a monolithic suffix array; the gram
+    * route is the distributed shape at 100 TB: one partial-aggregated
+    * count shuffle on an 8-byte hash, one semi-join back, per-doc windows
+    * (doc-sized partitions, never corpus-sized). A production run swaps
+    * md5 for the q23 rolling xxhash64 (same plan, cheaper per position);
+    * md5 keeps the oracle replay engine-identical.
+    */
+  def dupSpans(documents: DataFrame, L: Int): DataFrame = {
+    // md5-per-position is the expensive leg and the frame is read twice
+    // (global counts, then position lookup) — materialize once
+    val grams = documents.where(length(col("text")) >= L)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - L + 1)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(expr(s"substring(text, pos, $L)")), 1, 15),
+          16, 10).cast("long").as("h60"))
+      .localCheckpoint()
+    val dup = grams.groupBy("h60").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("h60")
+    val marked = grams.join(dup, Seq("h60"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(L - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("span_chars",
+        col("span_end") - col("span_start") + lit(1))
+      .select("doc_id", "span_start", "span_end", "span_chars", "n_grams")
+  }
 }
