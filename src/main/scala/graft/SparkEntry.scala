@@ -928,6 +928,45 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q126_merge_on_read" -> ((s, d) => {
+      // Iceberg-v2 equality deletes + merge-on-read: data/delete commits
+      // share one sequence; a delete removes same-key rows of strictly
+      // lower sequence only, a later re-insert survives, and compaction
+      // folds the delete log away (content equality pinned TRUE). The
+      // oracle reconstructs the surviving set from documents with the
+      // same commit arithmetic — end-to-end proof of the metadata layer.
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q126_data").getAbsolutePath
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      dirPath.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(dirPath, true)
+      import graft.sources.MergeOnRead
+      val docs = s.read.parquet(p(d, "documents")).select("doc_id", "text")
+      MergeOnRead.commitData(docs.where(col("doc_id") % 4 <= 1), dir)
+      MergeOnRead.commitData(docs.where(col("doc_id") % 4 === 2), dir)
+      MergeOnRead.commitDeletes(docs.where(col("doc_id") % 8 <= 2)
+        .select("doc_id"), dir, "doc_id")
+      MergeOnRead.commitData(docs.where(col("doc_id") % 16 === 0)
+        .select(col("doc_id"),
+          concat(lit("reinserted: "), col("text")).as("text")), dir)
+      def h(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val live = MergeOnRead.read(s, dir, "doc_id")
+        .select(col("doc_id"), col("src_seq"), h(col("text")).as("text_h"))
+        .localCheckpoint() // materialize before compaction rewrites files
+      def summary(df: DataFrame) = df
+        // bit_xor, not sum: 60-bit hashes summed over hundreds of rows
+        // overflow the ANSI long
+        .agg(count(lit(1)), sum(col("doc_id")),
+          expr("bit_xor(text_h)")).head()
+      val pre = summary(live)
+      MergeOnRead.compactAway(s, dir, "doc_id")
+      val post = summary(MergeOnRead.read(s, dir, "doc_id")
+        .select(col("doc_id"), h(col("text")).as("text_h")))
+      val eq = (0 to 2).forall(i => pre.getLong(i) == post.getLong(i))
+      live.withColumn("compact_equal", lit(eq))
+        .orderBy("doc_id", "src_seq")
+    }),
     "q125_dup_spans" -> ((s, d) => {
       // exact-substring span dedup (Lee et al.): maximal per-doc character
       // spans covered by any >=30-char substring occurring >=2x in the
@@ -3246,6 +3285,21 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q126_merge_on_read" ->
+      // survivors by commit arithmetic: s1 keeps doc_id%8 in (4,5), s2
+      // keeps %8=6, the s3 delete wipes %8 in (0,1,2) from s1/s2, s4
+      // re-inserts %16=0 above the delete sequence
+      s"""SELECT doc_id, CAST(1 AS BIGINT) AS src_seq,
+            ${O.md5n("text")} AS text_h, TRUE AS compact_equal
+          FROM documents WHERE doc_id % 8 IN (4, 5)
+          UNION ALL
+          SELECT doc_id, CAST(2 AS BIGINT), ${O.md5n("text")}, TRUE
+          FROM documents WHERE doc_id % 8 = 6
+          UNION ALL
+          SELECT doc_id, CAST(4 AS BIGINT),
+            ${O.md5n("'reinserted: ' || text")}, TRUE
+          FROM documents WHERE doc_id % 16 = 0
+          ORDER BY doc_id, src_seq""",
     "q125_dup_spans" ->
       // full replay: same 60-bit gram hash, same >=2 global count, same
       // gap<=L island merge via LAG + ROWS-framed running sum
