@@ -928,6 +928,15 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q127_morphology" -> ((s, d) => {
+      // cross-tile 3x3 grayscale morphology over the stitched mosaic —
+      // the halo-exchange stencil: interiors reduce locally, only the
+      // outermost pixel ring resolves through a slim-row exchange. The
+      // oracle recomputes every clipped neighborhood min/max from the
+      // pixel dump with 9 equi-joined offsets.
+      ImageOps.morphology(s, Synth.mosaicTiles(s, mosaicSide(sfOf(d))))
+        .orderBy("tile_x", "tile_y")
+    }),
     "q126_merge_on_read" -> ((s, d) => {
       // Iceberg-v2 equality deletes + merge-on-read: data/delete commits
       // share one sequence; a delete removes same-key rows of strictly
@@ -3285,6 +3294,26 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q127_morphology" ->
+      // same integer luma, clipped 3x3 min/max via 9 offset equi-joins,
+      // same per-tile rollup with the ring-0 edge count
+      s"""WITH pxl AS (SELECT tile_x*16 + (j.j % 16) AS wx,
+              tile_y*16 + (j.j // 16) AS wy,
+              (299*px[j.j*3+1] + 587*px[j.j*3+2]
+                + 114*px[j.j*3+3]) // 1000 AS l
+            FROM ${O.inp("mosaic_pixels")}, range(0,256) j(j)),
+          m AS (SELECT a.wx, a.wy, MIN(b.l) AS ero, MAX(b.l) AS dil
+            FROM pxl a
+            CROSS JOIN range(-1,2) dx(dx) CROSS JOIN range(-1,2) dy(dy)
+            JOIN pxl b ON b.wx = a.wx + dx.dx AND b.wy = a.wy + dy.dy
+            GROUP BY a.wx, a.wy)
+          SELECT CAST(wx // 16 AS BIGINT) AS tile_x,
+            CAST(wy // 16 AS BIGINT) AS tile_y,
+            CAST(SUM(ero) AS BIGINT) AS ero_sum,
+            CAST(SUM(dil) AS BIGINT) AS dil_sum,
+            CAST(SUM(CASE WHEN wx % 16 IN (0, 15) OR wy % 16 IN (0, 15)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_edge
+          FROM m GROUP BY 1, 2 ORDER BY tile_x, tile_y""",
     "q126_merge_on_read" ->
       // survivors by commit arithmetic: s1 keeps doc_id%8 in (4,5), s2
       // keeps %8=6, the s3 delete wipes %8 in (0,1,2) from s1/s2, s4

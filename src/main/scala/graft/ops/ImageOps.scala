@@ -953,6 +953,124 @@ object ImageOps {
         element_at(segArr, col("ms_case").cast("int") + 1))
   }
 
+
+  /** Cross-tile 3×3 grayscale morphology (erosion = neighborhood min,
+    * dilation = neighborhood max over integer BT.601 luma, neighborhoods
+    * CLIPPED at the world rim) over the stitched tile mosaic — the
+    * distributed STENCIL/HALO-EXCHANGE pattern every raster pipeline
+    * needs: pixels whose whole 3×3 window lies inside their tile reduce
+    * locally with ZERO shuffle; only the tiles' outermost pixel ring is
+    * resolved through an exchange, fed by the two outermost rings (the
+    * halo) of each neighboring tile via 9-offset contribution rows — the
+    * q114/q120 discipline: slim (key, luma) rows move, tile payloads never
+    * do. Exchange volume is O(perimeter), not O(area): ~(4·16+4·(16−1))/256
+    * ≈ 23% of pixels here, and falling as 4/side with bigger tiles.
+    * Output: per tile, the eroded/dilated luma sums and the pixel counts
+    * of both legs (interior + edge) — a checksum that pins every output
+    * pixel of both operators. Opening/closing = composing this op twice.
+    */
+  def morphology(spark: SparkSession, tiles: DataFrame): DataFrame = {
+    import spark.implicits._
+    val Shift = 22 // world pixel key = wy << 22 | wx (same as q120)
+    val tagged = tiles
+      .select("bytes", "w", "h", "fmt", "tile_x", "tile_y")
+      .as[(Array[Byte], Int, Int, String, Int, Int)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (bytes, w, h, fmt, tx, ty) =>
+          val px = ImageCodec.decode(bytes, fmt, w, h)
+          val lum = new Array[Int](w * h)
+          var j = 0
+          while (j < w * h) {
+            lum(j) = (299 * (px(3 * j) & 0xFF) + 587 * (px(3 * j + 1) & 0xFF)
+              + 114 * (px(3 * j + 2) & 0xFF)) / 1000
+            j += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[
+            (Int, Long, Long, Long)] // (kind, k, a, b)
+          // interior leg: full window in-tile — local reduce, no shuffle
+          var eroSum = 0L; var dilSum = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              var mn = 255; var mx = 0
+              var dy = -1
+              while (dy <= 1) {
+                var dx = -1
+                while (dx <= 1) {
+                  val v = lum((y + dy) * w + x + dx)
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  dx += 1
+                }
+                dy += 1
+              }
+              eroSum += mn; dilSum += mx
+              x += 1
+            }
+            y += 1
+          }
+          out += ((0, tx.toLong * 65536 + ty, eroSum, dilSum))
+          // edge leg: the two outer rings contribute to every ring-0
+          // target pixel they neighbor (a ring-0 pixel's whole window
+          // lies within rings 0-1 of the surrounding tiles)
+          y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              if (x <= 1 || x >= w - 2 || y <= 1 || y >= h - 2) {
+                val wx = tx.toLong * w + x; val wy = ty.toLong * h + y
+                val v = lum(y * w + x).toLong
+                var dy = -1
+                while (dy <= 1) {
+                  var dx = -1
+                  while (dx <= 1) {
+                    val txx = wx + dx; val tyy = wy + dy
+                    val lx = ((txx % w) + w) % w; val ly = ((tyy % h) + h) % h
+                    if (txx >= 0 && tyy >= 0 &&
+                        (lx == 0 || lx == w - 1 || ly == 0 || ly == h - 1))
+                      out += ((1, (tyy << Shift) | txx, v,
+                        if (dx == 0 && dy == 0) 1L else 0L))
+                    dx += 1
+                  }
+                  dy += 1
+                }
+              }
+              x += 1
+            }
+            y += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("kind", "k", "a", "b")
+      .localCheckpoint() // decode once; both legs read the tagged frame
+    val interior = tagged.where(col("kind") === 0)
+      .select((col("k") / 65536).cast("long").as("tile_x"),
+        pmod(col("k"), lit(65536L)).cast("long").as("tile_y"),
+        col("a").as("ero_int"), col("b").as("dil_int"))
+    // a target group without its own self row is an out-of-world phantom
+    // (rim neighbors emitted it); drop those, keep clipped semantics
+    val edge = tagged.where(col("kind") === 1)
+      .groupBy("k")
+      .agg(min(col("a")).as("ero"), max(col("a")).as("dil"),
+        max(col("b")).as("has_self"))
+      .where(col("has_self") === 1L)
+      .select((pmod(col("k"), lit(1L << Shift)) / 16).cast("long")
+          .as("tile_x"),
+        (col("k") / (1L << Shift)).cast("long").divide(16).cast("long")
+          .as("tile_y"),
+        col("ero"), col("dil"))
+      .groupBy("tile_x", "tile_y")
+      .agg(sum(col("ero")).as("ero_edge"), sum(col("dil")).as("dil_edge"),
+        count(lit(1)).as("n_edge"))
+    interior.join(edge, Seq("tile_x", "tile_y"))
+      .select(col("tile_x"), col("tile_y"),
+        (col("ero_int") + col("ero_edge")).as("ero_sum"),
+        (col("dil_int") + col("dil_edge")).as("dil_sum"),
+        col("n_edge"))
+  }
+
   /** Bilinear resampling of tiles onto a `outW`×`outH` target grid (the
     * standard interpolating resize/reproject of a raster pipeline — the
     * average-pooling [[thumbnails]] op's quality upgrade). Sample
