@@ -928,6 +928,15 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q128_quadtree" -> ((s, d) => {
+      // adaptive quadtree cover of the image anchors: the downtown hot
+      // block descends to level 16 while the sparse lattice stays coarse.
+      // One closed-form pass (ancestor explode + counts), no iteration;
+      // the oracle replays the same bit math level by level.
+      SpatialOps.quadtreeLeaves(synthImages(s, d), "image_id",
+        "anchor_x", "anchor_y", baseLevel = 10, maxLevel = 16, cap = 64L)
+        .orderBy("level", "cell_id")
+    }),
     "q127_morphology" -> ((s, d) => {
       // cross-tile 3x3 grayscale morphology over the stitched mosaic —
       // the halo-exchange stencil: interiors reduce locally, only the
@@ -3294,6 +3303,25 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q128_quadtree" ->
+      // same finest-level Morton id, same ancestor shifts, same
+      // first-fitting-level rule with the monotone-counts collapse
+      s"""WITH p AS (SELECT image_id,
+              ${O.cell("anchor_x", "anchor_y", 16)} AS cmax
+            FROM ${O.inp("images")}),
+          e AS (SELECT image_id, cmax, l.l AS l,
+              (l.l << 48) | ((cmax & 281474976710655) >> (2*(16 - l.l))) AS cell
+            FROM p CROSS JOIN range(10, 17) l(l)),
+          c AS (SELECT l, cell, COUNT(*) AS n FROM e GROUP BY 1, 2),
+          leaf AS (SELECT e.image_id,
+              COALESCE(MIN(CASE WHEN c.n <= 64 THEN e.l END), 16) AS ll,
+              MIN(e.cmax) AS cmax
+            FROM e JOIN c ON c.l = e.l AND c.cell = e.cell
+            GROUP BY e.image_id)
+          SELECT CAST(ll AS BIGINT) AS level,
+            (ll << 48) | ((cmax & 281474976710655) >> (2*(16 - ll))) AS cell_id,
+            CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM leaf GROUP BY 1, 2 ORDER BY level, cell_id""",
     "q127_morphology" ->
       // same integer luma, clipped 3x3 min/max via 9 offset equi-joins,
       // same per-tile rollup with the ring-0 edge count

@@ -585,4 +585,46 @@ object SpatialOps {
       .agg(count(lit(1)).as("n_nbr"), sum(col("dm")).as("sum_dist_m"),
         min(col("dm")).as("min_dist_m"))
   }
+
+  /** Adaptive quadtree refinement (region quadtree / S2-style adaptive
+    * cell cover — the skew-adaptive answer to a fixed-level grid): a cell
+    * splits iff it holds more than `cap` points and is shallower than
+    * `maxLevel`; every point lands in its shallowest non-splitting
+    * ancestor. Because per-cell counts are monotone along an ancestor
+    * chain, the whole top-down recursion collapses into ONE closed-form
+    * pass — explode each point's ancestor chain (pure bit math off the
+    * finest-level Morton id), count per (level, cell), and pick the first
+    * level whose count fits — no iterative driver loop, no per-level job.
+    * Shuffles: one partial-aggregated count on (level, cell) and one
+    * slim-row join back; explode factor = maxLevel−baseLevel+1 rows per
+    * point of 3 longs each. Returns one row per LEAF: (level, cell_id,
+    * n_points) — dense hot spots descend to `maxLevel`, sparse country
+    * stays coarse, which is exactly the balanced-partition currency the
+    * fixed-level join (O-55/O-58) lacks on pathological skew.
+    */
+  def quadtreeLeaves(points: DataFrame, idCol: String, xCol: String,
+                     yCol: String, baseLevel: Int, maxLevel: Int,
+                     cap: Long): DataFrame = {
+    require(0 <= baseLevel && baseLevel <= maxLevel &&
+      maxLevel <= graft.geom.Cells.MaxLevel,
+      s"need 0 <= base <= max <= ${graft.geom.Cells.MaxLevel}")
+    val mask = (1L << (2 * graft.geom.Cells.MaxLevel)) - 1
+    val anc = points.select(col(idCol).as("__id"),
+        cell_encode(col(xCol), col(yCol), lit(maxLevel)).as("cmax"))
+      .select(col("__id"), col("cmax"),
+        explode(sequence(lit(baseLevel), lit(maxLevel))).as("l"))
+      .withColumn("cell", expr(
+        s"shiftleft(cast(l as bigint), ${2 * graft.geom.Cells.MaxLevel}) " +
+          s"| shiftright(cmax & $mask, 2 * ($maxLevel - l))"))
+    val counts = anc.groupBy("l", "cell").agg(count(lit(1)).as("n"))
+    anc.join(counts, Seq("l", "cell"))
+      .groupBy("__id")
+      .agg(coalesce(min(when(col("n") <= cap, col("l"))),
+        lit(maxLevel)).as("level"), min(col("cmax")).as("cmax"))
+      .select(col("level"), expr(
+        s"shiftleft(cast(level as bigint), ${2 * graft.geom.Cells.MaxLevel})" +
+          s" | shiftright(cmax & $mask, 2 * ($maxLevel - level))")
+        .as("cell_id"))
+      .groupBy("level", "cell_id").agg(count(lit(1)).as("n_points"))
+  }
 }
