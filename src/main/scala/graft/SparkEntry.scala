@@ -45,6 +45,25 @@ object SparkEntry {
     Synth.withAnchors(Synth.images(s, nImages(sf), nBuildings(sf)).toDF(), nBuildings(sf))
   }
 
+
+  /** Seeded integer-coordinate segment layer for the q129 overlay join:
+    * endpoints on a [0, 4096)^2 grid, per-axis extent <= 192 so the
+    * level-13 (128 m) cell cover of any segment AABB stays O(1). Pure
+    * column math; the dump carries the values, so the oracle never
+    * re-derives the generator.
+    */
+  private[graft] def synthSegments(s: SparkSession, n: Long,
+                                   salt: Long): DataFrame = {
+    val h = (k: Long) => xxhash64(col("id"), lit(salt + k))
+    s.range(n).select(col("id").as("seg_id"),
+        pmod(h(0), lit(4096L)).as("x1"), pmod(h(1), lit(4096L)).as("y1"),
+        (pmod(h(2), lit(385L)) - 192L).as("dx"),
+        (pmod(h(3), lit(385L)) - 192L).as("dy"))
+      .select(col("seg_id"), col("x1"), col("y1"),
+        greatest(lit(0L), least(lit(4095L), col("x1") + col("dx"))).as("x2"),
+        greatest(lit(0L), least(lit(4095L), col("y1") + col("dy"))).as("y2"))
+  }
+
   /** q62 fixtures (shared by the query and dumpInputs so the dumped edge
     * table is in lockstep with what the engine clusters): a chained
     * near-dup corpus and the union of minhash + simhash near-dup edge
@@ -211,6 +230,12 @@ object SparkEntry {
       (c, code) <- book.zipWithIndex.toSeq
     } yield (si, code, c.toSeq)).toDF("sub_idx", "code", "centroid"),
       "pq_codebooks")
+    // q129 segment layers (values carried by the dump — the oracle's
+    // cross-join replay is blocking-independent)
+    w(synthSegments(s, math.max(64L, (40000 * sfOf(sfDir)).toLong), 11L),
+      "seg_a")
+    w(synthSegments(s, math.max(96L, (60000 * sfOf(sfDir)).toLong), 77L),
+      "seg_b")
     // stitched-mosaic tile pixels (world tile coords ride along): q114's
     // oracle rebuilds the whole-raster pixel graph from this dump
     w(Synth.mosaicTiles(s, mosaicSide(sfOf(sfDir)))
@@ -927,6 +952,16 @@ object SparkEntry {
             * lit(1000000000.0), 0).cast("long"))
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
+    }),
+    "q129_seg_crossings" -> ((s, d) => {
+      // line-feature overlay: proper segment crossings between two seeded
+      // layers — cell-cover blocked equi-join + exact integer orientation
+      // tests; the oracle is a blocking-independent cross join over the
+      // dumped layers with the same sign tests.
+      SpatialOps.segmentCrossings(
+        synthSegments(s, math.max(64L, (40000 * sfOf(d)).toLong), 11L),
+        synthSegments(s, math.max(96L, (60000 * sfOf(d)).toLong), 77L))
+        .orderBy("a_id", "b_id")
     }),
     "q128_quadtree" -> ((s, d) => {
       // adaptive quadtree cover of the image anchors: the downtown hot
@@ -3303,6 +3338,16 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q129_seg_crossings" ->
+      // proper crossing iff both segments strictly separate each other's
+      // endpoints: products of integer orientation determinants < 0
+      s"""SELECT a.seg_id AS a_id, b.seg_id AS b_id
+          FROM ${O.inp("seg_a")} a CROSS JOIN ${O.inp("seg_b")} b
+          WHERE ((a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1))
+              * ((a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1)) < 0
+            AND ((b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1))
+              * ((b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1)) < 0
+          ORDER BY a_id, b_id""",
     "q128_quadtree" ->
       // same finest-level Morton id, same ancestor shifts, same
       // first-fitting-level rule with the monotone-counts collapse

@@ -586,6 +586,50 @@ object SpatialOps {
         min(col("dm")).as("min_dist_m"))
   }
 
+
+  /** Proper segment-crossing join between two line layers (road × wall /
+    * trajectory × boundary overlay — the line-feature sibling of the PIP
+    * join): candidate pairs from a cell-cover equi-join on the segments'
+    * AABB covers (a crossing pair's AABBs overlap, and overlapping AABB
+    * covers on one lattice always share a cell — recall-lossless), then
+    * the exact test as pure integer column math: segments cross properly
+    * iff each strictly separates the other's endpoints (both products of
+    * orientation determinants < 0; touching/collinear excluded by the
+    * strict sign, deterministic on integer coordinates). Multi-cell
+    * duplicates collapse with a distinct on the surviving pairs — the
+    * filter runs first, so the exchange dedups crossing pairs only, not
+    * candidates.
+    */
+  def segmentCrossings(segA: DataFrame, segB: DataFrame,
+                       level: Int = 13): DataFrame = {
+    def covered(df: DataFrame, p: String): DataFrame =
+      df.select(col("seg_id").as(s"${p}_id"),
+        col("x1").as(s"${p}x1"), col("y1").as(s"${p}y1"),
+        col("x2").as(s"${p}x2"), col("y2").as(s"${p}y2"),
+        explode(cell_cover(
+          least(col("x1"), col("x2")).cast("double"),
+          least(col("y1"), col("y2")).cast("double"),
+          greatest(col("x1"), col("x2")).cast("double"),
+          greatest(col("y1"), col("y2")).cast("double"),
+          lit(level))).as("cell"))
+    def orient(px: Column, py: Column, qx: Column, qy: Column,
+               rx: Column, ry: Column): Column =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val a = covered(segA, "a")
+    val b = covered(segB, "b")
+    a.join(b, Seq("cell"))
+      .where(
+        orient(col("ax1"), col("ay1"), col("ax2"), col("ay2"),
+          col("bx1"), col("by1")) *
+        orient(col("ax1"), col("ay1"), col("ax2"), col("ay2"),
+          col("bx2"), col("by2")) < 0 &&
+        orient(col("bx1"), col("by1"), col("bx2"), col("by2"),
+          col("ax1"), col("ay1")) *
+        orient(col("bx1"), col("by1"), col("bx2"), col("by2"),
+          col("ax2"), col("ay2")) < 0)
+      .select("a_id", "b_id").distinct()
+  }
+
   /** Adaptive quadtree refinement (region quadtree / S2-style adaptive
     * cell cover — the skew-adaptive answer to a fixed-level grid): a cell
     * splits iff it holds more than `cap` points and is shallower than
