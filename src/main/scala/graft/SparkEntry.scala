@@ -953,6 +953,36 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q130_hilbert_skip" -> ((s, d) => {
+      // OPTIMIZE with the curve upgraded: ONE Hilbert-clustered layout
+      // prunes range reads on BOTH dimensions (per-dim `skipped` pins,
+      // the q84 shape), plus a key-exactness leg — bit_xor of the 8-bit
+      // Hilbert index over every doc, replayed step-for-step in SQL.
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q130_data").getAbsolutePath
+      val docs = s.read.parquet(p(d, "documents"))
+        .select("doc_id", "source", "n_chars")
+      graft.sources.StatsManifest.hilbertWrite(docs, dir, "doc_id",
+        "n_chars", 16)
+      def leg(c: String, lo: Long, hi: Long): DataFrame = {
+        val (pr, opened, total) =
+          graft.sources.StatsManifest.prunedRead(s, dir, c, lo, hi)
+        pr.agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("chars_sum"))
+          .select(lit(c).as("dim"), col("n_rows"), col("id_sum"),
+            col("chars_sum"), lit(opened < total).as("skipped"))
+      }
+      val keyLeg = docs.select(graft.expr.GeomFunctions.hilbert_index(
+          pmod(col("doc_id"), lit(256L)), pmod(col("n_chars"), lit(256L)),
+          lit(8)).as("hk"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(hk)").as("id_sum"),
+          lit(0L).as("chars_sum"))
+        .select(lit("key_xor").as("dim"), col("n_rows"), col("id_sum"),
+          col("chars_sum"), lit(true).as("skipped"))
+      leg("doc_id", 100L, 140L).unionByName(leg("n_chars", 150L, 300L))
+        .unionByName(keyLeg).orderBy("dim")
+    }),
     "q129_seg_crossings" -> ((s, d) => {
       // line-feature overlay: proper segment crossings between two seeded
       // layers — cell-cover blocked equi-join + exact integer orientation
@@ -3338,6 +3368,87 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q130_hilbert_skip" ->
+      // pruning legs replay as plain filters (equality proves no pruned
+      // scan lost rows, `skipped` pinned TRUE); the key leg replays the
+      // 8 xy2d rotation steps as chained CTEs — same integer math
+      s"""WITH h0 AS (SELECT doc_id, doc_id % 256 AS x, n_chars % 256 AS y,
+            CAST(0 AS BIGINT) AS d FROM documents),
+          h1 AS (SELECT doc_id,
+            CASE WHEN (y & 128) = 0 THEN CASE WHEN (x & 128) > 0
+              THEN 128-1-y ELSE y END ELSE x END AS x,
+            CASE WHEN (y & 128) = 0 THEN CASE WHEN (x & 128) > 0
+              THEN 128-1-x ELSE x END ELSE y END AS y,
+            d + 16384 * xor(CASE WHEN (x & 128) > 0 THEN 3 ELSE 0 END,
+              CASE WHEN (y & 128) > 0 THEN 1 ELSE 0 END) AS d
+          FROM h0),
+          h2 AS (SELECT doc_id,
+            CASE WHEN (y & 64) = 0 THEN CASE WHEN (x & 64) > 0
+              THEN 64-1-y ELSE y END ELSE x END AS x,
+            CASE WHEN (y & 64) = 0 THEN CASE WHEN (x & 64) > 0
+              THEN 64-1-x ELSE x END ELSE y END AS y,
+            d + 4096 * xor(CASE WHEN (x & 64) > 0 THEN 3 ELSE 0 END,
+              CASE WHEN (y & 64) > 0 THEN 1 ELSE 0 END) AS d
+          FROM h1),
+          h3 AS (SELECT doc_id,
+            CASE WHEN (y & 32) = 0 THEN CASE WHEN (x & 32) > 0
+              THEN 32-1-y ELSE y END ELSE x END AS x,
+            CASE WHEN (y & 32) = 0 THEN CASE WHEN (x & 32) > 0
+              THEN 32-1-x ELSE x END ELSE y END AS y,
+            d + 1024 * xor(CASE WHEN (x & 32) > 0 THEN 3 ELSE 0 END,
+              CASE WHEN (y & 32) > 0 THEN 1 ELSE 0 END) AS d
+          FROM h2),
+          h4 AS (SELECT doc_id,
+            CASE WHEN (y & 16) = 0 THEN CASE WHEN (x & 16) > 0
+              THEN 16-1-y ELSE y END ELSE x END AS x,
+            CASE WHEN (y & 16) = 0 THEN CASE WHEN (x & 16) > 0
+              THEN 16-1-x ELSE x END ELSE y END AS y,
+            d + 256 * xor(CASE WHEN (x & 16) > 0 THEN 3 ELSE 0 END,
+              CASE WHEN (y & 16) > 0 THEN 1 ELSE 0 END) AS d
+          FROM h3),
+          h5 AS (SELECT doc_id,
+            CASE WHEN (y & 8) = 0 THEN CASE WHEN (x & 8) > 0
+              THEN 8-1-y ELSE y END ELSE x END AS x,
+            CASE WHEN (y & 8) = 0 THEN CASE WHEN (x & 8) > 0
+              THEN 8-1-x ELSE x END ELSE y END AS y,
+            d + 64 * xor(CASE WHEN (x & 8) > 0 THEN 3 ELSE 0 END,
+              CASE WHEN (y & 8) > 0 THEN 1 ELSE 0 END) AS d
+          FROM h4),
+          h6 AS (SELECT doc_id,
+            CASE WHEN (y & 4) = 0 THEN CASE WHEN (x & 4) > 0
+              THEN 4-1-y ELSE y END ELSE x END AS x,
+            CASE WHEN (y & 4) = 0 THEN CASE WHEN (x & 4) > 0
+              THEN 4-1-x ELSE x END ELSE y END AS y,
+            d + 16 * xor(CASE WHEN (x & 4) > 0 THEN 3 ELSE 0 END,
+              CASE WHEN (y & 4) > 0 THEN 1 ELSE 0 END) AS d
+          FROM h5),
+          h7 AS (SELECT doc_id,
+            CASE WHEN (y & 2) = 0 THEN CASE WHEN (x & 2) > 0
+              THEN 2-1-y ELSE y END ELSE x END AS x,
+            CASE WHEN (y & 2) = 0 THEN CASE WHEN (x & 2) > 0
+              THEN 2-1-x ELSE x END ELSE y END AS y,
+            d + 4 * xor(CASE WHEN (x & 2) > 0 THEN 3 ELSE 0 END,
+              CASE WHEN (y & 2) > 0 THEN 1 ELSE 0 END) AS d
+          FROM h6),
+          h8 AS (SELECT doc_id,
+            CASE WHEN (y & 1) = 0 THEN CASE WHEN (x & 1) > 0
+              THEN 1-1-y ELSE y END ELSE x END AS x,
+            CASE WHEN (y & 1) = 0 THEN CASE WHEN (x & 1) > 0
+              THEN 1-1-x ELSE x END ELSE y END AS y,
+            d + 1 * xor(CASE WHEN (x & 1) > 0 THEN 3 ELSE 0 END,
+              CASE WHEN (y & 1) > 0 THEN 1 ELSE 0 END) AS d
+          FROM h7)
+          SELECT 'doc_id' AS dim, COUNT(*)::BIGINT AS n_rows,
+            CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+            CAST(SUM(n_chars) AS BIGINT) AS chars_sum, TRUE AS skipped
+          FROM documents WHERE doc_id BETWEEN 100 AND 140
+          UNION ALL
+          SELECT 'key_xor', COUNT(*)::BIGINT, bit_xor(d), 0, TRUE FROM h8
+          UNION ALL
+          SELECT 'n_chars', COUNT(*)::BIGINT, CAST(SUM(doc_id) AS BIGINT),
+            CAST(SUM(n_chars) AS BIGINT), TRUE
+          FROM documents WHERE n_chars BETWEEN 150 AND 300
+          ORDER BY dim""",
     "q129_seg_crossings" ->
       // proper crossing iff both segments strictly separate each other's
       // endpoints: products of integer orientation determinants < 0

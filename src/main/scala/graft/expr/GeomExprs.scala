@@ -220,6 +220,27 @@ case class CellEncodeExpr(px: Expression, py: Expression, lvl: Expression)
     copy(a, b, c)
 }
 
+
+/** Hilbert index on a 2^bits grid — full codegen (static kernel call), so
+  * layout writes keep the key inside whole-stage codegen.
+  */
+case class HilbertIndexExpr(px: Expression, py: Expression, bits: Expression)
+    extends TernaryExpression with GraftExpectsInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(LongType, LongType, IntegerType)
+  override def first: Expression = px
+  override def second: Expression = py
+  override def third: Expression = bits
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(x: Any, y: Any, b: Any): Any =
+    Cells.hilbert(x.asInstanceOf[Long], y.asInstanceOf[Long], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, b) =>
+      s"${ev.value} = graft.geom.Cells.hilbert($x, $y, $b);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(a, b, c)
+}
+
 /** O-56 CellCover — cells overlapping an AABB at a level (array<long>). */
 case class CellCoverExpr(children: Seq[Expression])
     extends Expression with CodegenFallback with GraftExpectsInputTypes {
@@ -289,6 +310,8 @@ object GeomFunctions {
     col(PipContainsExpr(x(px), x(py), x(tri)))
   def cell_encode(px: Column, py: Column, level: Column): Column =
     col(CellEncodeExpr(x(px), x(py), x(level)))
+  def hilbert_index(px: Column, py: Column, bits: Column): Column =
+    col(HilbertIndexExpr(x(px), x(py), x(bits)))
   def cell_cover(xmin: Column, ymin: Column, xmax: Column, ymax: Column, level: Column): Column =
     col(CellCoverExpr(Seq(x(xmin), x(ymin), x(xmax), x(ymax), x(level))))
   def cell_neighbors(cell: Column): Column = col(CellNeighborsExpr(x(cell)))
@@ -311,6 +334,7 @@ object GeomFunctions {
     "pip_contains" -> (es => PipContainsExpr(es(0), es(1), es(2))),
     "cell_encode" -> (es => CellEncodeExpr(es(0), es(1), es(2))),
     "cell_cover" -> (es => CellCoverExpr(es)),
+    "hilbert_index" -> (es => HilbertIndexExpr(es(0), es(1), es(2))),
     "cell_neighbors" -> (es => CellNeighborsExpr(es.head)),
     "hull_3d" -> (es => Hull3DExpr(es.head)),
     "simhash64" -> (es => SimHashExpr(es.head)),

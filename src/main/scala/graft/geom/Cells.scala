@@ -96,6 +96,51 @@ object Cells {
     out
   }
 
+
+  /** Hilbert curve index of (x, y) on a 2^bits × 2^bits grid (the
+    * iterative xy2d form — Hilbert 1891; public). Unlike Morton order,
+    * consecutive indices are ALWAYS grid neighbors, so file ranges cut
+    * from a Hilbert sort carry the tightest per-file bounding boxes any
+    * space-filling layout can give — the locality currency behind
+    * StatsManifest.hilbertWrite.
+    */
+  def hilbert(x0: Long, y0: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    var x = x0 & mask; var y = y0 & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Inverse (d2xy) — test harness for the bijectivity/adjacency pins. */
+  def hilbertInv(d0: Long, bits: Int): (Long, Long) = {
+    var x = 0L; var y = 0L
+    var t = d0
+    var s = 1L
+    while (s < (1L << bits)) {
+      val rx = (t / 2) & 1
+      val ry = (t ^ rx) & 1
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val tt = x; x = y; y = tt
+      }
+      x += s * rx; y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
+
   /** Range-bucket lookup for explicit range partitioning (SURVEY.md O-59):
     * index of the equi-depth bucket containing `cell`, given sorted upper
     * boundaries. Pure bit-free math, Java-callable for expression codegen.
