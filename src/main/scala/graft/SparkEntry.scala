@@ -953,6 +953,12 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q131_otsu" -> ((s, d) => {
+      // Otsu binarization threshold per image — exact integer/double
+      // argmax, replayed in SQL as a cumulative window over the luma
+      // histogram from the pixel dump.
+      ImageOps.otsuThreshold(s, synthImages(s, d)).orderBy("image_id")
+    }),
     "q130_hilbert_skip" -> ((s, d) => {
       // OPTIMIZE with the curve upgraded: ONE Hilbert-clustered layout
       // prunes range reads on BOTH dimensions (per-dim `skipped` pins,
@@ -3368,6 +3374,37 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q131_otsu" ->
+      // same candidate set (populated bins + 1), same exact score, same
+      // first-maximum tie-break via (score DESC, t ASC)
+      s"""WITH l AS (SELECT image_id,
+              ((299*px[j.j*3+1] + 587*px[j.j*3+2] + 114*px[j.j*3+3])
+                // 1000) AS lum
+            FROM ${O.inp("pixels")}, range(0,256) AS j(j)),
+          h AS (SELECT image_id, lum, CAST(COUNT(*) AS BIGINT) AS c
+                FROM l GROUP BY 1, 2),
+          tot AS (SELECT image_id, CAST(SUM(c) AS BIGINT) AS n,
+                CAST(SUM(c * lum) AS BIGINT) AS stot FROM h GROUP BY 1),
+          cum AS (SELECT image_id, lum,
+              CAST(SUM(c) OVER w AS BIGINT) AS c0,
+              CAST(SUM(c * lum) OVER w AS BIGINT) AS s0
+            FROM h WINDOW w AS (PARTITION BY image_id ORDER BY lum
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          sc AS (SELECT cum.image_id, cum.lum + 1 AS t,
+              tot.n - cum.c0 AS c1, tot.stot - cum.s0 AS s1,
+              CAST((cum.s0*(tot.n - cum.c0)
+                  - (tot.stot - cum.s0)*cum.c0)
+                * (cum.s0*(tot.n - cum.c0)
+                  - (tot.stot - cum.s0)*cum.c0) AS DOUBLE)
+                / (cum.c0 * (tot.n - cum.c0)) AS score
+            FROM cum JOIN tot USING (image_id)
+            WHERE tot.n - cum.c0 > 0),
+          best AS (SELECT image_id, t, c1, s1, ROW_NUMBER() OVER
+              (PARTITION BY image_id ORDER BY score DESC, t ASC) AS rn
+            FROM sc)
+          SELECT image_id, CAST(t AS BIGINT) AS otsu_t,
+            c1 AS n_fg, s1 AS fg_luma_sum
+          FROM best WHERE rn = 1 ORDER BY image_id""",
     "q130_hilbert_skip" ->
       // pruning legs replay as plain filters (equality proves no pruned
       // scan lost rows, `skipped` pinned TRUE); the key leg replays the

@@ -954,6 +954,59 @@ object ImageOps {
   }
 
 
+
+  /** Otsu's method (Otsu 1979 — public): per image, the histogram
+    * threshold maximizing inter-class variance, in EXACT cross-engine
+    * arithmetic. Candidates are `v+1` for each populated luma bin v (the
+    * score is constant between populated bins, so this scans every
+    * distinct split); score = (s0·c1 − s1·c0)² / (c0·c1) with integer
+    * operands ≤ 2^48, so the double is exact and the argmax (first
+    * maximum = smallest t) is engine-independent — no epsilon, no float
+    * drift. One decode pass, one 256-long histogram per image, slim
+    * output rows; the oracle replays the same scan as a cumulative
+    * window over the per-bin histogram.
+    */
+  def otsuThreshold(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions(_.flatMap { case (id, bytes, w, h, fmt) =>
+        val px = ImageCodec.decode(bytes, fmt, w, h)
+        val hist = new Array[Long](256)
+        val n = w * h
+        var j = 0
+        while (j < n) {
+          hist((299 * (px(3 * j) & 0xFF) + 587 * (px(3 * j + 1) & 0xFF)
+            + 114 * (px(3 * j + 2) & 0xFF)) / 1000) += 1
+          j += 1
+        }
+        var sTot = 0L
+        var v = 0
+        while (v < 256) { sTot += v.toLong * hist(v); v += 1 }
+        var bestT = -1L; var bestScore = -1.0
+        var bestC1 = 0L; var bestS1 = 0L
+        var c0 = 0L; var s0 = 0L
+        v = 0
+        while (v < 255) { // candidate threshold t = v+1 (class0: lum <= v)
+          if (hist(v) > 0) {
+            c0 += hist(v); s0 += v.toLong * hist(v)
+            val c1 = n - c0
+            if (c1 > 0) {
+              val num = s0 * c1 - (sTot - s0) * c0
+              val score = (num * num).toDouble / (c0 * c1).toDouble
+              if (score > bestScore) {
+                bestScore = score; bestT = v + 1L
+                bestC1 = c1; bestS1 = sTot - s0
+              }
+            }
+          }
+          v += 1
+        }
+        if (bestT < 0) None // constant image: no split has two classes
+        else Some((id, bestT, bestC1, bestS1))
+      }).toDF("image_id", "otsu_t", "n_fg", "fg_luma_sum")
+  }
+
   /** Cross-tile 3×3 grayscale morphology (erosion = neighborhood min,
     * dilation = neighborhood max over integer BT.601 luma, neighborhoods
     * CLIPPED at the world rim) over the stitched tile mosaic — the
