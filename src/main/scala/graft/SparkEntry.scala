@@ -64,6 +64,16 @@ object SparkEntry {
         greatest(lit(0L), least(lit(4095L), col("y1") + col("dy"))).as("y2"))
   }
 
+
+  /** Seeded integer point layer for the q132 snap join (same grid as the
+    * segment layers).
+    */
+  private[graft] def synthPoints(s: SparkSession, n: Long,
+                                 salt: Long): DataFrame =
+    s.range(n).select(col("id").as("point_id"),
+      pmod(xxhash64(col("id"), lit(salt)), lit(4096L)).as("x"),
+      pmod(xxhash64(col("id"), lit(salt + 1)), lit(4096L)).as("y"))
+
   /** q62 fixtures (shared by the query and dumpInputs so the dumped edge
     * table is in lockstep with what the engine clusters): a chained
     * near-dup corpus and the union of minhash + simhash near-dup edge
@@ -236,6 +246,8 @@ object SparkEntry {
       "seg_a")
     w(synthSegments(s, math.max(96L, (60000 * sfOf(sfDir)).toLong), 77L),
       "seg_b")
+    w(synthPoints(s, math.max(128L, (200000 * sfOf(sfDir)).toLong), 401L),
+      "snap_points")
     // stitched-mosaic tile pixels (world tile coords ride along): q114's
     // oracle rebuilds the whole-raster pixel graph from this dump
     w(Synth.mosaicTiles(s, mosaicSide(sfOf(sfDir)))
@@ -952,6 +964,17 @@ object SparkEntry {
             * lit(1000000000.0), 0).cast("long"))
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
+    }),
+    "q132_snap" -> ((s, d) => {
+      // nearest-segment snap within radius 64: buffered-cover candidate
+      // join, exact integer distance with ONE final division, smallest
+      // seg_id tie-break; the oracle is the blocking-independent brute
+      // argmin over the dumped layers.
+      SpatialOps.snapToSegments(
+        synthPoints(s, math.max(128L, (200000 * sfOf(d)).toLong), 401L),
+        synthSegments(s, math.max(64L, (40000 * sfOf(d)).toLong), 11L),
+        radius = 64L)
+        .orderBy("point_id")
     }),
     "q131_otsu" -> ((s, d) => {
       // Otsu binarization threshold per image — exact integer/double
@@ -3374,6 +3397,28 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q132_snap" ->
+      // exact same piecewise distance (endpoint / projection arms, one
+      // IEEE division), same radius filter and (d2, seg_id) argmin
+      s"""WITH c AS (SELECT p.point_id, s.seg_id,
+              p.x - s.x1 AS vx, p.y - s.y1 AS vy,
+              p.x - s.x2 AS wx, p.y - s.y2 AS wy,
+              s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy
+            FROM ${O.inp("snap_points")} p
+            CROSS JOIN ${O.inp("seg_a")} s),
+          d AS (SELECT point_id, seg_id,
+              CASE WHEN dx*dx + dy*dy = 0 OR vx*dx + vy*dy <= 0
+                THEN CAST(vx*vx + vy*vy AS DOUBLE)
+              WHEN vx*dx + vy*dy >= dx*dx + dy*dy
+                THEN CAST(wx*wx + wy*wy AS DOUBLE)
+              ELSE CAST((vx*dy - vy*dx)*(vx*dy - vy*dx) AS DOUBLE)
+                / (dx*dx + dy*dy) END AS d2
+            FROM c),
+          f AS (SELECT point_id, seg_id, d2, ROW_NUMBER() OVER
+              (PARTITION BY point_id ORDER BY d2 ASC, seg_id ASC) AS rn
+            FROM d WHERE d2 <= 4096.0)
+          SELECT point_id, seg_id, d2 FROM f WHERE rn = 1
+          ORDER BY point_id""",
     "q131_otsu" ->
       // same candidate set (populated bins + 1), same exact score, same
       // first-maximum tie-break via (score DESC, t ASC)

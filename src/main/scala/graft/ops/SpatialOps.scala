@@ -587,6 +587,55 @@ object SpatialOps {
   }
 
 
+
+  /** Snap-to-road (map-matching primitive): each point joins its nearest
+    * segment within `radius`, by exact point-to-segment distance. The
+    * candidate join is recall-complete — a point within `radius` of a
+    * segment lies in a cell overlapping the segment's radius-buffered
+    * AABB, so the buffered cell cover vs the point's own cell is an
+    * equi-join that can never miss. Distance stays INTEGER until one
+    * final division (cross² / len2, operands ≤ 2^50 — exact doubles,
+    * identical IEEE op in the SQL replay); ties break to the smallest
+    * seg_id; points with no segment in range drop. Exchange carries slim
+    * (cell, id, 4 coords) rows; the per-point argmin is a window over
+    * candidates only.
+    */
+  def snapToSegments(points: DataFrame, segments: DataFrame, radius: Long,
+                     level: Int = 13): DataFrame = {
+    val r = radius.toDouble
+    val segC = segments.select(col("seg_id"),
+      col("x1"), col("y1"), col("x2"), col("y2"),
+      explode(cell_cover(
+        least(col("x1"), col("x2")).cast("double") - r,
+        least(col("y1"), col("y2")).cast("double") - r,
+        greatest(col("x1"), col("x2")).cast("double") + r,
+        greatest(col("y1"), col("y2")).cast("double") + r,
+        lit(level))).as("cell"))
+    val ptsC = points.select(col("point_id"), col("x"), col("y"),
+      cell_encode(col("x").cast("double"), col("y").cast("double"),
+        lit(level)).as("cell"))
+    val vx = col("x") - col("x1"); val vy = col("y") - col("y1")
+    val wx = col("x") - col("x2"); val wy = col("y") - col("y2")
+    val dx = col("x2") - col("x1"); val dy = col("y2") - col("y1")
+    val len2 = dx * dx + dy * dy
+    val tnum = vx * dx + vy * dy
+    val cross = vx * dy - vy * dx
+    val d2 = when(len2 === 0 || tnum <= 0,
+        (vx * vx + vy * vy).cast("double"))
+      .when(tnum >= len2, (wx * wx + wy * wy).cast("double"))
+      .otherwise((cross * cross).cast("double") / len2)
+    val byPoint = org.apache.spark.sql.expressions.Window
+      .partitionBy("point_id")
+      .orderBy(col("d2").asc, col("seg_id").asc)
+    ptsC.join(segC, Seq("cell"))
+      .withColumn("d2", d2)
+      .where(col("d2") <= lit((radius * radius).toDouble))
+      .select("point_id", "seg_id", "d2")
+      .distinct() // a pair can meet in several cells — same exact d2
+      .withColumn("rn", row_number().over(byPoint))
+      .where(col("rn") === 1).drop("rn")
+  }
+
   /** Proper segment-crossing join between two line layers (road × wall /
     * trajectory × boundary overlay — the line-feature sibling of the PIP
     * join): candidate pairs from a cell-cover equi-join on the segments'
