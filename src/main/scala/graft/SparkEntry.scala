@@ -74,6 +74,39 @@ object SparkEntry {
       pmod(xxhash64(col("id"), lit(salt)), lit(4096L)).as("x"),
       pmod(xxhash64(col("id"), lit(salt + 1)), lit(4096L)).as("y"))
 
+
+  /** Seeded walker tracks for the q133 dwell op: 30 s steps, per-walker
+    * 20-step blocks where ~1/3 freeze in place (planted stops), positions
+    * offset to stay positive (the `div`-vs-`//` floor contract).
+    */
+  private[graft] def synthTracks(s: SparkSession, nWalkers: Long,
+                                 nSteps: Long): DataFrame = {
+    val byW = org.apache.spark.sql.expressions.Window
+      .partitionBy("walker_id").orderBy("seq")
+    s.range(nWalkers * nSteps)
+      .select((col("id") / nSteps).cast("long").as("walker_id"),
+        pmod(col("id"), lit(nSteps)).as("seq"))
+      .withColumn("pause",
+        pmod(xxhash64(col("walker_id"), expr("seq div 20"), lit(77L)),
+          lit(3L)) === 0L)
+      .withColumn("dx", when(col("pause"), lit(0L)).otherwise(
+        pmod(xxhash64(col("walker_id"), col("seq"), lit(501L)), lit(21L))
+          - 10L))
+      .withColumn("dy", when(col("pause"), lit(0L)).otherwise(
+        pmod(xxhash64(col("walker_id"), col("seq"), lit(502L)), lit(21L))
+          - 10L))
+      .select(col("walker_id"), col("seq"),
+        (lit(1700000000000000L) + col("seq") * 30000000L).as("ts_us"),
+        (lit(100000L) + pmod(xxhash64(col("walker_id"), lit(1000L)),
+          lit(4096L)) + sum(col("dx")).over(byW.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))).as("x"),
+        (lit(100000L) + pmod(xxhash64(col("walker_id"), lit(1001L)),
+          lit(4096L)) + sum(col("dy")).over(byW.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))).as("y"))
+  }
+
   /** q62 fixtures (shared by the query and dumpInputs so the dumped edge
     * table is in lockstep with what the engine clusters): a chained
     * near-dup corpus and the union of minhash + simhash near-dup edge
@@ -248,6 +281,8 @@ object SparkEntry {
       "seg_b")
     w(synthPoints(s, math.max(128L, (200000 * sfOf(sfDir)).toLong), 401L),
       "snap_points")
+    w(synthTracks(s, math.max(16L, (20000 * sfOf(sfDir)).toLong), 200L),
+      "tracks")
     // stitched-mosaic tile pixels (world tile coords ride along): q114's
     // oracle rebuilds the whole-raster pixel graph from this dump
     w(Synth.mosaicTiles(s, mosaicSide(sfOf(sfDir)))
@@ -964,6 +999,16 @@ object SparkEntry {
             * lit(1000000000.0), 0).cast("long"))
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
+    }),
+    "q133_stops" -> ((s, d) => {
+      // trajectory stop detection: same-cell dwell runs of >= 10 points
+      // (>= 5 min at 30 s cadence) over the seeded walker tracks; the
+      // oracle replays cell assignment, LAG boundaries, and the
+      // ROWS-framed run ids from the track dump.
+      TrajectoryOps.stopDetection(
+        synthTracks(s, math.max(16L, (20000 * sfOf(d)).toLong), 200L),
+        cellSize = 64L, minPoints = 10)
+        .orderBy("walker_id", "enter_us")
     }),
     "q132_snap" -> ((s, d) => {
       // nearest-segment snap within radius 64: buffered-cover candidate
@@ -3397,6 +3442,25 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q133_stops" ->
+      // verbatim replay: same floor-div cells, same LAG break test, same
+      // running-sum run ids, same HAVING threshold
+      s"""WITH t AS (SELECT walker_id, seq, ts_us,
+              x // 64 AS cx, y // 64 AS cy
+            FROM ${O.inp("tracks")}),
+          b AS (SELECT *, CASE WHEN LAG(cx) OVER w = cx
+                AND LAG(cy) OVER w = cy THEN 0 ELSE 1 END AS brk
+            FROM t WINDOW w AS (PARTITION BY walker_id ORDER BY seq)),
+          g AS (SELECT *, SUM(brk) OVER (PARTITION BY walker_id
+              ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS grp FROM b)
+          SELECT walker_id, CAST(cx AS BIGINT) AS cx,
+            CAST(cy AS BIGINT) AS cy,
+            MIN(ts_us) AS enter_us, MAX(ts_us) AS exit_us,
+            CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM g GROUP BY walker_id, grp, cx, cy
+          HAVING COUNT(*) >= 10
+          ORDER BY walker_id, enter_us""",
     "q132_snap" ->
       // exact same piecewise distance (endpoint / projection arms, one
       // IEEE division), same radius filter and (d2, seg_id) argmin
