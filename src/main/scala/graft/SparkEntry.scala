@@ -1000,6 +1000,31 @@ object SparkEntry {
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
     }),
+    "q134_cdc" -> ((s, d) => {
+      // change data feed between merge-on-read snapshots: inserts /
+      // deletes / updates between sequence 2 (both base commits) and
+      // sequence 4 (delete + partial re-insert + fresh keys), with
+      // payload identity hashed pre/post. Oracle = the same commit
+      // arithmetic straight off documents.
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q134_data").getAbsolutePath
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      dirPath.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(dirPath, true)
+      import graft.sources.MergeOnRead
+      val docs = s.read.parquet(p(d, "documents")).select("doc_id", "text")
+      MergeOnRead.commitData(docs.where(col("doc_id") % 3 === 0), dir)
+      MergeOnRead.commitData(docs.where(col("doc_id") % 3 === 1), dir)
+      MergeOnRead.commitDeletes(docs.where(col("doc_id") % 9 === 0)
+        .select("doc_id"), dir, "doc_id")
+      MergeOnRead.commitData(
+        docs.where(col("doc_id") % 18 === 0)
+          .select(col("doc_id"),
+            concat(lit("updated: "), col("text")).as("text"))
+          .unionByName(docs.where(col("doc_id") % 3 === 2)), dir)
+      MergeOnRead.changesBetween(s, dir, "doc_id", Seq("text"), 2L, 4L)
+        .orderBy("doc_id")
+    }),
     "q133_stops" -> ((s, d) => {
       // trajectory stop detection: same-cell dwell runs of >= 10 points
       // (>= 5 min at 30 s cadence) over the seeded walker tracks; the
@@ -3442,6 +3467,20 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q134_cdc" ->
+      // inserts = fresh %3=2 keys; deletes = %9=0 keys not re-inserted;
+      // updates = %18=0 keys re-inserted with the new payload
+      s"""SELECT doc_id, 'insert' AS change_type,
+            CAST(-1 AS BIGINT) AS pre_h, ${O.md5n("text")} AS post_h
+          FROM documents WHERE doc_id % 3 = 2
+          UNION ALL
+          SELECT doc_id, 'delete', ${O.md5n("text")}, CAST(-1 AS BIGINT)
+          FROM documents WHERE doc_id % 9 = 0 AND doc_id % 18 <> 0
+          UNION ALL
+          SELECT doc_id, 'update', ${O.md5n("text")},
+            ${O.md5n("'updated: ' || text")}
+          FROM documents WHERE doc_id % 18 = 0
+          ORDER BY doc_id""",
     "q133_stops" ->
       // verbatim replay: same floor-div cells, same LAG break test, same
       // running-sum run ids, same HAVING threshold

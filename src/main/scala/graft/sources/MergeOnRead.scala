@@ -118,4 +118,53 @@ object MergeOnRead {
       .foreach(fs.delete(_, true))
     commitDataAt(merged, dir, seq)
   }
+
+  /** Snapshot read as of `asOfSeq`: data files committed at or below it,
+    * deletes applied only if their sequence is also at or below it.
+    */
+  def readAsOf(spark: SparkSession, dir: String, keyCol: String,
+               asOfSeq: Long): DataFrame = {
+    val data = spark.read.parquet(dir)
+      .withColumn("src_seq", regexp_extract(col("_metadata.file_path"),
+        "data-s([0-9]+)-", 1).cast("long"))
+      .where(col("src_seq") <= asOfSeq)
+    val (fs, p) = fsOf(spark, dir)
+    val delDir = new org.apache.hadoop.fs.Path(p, "_deletes")
+    if (!fs.exists(delDir)) return data
+    val dels = spark.read.parquet(delDir.toString)
+      .where(col("seq") <= asOfSeq)
+      .select(col(keyCol).as("__dk"), col("seq").as("__dseq"))
+    data.join(broadcast(dels),
+      data(keyCol) === col("__dk") && col("__dseq") > col("src_seq"),
+      "left_anti")
+  }
+
+  /** Change data feed between two snapshot sequences (Delta CDF /
+    * Iceberg changelog semantics over unique keys): 'insert' for keys
+    * live only in `toSeq`, 'delete' for keys live only in `fromSeq`,
+    * 'update' for keys live in both with a different payload —
+    * unchanged rows emit nothing. `valueCols` define payload identity
+    * (md5-hashed, truncated to the engine's 60-bit convention; -1 marks
+    * the absent side so the output is null-free). One full-outer
+    * sort-merge join on the key; both legs are ordinary pruned scans.
+    */
+  def changesBetween(spark: SparkSession, dir: String, keyCol: String,
+                     valueCols: Seq[String], fromSeq: Long,
+                     toSeq: Long): DataFrame = {
+    def h(df: DataFrame, hName: String): DataFrame = df.select(
+      col(keyCol),
+      conv(substring(md5(concat_ws("\u0001",
+        valueCols.map(col): _*)), 1, 15), 16, 10).cast("long").as(hName))
+    val pre = h(readAsOf(spark, dir, keyCol, fromSeq), "pre_h")
+    val post = h(readAsOf(spark, dir, keyCol, toSeq), "post_h")
+    pre.join(post, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("pre_h").isNull, lit("insert"))
+          .when(col("post_h").isNull, lit("delete"))
+          .when(col("pre_h") =!= col("post_h"), lit("update"))
+          .otherwise(lit("none")).as("change_type"),
+        coalesce(col("pre_h"), lit(-1L)).as("pre_h"),
+        coalesce(col("post_h"), lit(-1L)).as("post_h"))
+      .where(col("change_type") =!= "none")
+  }
 }

@@ -82,4 +82,29 @@ class MergeOnReadSpec extends AnyFunSuite {
       (0L until 100L by 2L).toDF("k").repartition(5), dir, "k")
     assert(liveSet(dir).map(_._1) === (1L until 100L by 2L).toSet)
   }
+
+  test("readAsOf reconstructs intermediate snapshots") {
+    val dir = freshDir("asof")
+    MergeOnRead.commitData(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    MergeOnRead.commitDeletes(Seq(1L).toDF("k"), dir, "k")
+    MergeOnRead.commitData(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), dir)
+    def asOf(s: Long) = MergeOnRead.readAsOf(spark, dir, "k", s)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(asOf(1L) === Set((1L, "a"), (2L, "b")))
+    assert(asOf(2L) === Set((2L, "b")))
+    assert(asOf(3L) === Set((2L, "b"), (1L, "a2"), (3L, "c")))
+  }
+
+  test("changesBetween classifies insert/delete/update, drops unchanged") {
+    val dir = freshDir("cdc")
+    MergeOnRead.commitData(
+      Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "v"), dir)
+    MergeOnRead.commitDeletes(Seq(1L, 2L).toDF("k"), dir, "k")
+    MergeOnRead.commitData(Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), dir)
+    val got = MergeOnRead.changesBetween(spark, dir, "k", Seq("v"), 1L, 3L)
+      .collect().map(r => r.getAs[Long]("k") ->
+        r.getAs[String]("change_type")).toMap
+    // 4 is live in both snapshots with identical payload: no row
+    assert(got === Map(1L -> "delete", 2L -> "update", 3L -> "insert"))
+  }
 }
