@@ -107,6 +107,25 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window.currentRow))).as("y"))
   }
 
+
+  /** Seeded 16×16 road-grid DAG for q135: node (i,j) = i*16+j, right and
+    * down edges with integer weights 1..9. Fixed size — the oracle's
+    * relaxation-round CTE chain must cover the hop diameter (30), and 32
+    * generated rounds do.
+    */
+  private[graft] def synthGridEdges(s: SparkSession, n: Int): DataFrame = {
+    val nodes = s.range(n.toLong * n)
+      .select(col("id"), (col("id") / n).cast("long").as("i"),
+        pmod(col("id"), lit(n.toLong)).as("j"))
+    val right = nodes.where(col("j") < n - 1)
+      .select(col("id").as("src"), (col("id") + 1L).as("dst"),
+        (pmod(xxhash64(col("id"), lit(900L)), lit(9L)) + 1L).as("w"))
+    val down = nodes.where(col("i") < n - 1)
+      .select(col("id").as("src"), (col("id") + n.toLong).as("dst"),
+        (pmod(xxhash64(col("id"), lit(901L)), lit(9L)) + 1L).as("w"))
+    right.unionByName(down)
+  }
+
   /** q62 fixtures (shared by the query and dumpInputs so the dumped edge
     * table is in lockstep with what the engine clusters): a chained
     * near-dup corpus and the union of minhash + simhash near-dup edge
@@ -283,6 +302,7 @@ object SparkEntry {
       "snap_points")
     w(synthTracks(s, math.max(16L, (20000 * sfOf(sfDir)).toLong), 200L),
       "tracks")
+    w(synthGridEdges(s, 16), "grid_edges")
     // stitched-mosaic tile pixels (world tile coords ride along): q114's
     // oracle rebuilds the whole-raster pixel graph from this dump
     w(Synth.mosaicTiles(s, mosaicSide(sfOf(sfDir)))
@@ -999,6 +1019,20 @@ object SparkEntry {
             * lit(1000000000.0), 0).cast("long"))
         .select("bin", "ref_n", "cur_n", "term_nano")
         .orderBy("bin")
+    }),
+    "q135_shortest_paths" -> ((s, d) => {
+      // single-source shortest paths over the seeded road grid —
+      // Bellman-Ford rounds to fixpoint; the oracle replays 32 identical
+      // relaxation rounds as a generated CTE chain (hop diameter 30).
+      Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
+        maxRounds = 64).orderBy("v")
+    }),
+    "q136_kde" -> ((s, d) => {
+      // separable 5x5 integer-kernel density splat of the image anchors
+      // onto the level-14 grid — map-side combine absorbs the downtown
+      // hot cell before the exchange.
+      SpatialOps.kernelDensity(synthImages(s, d), "anchor_x", "anchor_y",
+        level = 14).orderBy("cx", "cy")
     }),
     "q134_cdc" -> ((s, d) => {
       // change data feed between merge-on-read snapshots: inserts /
@@ -3467,6 +3501,188 @@ object SparkEntry {
             CAST(round((pr - qc) * ln(pr / qc) * 1000000000.0, 0)
               AS BIGINT) AS term_nano
           FROM pq ORDER BY bin""",
+    "q135_shortest_paths" ->
+      // 32 generated relaxation rounds — identical min-over-union math;
+      // past the hop diameter every extra round is the fixpoint identity.
+      // MATERIALIZED: each round references its predecessor twice, and
+      // DuckDB's default CTE inlining would expand the chain 2^32-fold
+      s"""WITH g AS (SELECT src, dst, w FROM ${O.inp("grid_edges")}),
+          r0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist),
+          r1 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r0
+            UNION ALL
+            SELECT e.dst AS v, r0.dist + e.w AS dist
+            FROM r0 JOIN g e ON e.src = r0.v) GROUP BY v),
+          r2 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r1
+            UNION ALL
+            SELECT e.dst AS v, r1.dist + e.w AS dist
+            FROM r1 JOIN g e ON e.src = r1.v) GROUP BY v),
+          r3 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r2
+            UNION ALL
+            SELECT e.dst AS v, r2.dist + e.w AS dist
+            FROM r2 JOIN g e ON e.src = r2.v) GROUP BY v),
+          r4 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r3
+            UNION ALL
+            SELECT e.dst AS v, r3.dist + e.w AS dist
+            FROM r3 JOIN g e ON e.src = r3.v) GROUP BY v),
+          r5 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r4
+            UNION ALL
+            SELECT e.dst AS v, r4.dist + e.w AS dist
+            FROM r4 JOIN g e ON e.src = r4.v) GROUP BY v),
+          r6 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r5
+            UNION ALL
+            SELECT e.dst AS v, r5.dist + e.w AS dist
+            FROM r5 JOIN g e ON e.src = r5.v) GROUP BY v),
+          r7 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r6
+            UNION ALL
+            SELECT e.dst AS v, r6.dist + e.w AS dist
+            FROM r6 JOIN g e ON e.src = r6.v) GROUP BY v),
+          r8 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r7
+            UNION ALL
+            SELECT e.dst AS v, r7.dist + e.w AS dist
+            FROM r7 JOIN g e ON e.src = r7.v) GROUP BY v),
+          r9 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r8
+            UNION ALL
+            SELECT e.dst AS v, r8.dist + e.w AS dist
+            FROM r8 JOIN g e ON e.src = r8.v) GROUP BY v),
+          r10 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r9
+            UNION ALL
+            SELECT e.dst AS v, r9.dist + e.w AS dist
+            FROM r9 JOIN g e ON e.src = r9.v) GROUP BY v),
+          r11 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r10
+            UNION ALL
+            SELECT e.dst AS v, r10.dist + e.w AS dist
+            FROM r10 JOIN g e ON e.src = r10.v) GROUP BY v),
+          r12 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r11
+            UNION ALL
+            SELECT e.dst AS v, r11.dist + e.w AS dist
+            FROM r11 JOIN g e ON e.src = r11.v) GROUP BY v),
+          r13 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r12
+            UNION ALL
+            SELECT e.dst AS v, r12.dist + e.w AS dist
+            FROM r12 JOIN g e ON e.src = r12.v) GROUP BY v),
+          r14 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r13
+            UNION ALL
+            SELECT e.dst AS v, r13.dist + e.w AS dist
+            FROM r13 JOIN g e ON e.src = r13.v) GROUP BY v),
+          r15 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r14
+            UNION ALL
+            SELECT e.dst AS v, r14.dist + e.w AS dist
+            FROM r14 JOIN g e ON e.src = r14.v) GROUP BY v),
+          r16 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r15
+            UNION ALL
+            SELECT e.dst AS v, r15.dist + e.w AS dist
+            FROM r15 JOIN g e ON e.src = r15.v) GROUP BY v),
+          r17 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r16
+            UNION ALL
+            SELECT e.dst AS v, r16.dist + e.w AS dist
+            FROM r16 JOIN g e ON e.src = r16.v) GROUP BY v),
+          r18 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r17
+            UNION ALL
+            SELECT e.dst AS v, r17.dist + e.w AS dist
+            FROM r17 JOIN g e ON e.src = r17.v) GROUP BY v),
+          r19 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r18
+            UNION ALL
+            SELECT e.dst AS v, r18.dist + e.w AS dist
+            FROM r18 JOIN g e ON e.src = r18.v) GROUP BY v),
+          r20 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r19
+            UNION ALL
+            SELECT e.dst AS v, r19.dist + e.w AS dist
+            FROM r19 JOIN g e ON e.src = r19.v) GROUP BY v),
+          r21 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r20
+            UNION ALL
+            SELECT e.dst AS v, r20.dist + e.w AS dist
+            FROM r20 JOIN g e ON e.src = r20.v) GROUP BY v),
+          r22 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r21
+            UNION ALL
+            SELECT e.dst AS v, r21.dist + e.w AS dist
+            FROM r21 JOIN g e ON e.src = r21.v) GROUP BY v),
+          r23 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r22
+            UNION ALL
+            SELECT e.dst AS v, r22.dist + e.w AS dist
+            FROM r22 JOIN g e ON e.src = r22.v) GROUP BY v),
+          r24 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r23
+            UNION ALL
+            SELECT e.dst AS v, r23.dist + e.w AS dist
+            FROM r23 JOIN g e ON e.src = r23.v) GROUP BY v),
+          r25 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r24
+            UNION ALL
+            SELECT e.dst AS v, r24.dist + e.w AS dist
+            FROM r24 JOIN g e ON e.src = r24.v) GROUP BY v),
+          r26 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r25
+            UNION ALL
+            SELECT e.dst AS v, r25.dist + e.w AS dist
+            FROM r25 JOIN g e ON e.src = r25.v) GROUP BY v),
+          r27 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r26
+            UNION ALL
+            SELECT e.dst AS v, r26.dist + e.w AS dist
+            FROM r26 JOIN g e ON e.src = r26.v) GROUP BY v),
+          r28 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r27
+            UNION ALL
+            SELECT e.dst AS v, r27.dist + e.w AS dist
+            FROM r27 JOIN g e ON e.src = r27.v) GROUP BY v),
+          r29 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r28
+            UNION ALL
+            SELECT e.dst AS v, r28.dist + e.w AS dist
+            FROM r28 JOIN g e ON e.src = r28.v) GROUP BY v),
+          r30 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r29
+            UNION ALL
+            SELECT e.dst AS v, r29.dist + e.w AS dist
+            FROM r29 JOIN g e ON e.src = r29.v) GROUP BY v),
+          r31 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r30
+            UNION ALL
+            SELECT e.dst AS v, r30.dist + e.w AS dist
+            FROM r30 JOIN g e ON e.src = r30.v) GROUP BY v),
+          r32 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM r31
+            UNION ALL
+            SELECT e.dst AS v, r31.dist + e.w AS dist
+            FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
+          SELECT v, dist FROM r32 ORDER BY v""",
+    "q136_kde" ->
+      // same floor cells, same separable 4-2-1 kernel, same domain clamp
+      s"""WITH p AS (SELECT CAST(floor(anchor_x / 64.0) AS BIGINT) AS ix,
+              CAST(floor(anchor_y / 64.0) AS BIGINT) AS iy
+            FROM ${O.inp("images")}),
+          s AS (SELECT ix + dx.dx AS cx, iy + dy.dy AS cy,
+              (CASE abs(dx.dx) WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END)
+              * (CASE abs(dy.dy) WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END)
+                AS w
+            FROM p CROSS JOIN range(-2, 3) dx(dx)
+            CROSS JOIN range(-2, 3) dy(dy))
+          SELECT cx, cy, CAST(SUM(w) AS BIGINT) AS density
+          FROM s WHERE cx >= 0 AND cy >= 0 AND cx < 16384 AND cy < 16384
+          GROUP BY cx, cy ORDER BY cx, cy""",
     "q134_cdc" ->
       // inserts = fresh %3=2 keys; deletes = %9=0 keys not re-inserted;
       // updates = %18=0 keys re-inserted with the new payload

@@ -180,4 +180,45 @@ object Clustering {
     }
     ranks.select(col("v").as(idCol), col("rank_u"))
   }
+
+  /** Single-source shortest paths by synchronous Bellman-Ford relaxation
+    * rounds to a FIXPOINT (deterministic: integer weights, min-reduce) —
+    * the route-cost/traversal op of the road-graph stack next to
+    * [[pageRank]] and [[connectedComponents]]. Each round is one hash
+    * equi-join of the slim reached-set onto the edge table, a union, and
+    * a map-side-combined min — the kNN-ladder shape, localCheckpoint per
+    * round so iterative lineage truncates. Rounds needed = longest
+    * shortest-path hop count (≤ the graph's hop diameter on a DAG);
+    * `maxRounds` is a safety bound. At cluster scale the same plan
+    * delta-steps by partitioning the frontier — a scheduling change, not
+    * a plan change. Unreached vertices emit no row.
+    */
+  def shortestPaths(edges: DataFrame, sourceId: Long,
+                    maxRounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    var dist = spark.range(1)
+      .select(lit(sourceId).as("v"), lit(0L).as("dist")).localCheckpoint()
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("v", "src")
+          .withColumnRenamed("dist", "ds"), Seq("src"))
+        .select(col("dst").as("v"), (col("ds") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("v").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      // fixpoint: a round that relaxes nothing ends the loop (cheap —
+      // both sides are reached-set-sized, never graph-payload-sized)
+      changed = relaxed.join(dist,
+        relaxed("v") === dist("v") && relaxed("dist") === dist("dist"),
+        "left_anti").limit(1).count() > 0
+      dist = relaxed
+      round += 1
+    }
+    dist.select(col("v"), col("dist"))
+  }
 }

@@ -588,6 +588,35 @@ object SpatialOps {
 
 
 
+
+  /** Kernel-density heatmap splat (the grid-KDE rendering/hot-spot
+    * surface): every point adds a separable 5×5 integer kernel
+    * (4-2-1 per axis, products 1..16) onto the cells around its own —
+    * a 25-way slim-row explode whose per-cell sum partial-aggregates
+    * map-side, so the downtown hot cell combines locally before the
+    * exchange (the O-58 skew answer for additive aggregation: no salt
+    * needed when the combiner runs first). Out-of-domain targets drop;
+    * integer weights make the surface engine- and partitioning-exact.
+    */
+  def kernelDensity(points: DataFrame, xCol: String, yCol: String,
+                    level: Int): DataFrame = {
+    val size = graft.geom.Cells.sizeAt(level)
+    val max = 1L << level
+    val k = Seq(1L, 2L, 4L, 2L, 1L)
+    val offsets = array((for (dx <- -2 to 2; dy <- -2 to 2) yield
+      struct(lit(dx).as("dx"), lit(dy).as("dy"),
+        lit(k(dx + 2) * k(dy + 2)).as("w"))): _*)
+    points
+      .select(floor(col(xCol) / size).cast("long").as("ix"),
+        floor(col(yCol) / size).cast("long").as("iy"))
+      .select(col("ix"), col("iy"), explode(offsets).as("o"))
+      .select((col("ix") + col("o.dx")).as("cx"),
+        (col("iy") + col("o.dy")).as("cy"), col("o.w").as("w"))
+      .where(col("cx") >= 0 && col("cy") >= 0 &&
+        col("cx") < max && col("cy") < max)
+      .groupBy("cx", "cy").agg(sum(col("w")).as("density"))
+  }
+
   /** Snap-to-road (map-matching primitive): each point joins its nearest
     * segment within `radius`, by exact point-to-segment distance. The
     * candidate join is recall-complete — a point within `radius` of a
