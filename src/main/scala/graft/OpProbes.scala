@@ -128,6 +128,80 @@ object OpProbes {
       ops.MlOps.trainHardSigmoidLr(feats, "y", Seq("x1", "x2"),
         iters = 8, lr = 2L)
     }
+
+    // ---- session-2 round-5 ops (q124-q136) ----
+    time("otsu_1m", nImg) {
+      ops.ImageOps.otsuThreshold(spark, imgs)
+        .agg(count(lit(1)), sum("otsu_t")).head
+    }
+    time("kde_1m", nImg) {
+      ops.SpatialOps.kernelDensity(imgs, "anchor_x", "anchor_y", 14)
+        .agg(count(lit(1)), sum("density")).head
+    }
+    time("quadtree_1m", nImg) {
+      ops.SpatialOps.quadtreeLeaves(imgs, "image_id", "anchor_x",
+        "anchor_y", 10, 16, 4096L)
+        .agg(count(lit(1)), sum("n_points")).head
+    }
+    time("hilbert_key_20m", 20000000L) {
+      sky.select(graft.expr.GeomFunctions.hilbert_index(col("x"), col("y"),
+        lit(16)).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).head
+    }
+    val bigTiles = graft.model.Synth.mosaicTiles(spark, side = 200)
+      .localCheckpoint(true)
+    bigTiles.count()
+    time("morphology_10m_px", 200L * 200 * 256) {
+      ops.ImageOps.morphology(spark, bigTiles)
+        .agg(count(lit(1)), sum("ero_sum")).head
+    }
+    // wide-domain segment/point layers (the gate's 4096 m grid is
+    // deliberately dense; probes use the full 2^20 m domain so blocking
+    // density matches a real city-scale layer)
+    def wideSegs(n: Long, salt: Long) = {
+      val h = (k: Long) => xxhash64(col("id"), lit(salt + k))
+      spark.range(n).select(col("id").as("seg_id"),
+          pmod(h(0), lit(1048576L)).as("x1"),
+          pmod(h(1), lit(1048576L)).as("y1"),
+          (pmod(h(2), lit(385L)) - 192L).as("dx"),
+          (pmod(h(3), lit(385L)) - 192L).as("dy"))
+        .select(col("seg_id"), col("x1"), col("y1"),
+          greatest(lit(0L), least(lit(1048575L), col("x1") + col("dx")))
+            .as("x2"),
+          greatest(lit(0L), least(lit(1048575L), col("y1") + col("dy")))
+            .as("y2"))
+    }
+    val segsA = wideSegs(1000000L, 11L).localCheckpoint(true)
+    val segsB = wideSegs(1000000L, 77L).localCheckpoint(true)
+    segsA.count(); segsB.count()
+    time("seg_crossings_1m_x_1m", 2000000L) {
+      ops.SpatialOps.segmentCrossings(segsA, segsB)
+        .agg(count(lit(1))).head
+    }
+    val wpts = spark.range(1000000L).select(col("id").as("point_id"),
+        pmod(xxhash64(col("id"), lit(401L)), lit(1048576L)).as("x"),
+        pmod(xxhash64(col("id"), lit(402L)), lit(1048576L)).as("y"))
+      .localCheckpoint(true)
+    wpts.count()
+    time("snap_1m_x_1m", 1000000L) {
+      ops.SpatialOps.snapToSegments(wpts, segsA, radius = 64L)
+        .agg(count(lit(1))).head
+    }
+    val wdocs = spark.range(0L, 50000L, 1L, 64).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        j => concat(lit("w"), (col("id") * 61L + j) % 4000L))).as("text"))
+      .localCheckpoint(true)
+    wdocs.count()
+    time("winnow_matches_50k", 50000L) {
+      ops.TextOps.winnowMatches(wdocs, 12, 8)
+        .agg(count(lit(1))).head
+    }
+    time("dup_spans_50k", 50000L) {
+      ops.TextOps.dupSpans(wdocs, 30)
+        .agg(count(lit(1)), sum("span_chars")).head
+    }
     spark.stop()
+
   }
 }

@@ -739,9 +739,22 @@ object SpatialOps {
         s"shiftleft(cast(l as bigint), ${2 * graft.geom.Cells.MaxLevel}) " +
           s"| shiftright(cmax & $mask, 2 * ($maxLevel - l))"))
     val counts = anc.groupBy("l", "cell").agg(count(lit(1)).as("n"))
-    anc.join(counts, Seq("l", "cell"))
+    // only SPLITTING cells matter (count > cap), and each holds > cap
+    // points, so their number is bounded by levels·n/cap — metadata-scale
+    // for any sane cap. Broadcasting them turns the per-point lookup into
+    // a map-side join: the exploded frame shuffles ONCE (the final
+    // per-point min), not three times. A shuffle join remains the
+    // fallback if a degenerate cap makes the splitting set data-sized.
+    val splitting = counts.where(col("n") > cap)
+      .select(col("l"), col("cell"), lit(true).as("split"))
+    val nSplit = splitting.count()
+    val joined =
+      if (nSplit <= 4000000L)
+        anc.join(broadcast(splitting), Seq("l", "cell"), "left")
+      else anc.join(splitting, Seq("l", "cell"), "left")
+    joined
       .groupBy("__id")
-      .agg(coalesce(min(when(col("n") <= cap, col("l"))),
+      .agg(coalesce(min(when(col("split").isNull, col("l"))),
         lit(maxLevel)).as("level"), min(col("cmax")).as("cmax"))
       .select(col("level"), expr(
         s"shiftleft(cast(level as bigint), ${2 * graft.geom.Cells.MaxLevel})" +
