@@ -1027,6 +1027,12 @@ object SparkEntry {
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
     }),
+    "q137_median" -> ((s, d) => {
+      // 3x3 lower-median denoise per image — order statistics with
+      // clipped rims; every filtered value pinned via total +
+      // position-weighted checksums.
+      ImageOps.medianFilter(s, synthImages(s, d)).orderBy("image_id")
+    }),
     "q136_kde" -> ((s, d) => {
       // separable 5x5 integer-kernel density splat of the image anchors
       // onto the level-14 grid — map-side combine absorbs the downtown
@@ -3669,6 +3675,24 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q137_median" ->
+      // same clipped neighborhoods by 9-offset equi-joins, same lower
+      // median (1-based (k+1)//2 of the sorted list), same checksums
+      s"""WITH l AS (SELECT image_id, (j.j % 16) AS x, (j.j // 16) AS y,
+              ((299*px[j.j*3+1] + 587*px[j.j*3+2] + 114*px[j.j*3+3])
+                // 1000) AS l
+            FROM ${O.inp("pixels")}, range(0,256) AS j(j)),
+          n AS (SELECT a.image_id, a.x, a.y, b.l AS bl
+            FROM l a
+            CROSS JOIN range(-1,2) dx(dx) CROSS JOIN range(-1,2) dy(dy)
+            JOIN l b ON b.image_id = a.image_id
+              AND b.x = a.x + dx.dx AND b.y = a.y + dy.dy),
+          m AS (SELECT image_id, x, y,
+              list_sort(list(bl))[(COUNT(*) + 1) // 2] AS med
+            FROM n GROUP BY 1, 2, 3)
+          SELECT image_id, CAST(SUM(med) AS BIGINT) AS med_sum,
+            CAST(SUM(med * (y*16 + x + 1)) AS BIGINT) AS med_posw
+          FROM m GROUP BY 1 ORDER BY image_id""",
     "q136_kde" ->
       // same floor cells, same separable 4-2-1 kernel, same domain clamp
       s"""WITH p AS (SELECT CAST(floor(anchor_x / 64.0) AS BIGINT) AS ix,

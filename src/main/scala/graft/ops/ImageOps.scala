@@ -955,6 +955,61 @@ object ImageOps {
 
 
 
+
+  /** 3×3 median filter over integer luma (salt-and-pepper denoising — the
+    * order-statistics member of the per-image stack next to [[otsuThreshold]]
+    * and [[histogramEqualize]]): per pixel, the LOWER median of its
+    * clipped neighborhood (index (k−1)/2 of the sorted ≤9 values —
+    * deterministic for even rim counts, no averaging). The decode loop
+    * gathers and insertion-sorts ≤9 ints per pixel; output rows carry a
+    * total + position-weighted checksum that pins EVERY filtered value
+    * (the q121 discipline), not the payload. The oracle re-derives each
+    * median by 9-offset equi-joins + list sort from the pixel dump.
+    */
+  def medianFilter(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions(_.map { case (id, bytes, w, h, fmt) =>
+        val px = ImageCodec.decode(bytes, fmt, w, h)
+        val lum = new Array[Int](w * h)
+        var j = 0
+        while (j < w * h) {
+          lum(j) = (299 * (px(3 * j) & 0xFF) + 587 * (px(3 * j + 1) & 0xFF)
+            + 114 * (px(3 * j + 2) & 0xFF)) / 1000
+          j += 1
+        }
+        val buf = new Array[Int](9)
+        var sum = 0L; var posw = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var k = 0
+            var dy = -1
+            while (dy <= 1) {
+              var dx = -1
+              while (dx <= 1) {
+                val xx = x + dx; val yy = y + dy
+                if (xx >= 0 && xx < w && yy >= 0 && yy < h) {
+                  buf(k) = lum(yy * w + xx); k += 1
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            java.util.Arrays.sort(buf, 0, k)
+            val m = buf((k - 1) / 2).toLong
+            sum += m
+            posw += m * (y.toLong * w + x + 1)
+            x += 1
+          }
+          y += 1
+        }
+        (id, sum, posw)
+      }).toDF("image_id", "med_sum", "med_posw")
+  }
+
   /** Otsu's method (Otsu 1979 — public): per image, the histogram
     * threshold maximizing inter-class variance, in EXACT cross-engine
     * arithmetic. Candidates are `v+1` for each populated luma bin v (the
