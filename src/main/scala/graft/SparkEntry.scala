@@ -1027,6 +1027,14 @@ object SparkEntry {
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
     }),
+    "q138_budget_cut" -> ((s, d) => {
+      // per-source 4k-char budget cut in seeded shuffle order — the
+      // distributed grouped prefix sum; the oracle replays the
+      // mathematically identical per-source window.
+      TextOps.budgetCut(s.read.parquet(p(d, "documents"))
+        .select("doc_id", "source", "n_chars"), "n_chars", 4000L)
+        .orderBy("doc_id")
+    }),
     "q137_median" -> ((s, d) => {
       // 3x3 lower-median denoise per image — order statistics with
       // clipped rims; every filtered value pinned via total +
@@ -3675,6 +3683,18 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q138_budget_cut" ->
+      // same md5 rank, same per-source ROWS cumsum, same
+      // exclusive-prefix < budget keep rule
+      """WITH r AS (SELECT doc_id, source, n_chars,
+             md5('bc' || CAST(doc_id AS VARCHAR)) AS rk FROM documents),
+         c AS (SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY rk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM r)
+         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+           CAST(cum AS BIGINT) AS cum
+         FROM c WHERE cum - n_chars < 4000 ORDER BY doc_id""",
     "q137_median" ->
       // same clipped neighborhoods by 9-offset equi-joins, same lower
       // median (1-based (k+1)//2 of the sorted list), same checksums

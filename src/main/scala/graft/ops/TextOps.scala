@@ -827,4 +827,50 @@ object TextOps {
         col("span_end") - col("span_start") + lit(1))
       .select("doc_id", "span_start", "span_end", "span_chars", "n_grams")
   }
+
+  /** Per-source corpus budget cut (the production sibling of the
+    * fraction-based [[mixCorpus]]): documents enter in a seeded
+    * deterministic shuffle order (md5 rank) and each source keeps docs
+    * until its weight budget is reached — the doc that crosses the line
+    * is kept (exclusive-prefix < budget), everything after drops. The
+    * running weight is a DISTRIBUTED two-pass prefix sum, not a
+    * per-source window: range-partition on (source, rank), local
+    * ROWS-framed cumsum per (partition, source), then a broadcast
+    * offset table of per-partition per-source totals (partitions ×
+    * sources rows — metadata-scale) — so one 100 TB source never funnels
+    * through a single window reducer (the packOffsets discipline,
+    * generalized to grouped sequences). The oracle replays the
+    * mathematically identical per-source window in SQL.
+    */
+  def budgetCut(docs: DataFrame, weightCol: String,
+                budget: Long): DataFrame = {
+    val ranked = docs
+      .select(col("doc_id"), col("source"),
+        col(weightCol).cast("long").as("weight"))
+      .withColumn("rk", md5(concat(lit("bc"), col("doc_id").cast("string"))))
+      .repartitionByRange(col("source"), col("rk"), col("doc_id"))
+      // freeze the sampler's bounds + avoid double-executing upstream
+      .localCheckpoint()
+    val byLocal = Window.partitionBy("pid", "source")
+      .orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranked.withColumn("pid", spark_partition_id())
+      .withColumn("lcum", sum(col("weight")).over(byLocal))
+    val totals = local.groupBy("pid", "source")
+      .agg(max(col("lcum")).as("ptot"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (src, ts) =>
+      ts.sortBy(_._1).scanLeft((0, src, 0L, 0L)) { case (acc, t) =>
+        (t._1, src, t._3, acc._3 + acc._4)
+      }.drop(1).map(t => (t._1, t._2, t._4))
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("pid", "source", "off")
+    local.join(broadcast(offDf), Seq("pid", "source"), "left")
+      .withColumn("cum", col("lcum") + coalesce(col("off"), lit(0L)))
+      .where(col("cum") - col("weight") < budget)
+      .select(col("doc_id"), col("source"), col("weight"), col("cum"))
+  }
 }
