@@ -1027,6 +1027,14 @@ object SparkEntry {
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
     }),
+    "q139_pmi" -> ((s, d) => {
+      // skip-gram PMI over documents: distance-1/2 directed pairs, min
+      // support 5, nano-nat PMI — the oracle replays pair extraction,
+      // marginals, and the rounded ln identically.
+      TextOps.pmiPairs(s.read.parquet(p(d, "documents"))
+        .select("doc_id", "text"), minCount = 5L)
+        .orderBy("tok_a", "tok_b")
+    }),
     "q138_budget_cut" -> ((s, d) => {
       // per-source 4k-char budget cut in seeded shuffle order — the
       // distributed grouped prefix sum; the oracle replays the
@@ -3683,6 +3691,33 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q139_pmi" ->
+      // same split (empty tokens dropped), same two shifts, same
+      // marginals OVER ALL pairs (min support applies after), same
+      // round(ln(...)*1e9) double expression
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS parts
+             FROM documents),
+         t1 AS (SELECT doc_id, unnest(range(1, len(parts) + 1)) AS i,
+             parts FROM t0),
+         t AS (SELECT doc_id, i - 1 AS pos, parts[i::INT] AS tok
+           FROM t1 WHERE length(parts[i::INT]) > 0),
+         pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b
+             FROM t a JOIN t b ON b.doc_id = a.doc_id
+               AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)),
+         pc AS (SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+             FROM pr GROUP BY 1, 2),
+         nn AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pc),
+         cl AS (SELECT tok_a, CAST(SUM(n_ab) AS BIGINT) AS cl
+             FROM pc GROUP BY 1),
+         cr AS (SELECT tok_b, CAST(SUM(n_ab) AS BIGINT) AS cr
+             FROM pc GROUP BY 1)
+         SELECT pc.tok_a, pc.tok_b, pc.n_ab,
+           CAST(round(ln(CAST(pc.n_ab * nn.n AS DOUBLE)
+             / CAST(cl.cl * cr.cr AS DOUBLE)) * 1000000000.0, 0)
+             AS BIGINT) AS pmi_nano
+         FROM pc CROSS JOIN nn
+         JOIN cl USING (tok_a) JOIN cr USING (tok_b)
+         WHERE pc.n_ab >= 5 ORDER BY tok_a, tok_b""",
     "q138_budget_cut" ->
       // same md5 rank, same per-source ROWS cumsum, same
       // exclusive-prefix < budget keep rule

@@ -873,4 +873,41 @@ object TextOps {
       .where(col("cum") - col("weight") < budget)
       .select(col("doc_id"), col("source"), col("weight"), col("cum"))
   }
+
+  /** Skip-gram co-occurrence + PMI (the word2vec/GloVe data-prep
+    * statistic — public): directed token pairs at distance 1 and 2,
+    * pair counts with min support, and pointwise mutual information
+    * ln(N·c(a,b) / (cl(a)·cr(b))) in round-to-integer nano-nats (the
+    * q112 transcendental discipline: both engines round the SAME double
+    * expression, so last-ulp ln differences die in the rounding). Plan:
+    * one posexplode, two slim self-equi-joins on (doc_id, pos+d) — never
+    * a per-doc quadratic pair explosion — then partial-aggregated counts
+    * and two broadcast marginal joins.
+    */
+  def pmiPairs(docs: DataFrame, minCount: Long): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+      .where(length(col("tok")) > 0)
+      .localCheckpoint() // read three times (two shifts + marginals)
+    def shifted(d: Int): DataFrame = toks
+      .select(col("doc_id"), (col("pos") + d).as("pos"),
+        col("tok").as("tok_a"))
+      .join(toks.select(col("doc_id"), col("pos"),
+        col("tok").as("tok_b")), Seq("doc_id", "pos"))
+      .select("tok_a", "tok_b")
+    val pairs = shifted(1).unionByName(shifted(2))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint()
+    val n = pairs.agg(sum(col("n_ab"))).head().getLong(0)
+    val cl = pairs.groupBy("tok_a").agg(sum(col("n_ab")).as("cl"))
+    val cr = pairs.groupBy("tok_b").agg(sum(col("n_ab")).as("cr"))
+    pairs.where(col("n_ab") >= minCount)
+      .join(broadcast(cl), Seq("tok_a"))
+      .join(broadcast(cr), Seq("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log((col("n_ab") * n).cast("double") /
+          (col("cl") * col("cr")).cast("double")) * 1e9, 0)
+          .cast("long").as("pmi_nano"))
+  }
 }
