@@ -1027,6 +1027,13 @@ object SparkEntry {
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
     }),
+    "q140_mad_outliers" -> ((s, d) => {
+      // robust per-source length outliers: |n_chars - median| > 2 x MAD,
+      // both medians by nearest-rank selection — integer exact.
+      TextOps.madOutliers(s.read.parquet(p(d, "documents"))
+        .select("doc_id", "source", "n_chars"), "n_chars", 2L)
+        .orderBy("doc_id")
+    }),
     "q139_pmi" -> ((s, d) => {
       // skip-gram PMI over documents: distance-1/2 directed pairs, min
       // support 5, nano-nat PMI — the oracle replays pair extraction,
@@ -3691,6 +3698,31 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q140_mad_outliers" ->
+      // identical dual nearest-rank (ceil(0.5*n) over distinct-value
+      // cumulative counts), identical integer threshold
+      """WITH b AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS value
+             FROM documents),
+         c1 AS (SELECT source, value, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         m1 AS (SELECT source, MIN(CASE WHEN cum >= ceil(0.5 * n)
+               THEN value END) AS med
+           FROM (SELECT source, value,
+               SUM(c) OVER (PARTITION BY source ORDER BY value) AS cum,
+               SUM(c) OVER (PARTITION BY source) AS n FROM c1)
+           GROUP BY source),
+         d AS (SELECT b.doc_id, b.source, b.value, m1.med,
+             abs(b.value - m1.med) AS dev FROM b JOIN m1 USING (source)),
+         c2 AS (SELECT source, dev, COUNT(*) AS c FROM d GROUP BY 1, 2),
+         m2 AS (SELECT source, MIN(CASE WHEN cum >= ceil(0.5 * n)
+               THEN dev END) AS mad
+           FROM (SELECT source, dev,
+               SUM(c) OVER (PARTITION BY source ORDER BY dev) AS cum,
+               SUM(c) OVER (PARTITION BY source) AS n FROM c2)
+           GROUP BY source)
+         SELECT d.doc_id, d.source, d.value, d.med, CAST(m2.mad AS BIGINT)
+             AS mad
+         FROM d JOIN m2 USING (source)
+         WHERE d.dev > 2 * m2.mad ORDER BY d.doc_id""",
     "q139_pmi" ->
       // same split (empty tokens dropped), same two shifts, same
       // marginals OVER ALL pairs (min support applies after), same

@@ -910,4 +910,29 @@ object TextOps {
           (col("cl") * col("cr")).cast("double")) * 1e9, 0)
           .cast("long").as("pmi_nano"))
   }
+
+  /** MAD outlier screen (Hampel filter / robust z-score — the standard
+    * robust alternative to mean±kσ for corpus length/quality outliers):
+    * per source, flag docs whose |value − median| exceeds k × MAD, both
+    * medians computed by [[Quantiles.exactQuantiles]]' nearest-rank
+    * selection — the distinct-value-cardinality shuffle, NOT a
+    * per-source window over rows, so one 100 TB source never funnels
+    * through a single reducer. Integer arithmetic end to end; the
+    * statistics tables are metadata-scale and broadcast back.
+    */
+  def madOutliers(docs: DataFrame, valueCol: String, k: Long): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      col(valueCol).cast("long").as("value"))
+    val med = Quantiles.exactQuantiles(base, "source", "value", Seq(0.5))
+      .select(col("source"), col("p50").as("med"))
+    val dev = base.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = Quantiles.exactQuantiles(
+      dev.select(col("source"), col("dev")), "source", "dev", Seq(0.5))
+      .select(col("source"), col("p50").as("mad"))
+    dev.join(broadcast(mad), Seq("source"))
+      .where(col("dev") > lit(k) * col("mad"))
+      .select(col("doc_id"), col("source"), col("value"), col("med"),
+        col("mad"))
+  }
 }
