@@ -1027,6 +1027,13 @@ object SparkEntry {
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
     }),
+    "q141_phrase_index" -> ((s, d) => {
+      // positional-index phrase search: the corpus's top-3 trigrams as
+      // query phrases, matches by consecutive-position posting joins.
+      TextOps.phraseMatches(s.read.parquet(p(d, "documents"))
+        .select("doc_id", "text"), topK = 3)
+        .orderBy("phrase", "doc_id")
+    }),
     "q140_mad_outliers" -> ((s, d) => {
       // robust per-source length outliers: |n_chars - median| > 2 x MAD,
       // both medians by nearest-rank selection — integer exact.
@@ -3698,6 +3705,28 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q141_phrase_index" ->
+      // same tokenization, same consecutive-position trigram join, same
+      // (count DESC, lexicographic) top-3, same per-doc occurrence counts
+      """WITH t0x AS (SELECT doc_id, string_split(text, ' ') AS parts
+             FROM documents),
+         t1x AS (SELECT doc_id, unnest(range(1, len(parts) + 1)) AS i,
+             parts FROM t0x),
+         t AS (SELECT doc_id, i - 1 AS pos, parts[i::INT] AS tok
+           FROM t1x WHERE length(parts[i::INT]) > 0),
+         tri AS (SELECT a.doc_id, a.pos, a.tok AS w0, b.tok AS w1,
+             c.tok AS w2
+           FROM t a
+           JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+         top AS (SELECT w0, w1, w2 FROM (
+             SELECT w0, w1, w2, ROW_NUMBER() OVER
+               (ORDER BY COUNT(*) DESC, w0, w1, w2) AS rk
+             FROM tri GROUP BY w0, w1, w2) WHERE rk <= 3)
+         SELECT w0 || ' ' || w1 || ' ' || w2 AS phrase, tri.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+         FROM tri JOIN top USING (w0, w1, w2)
+         GROUP BY 1, 2 ORDER BY phrase, doc_id""",
     "q140_mad_outliers" ->
       // identical dual nearest-rank (ceil(0.5*n) over distinct-value
       // cumulative counts), identical integer threshold

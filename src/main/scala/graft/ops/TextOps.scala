@@ -935,4 +935,37 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("value"), col("med"),
         col("mad"))
   }
+
+  /** Phrase search over a positional token index (the IR op BM25 (q76)
+    * cannot express — exact multi-token sequences): the corpus's top-K
+    * trigrams (count-desc, lexicographic tiebreak) become the query
+    * phrases, and matches resolve by joining consecutive positions of
+    * the posting lists — (doc, pos)·(doc, pos+1)·(doc, pos+2) — never by
+    * rescanning text. The tiny phrase table broadcasts; the positional
+    * joins are the same slim (doc_id, pos, tok) exchanges a production
+    * inverted index would shard by token.
+    */
+  def phraseMatches(docs: DataFrame, topK: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+      .where(length(col("tok")) > 0)
+      .localCheckpoint()
+    val tri = toks.select(col("doc_id"), col("pos"), col("tok").as("w0"))
+      .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("tok").as("w1")), Seq("doc_id", "pos"))
+      .join(toks.select(col("doc_id"), (col("pos") - 2).as("pos"),
+        col("tok").as("w2")), Seq("doc_id", "pos"))
+      .localCheckpoint()
+    // TakeOrdered, not a global window: a partition-less row_number
+    // would drag every distinct trigram through ONE reducer
+    val top = tri.groupBy("w0", "w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w0"), col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w0"), col("w1"), col("w2"))
+    tri.join(broadcast(top), Seq("w0", "w1", "w2"))
+      .groupBy(concat_ws(" ", col("w0"), col("w1"), col("w2"))
+        .as("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
 }
