@@ -1027,6 +1027,13 @@ object SparkEntry {
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
     }),
+    "q142_funnel" -> ((s, d) => {
+      // first-touch funnel view -> click -> purchase within 3 days:
+      // per-step reached-user counts + exact summed anchor lags.
+      ops.Sessionize.funnel(s.read.parquet(p(d, "events")),
+        Seq("view", "click", "purchase"), horizonUs = 259200000000L)
+        .orderBy("step")
+    }),
     "q141_phrase_index" -> ((s, d) => {
       // positional-index phrase search: the corpus's top-3 trigrams as
       // query phrases, matches by consecutive-position posting joins.
@@ -3705,6 +3712,31 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q142_funnel" ->
+      // same first-touch chain: earliest step-1 anchor, earliest
+      // strictly-later qualifying event per step, 3-day horizon
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+             FROM events),
+         s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, s1.t1, MIN(e.us) AS t2
+             FROM e JOIN s1 ON e.user_id = s1.user_id
+               AND e.us > s1.t1 AND e.event_type = 'click'
+             GROUP BY 1, 2 HAVING MIN(e.us) - s1.t1 <= 259200000000),
+         s3 AS (SELECT e.user_id, s2.t1, MIN(e.us) AS t3
+             FROM e JOIN s2 ON e.user_id = s2.user_id
+               AND e.us > s2.t2 AND e.event_type = 'purchase'
+             GROUP BY 1, 2 HAVING MIN(e.us) - s2.t1 <= 259200000000)
+         SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+           (SELECT COUNT(*) FROM s1)::BIGINT AS n_users,
+           CAST(0 AS BIGINT) AS lag_us_sum
+         UNION ALL
+         SELECT 2, 'click', (SELECT COUNT(*) FROM s2)::BIGINT,
+           COALESCE((SELECT CAST(SUM(t2 - t1) AS BIGINT) FROM s2), 0)
+         UNION ALL
+         SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)::BIGINT,
+           COALESCE((SELECT CAST(SUM(t3 - t1) AS BIGINT) FROM s3), 0)
+         ORDER BY step""",
     "q141_phrase_index" ->
       // same tokenization, same consecutive-position trigram join, same
       // (count DESC, lexicographic) top-3, same per-doc occurrence counts

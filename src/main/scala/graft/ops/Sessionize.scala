@@ -47,4 +47,44 @@ object Sessionize {
         sum(col("event_id")).as("id_sum"),
         (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("val_sum"))
+
+  /** First-touch funnel analysis (the product-analytics staple — e.g.
+    * view → click → purchase within a horizon): per user, step 1 anchors
+    * at the EARLIEST step-1 event, each later step at the earliest
+    * qualifying event strictly after the previous step, and every step
+    * must land within `horizonUs` of the anchor (first-touch semantics —
+    * the industry default; a later anchor is never retried). Per step:
+    * users reached and the exact summed anchor lag. Each stage is one
+    * filtered aggregate joined forward — per-user partitions, integer
+    * epoch-microsecond arithmetic, no windows over the raw event stream.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             horizonUs: Long): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+      .localCheckpoint() // scanned once per step
+    val spark = events.sparkSession
+    import spark.implicits._
+    var reached = e.where(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+      .withColumn("tPrev", col("t1"))
+    var out = Seq((1L, steps.head,
+      reached.count(),
+      0L))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      reached = e.where(col("event_type") === step)
+        .join(reached, Seq("user_id"))
+        .where(col("us") > col("tPrev"))
+        .groupBy(col("user_id"), col("t1"))
+        .agg(min(col("us")).as("tCur"))
+        .where(col("tCur") - col("t1") <= horizonUs)
+        .withColumn("tPrev", col("tCur"))
+      val r = reached.agg(count(lit(1)), sum(col("tCur") - col("t1")))
+        .head()
+      out = out :+ ((i + 1L), step, r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    out.toDF("step", "step_name", "n_users", "lag_us_sum")
+  }
 }
