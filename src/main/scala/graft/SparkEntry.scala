@@ -1027,6 +1027,18 @@ object SparkEntry {
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
     }),
+    "q143_retention" -> ((s, d) => {
+      // weekly retention cohorts anchored on first signup — integer
+      // epoch-week floor math, broadcast cohort join.
+      ops.Sessionize.retentionCohorts(s.read.parquet(p(d, "events")),
+        "signup").orderBy("cohort_week", "week_offset")
+    }),
+    "q144_transitions" -> ((s, d) => {
+      // consecutive event-type bigram counts per user (time + event_id
+      // order) — the session-path Markov statistics.
+      ops.Sessionize.transitionMatrix(s.read.parquet(p(d, "events")))
+        .orderBy("from_type", "to_type")
+    }),
     "q142_funnel" -> ((s, d) => {
       // first-touch funnel view -> click -> purchase within 3 days:
       // per-step reached-user counts + exact summed anchor lags.
@@ -3712,6 +3724,28 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q143_retention" ->
+      // same integer epoch-week floors, same first-signup anchor, same
+      // distinct (user, week) activity set
+      """WITH e AS (SELECT user_id, event_type,
+             epoch_us(ts) AS us FROM events),
+         c AS (SELECT user_id, MIN(us) // 604800000000 AS cohort_week
+             FROM e WHERE event_type = 'signup' GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, us // 604800000000 AS week FROM e)
+         SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM a JOIN c USING (user_id) WHERE a.week >= c.cohort_week
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    "q144_transitions" ->
+      // same (us, event_id)-ordered LEAD bigrams
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us FROM events),
+         b AS (SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS to_type FROM e)
+         SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+         FROM b WHERE to_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
     "q142_funnel" ->
       // same first-touch chain: earliest step-1 anchor, earliest
       // strictly-later qualifying event per step, 3-day horizon

@@ -87,4 +87,47 @@ object Sessionize {
     }
     out.toDF("step", "step_name", "n_users", "lag_us_sum")
   }
+
+  /** Retention cohort matrix (the product-analytics companion of
+    * [[funnel]]): users cohorted by the epoch-week of their FIRST
+    * `anchorType` event, activity = any event in a later epoch-week;
+    * one row per (cohort_week, week_offset) with the retained-user
+    * count. Epoch weeks are integer floor-divisions of epoch days —
+    * engine-identical, no calendar library. Plan: one tiny cohort
+    * aggregate broadcast onto the distinct (user, week) activity set.
+    */
+  def retentionCohorts(events: DataFrame, anchorType: String): DataFrame = {
+    val e = events.select(col("user_id"),
+      col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+      .localCheckpoint()
+    val cohort = e.where(col("event_type") === anchorType)
+      .groupBy("user_id")
+      .agg(expr("min(us) div 604800000000").as("cohort_week"))
+    val active = e.select(col("user_id"),
+      expr("us div 604800000000").as("week")).distinct()
+    active.join(broadcast(cohort), Seq("user_id"))
+      .where(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Event-type transition matrix (session path analysis): within each
+    * [[assign]]-style ordering (per user, by time with the event_id
+    * tiebreak), count consecutive event-type bigrams — the Markov-chain
+    * statistics behind next-action prediction and bot detection. One
+    * window pass, partial-aggregated counts.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }
