@@ -1027,6 +1027,17 @@ object SparkEntry {
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
     }),
+    "q145_twap" -> ((s, d) => {
+      // time-weighted value integral per user — exact DECIMAL numerator
+      // + integer held time, never a float division.
+      ops.Sessionize.timeWeightedValue(s.read.parquet(p(d, "events")))
+        .orderBy("user_id")
+    }),
+    "q146_entropy" -> ((s, d) => {
+      // luma-histogram Shannon entropy per image in nano-nats — per-bin
+      // rounded terms, integer sum.
+      ImageOps.lumaEntropy(s, synthImages(s, d)).orderBy("image_id")
+    }),
     "q143_retention" -> ((s, d) => {
       // weekly retention cohorts anchored on first signup — integer
       // epoch-week floor math, broadcast cohort join.
@@ -3724,6 +3735,38 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q145_twap" ->
+      // same (us, event_id)-ordered LEAD holds, same DECIMAL(18,6)
+      // value cast, same exact sums
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(value AS DECIMAL(18,6)) AS v, epoch_us(ts) AS us
+             FROM events),
+         h AS (SELECT user_id, v, us,
+             LEAD(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS next_us FROM e)
+         SELECT user_id,
+           CAST(CAST(SUM(v * (next_us - us)) AS DECIMAL(28,6))
+             AS VARCHAR) AS vt_sum,
+           CAST(SUM(next_us - us) AS BIGINT) AS hold_us_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_holds
+         FROM h WHERE next_us IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
+    "q146_entropy" ->
+      // same per-bin term: round(c * ln(n/c) / n * 1e9), integer-summed
+      s"""WITH l AS (SELECT image_id,
+              ((299*px[j.j*3+1] + 587*px[j.j*3+2] + 114*px[j.j*3+3])
+                // 1000) AS lum
+            FROM ${O.inp("pixels")}, range(0,256) AS j(j)),
+          h AS (SELECT image_id, lum, CAST(COUNT(*) AS BIGINT) AS c
+                FROM l GROUP BY 1, 2),
+          n AS (SELECT image_id, CAST(SUM(c) AS BIGINT) AS n
+                FROM h GROUP BY 1)
+          SELECT h.image_id,
+            CAST(SUM(CAST(round(h.c * ln(CAST(n.n AS DOUBLE) / h.c)
+              / n.n * 1000000000.0, 0) AS BIGINT)) AS BIGINT)
+              AS entropy_nano
+          FROM h JOIN n USING (image_id)
+          GROUP BY 1 ORDER BY image_id""",
     "q143_retention" ->
       // same integer epoch-week floors, same first-signup anchor, same
       // distinct (user, week) activity set

@@ -956,6 +956,40 @@ object ImageOps {
 
 
 
+
+  /** Shannon entropy of the luma histogram per image, in integer
+    * nano-nats (−Σ p·ln p = Σ (c/n)·ln(n/c), each bin's term rounded to
+    * nano before the integer sum — the q112 per-term transcendental
+    * discipline, so both engines agree exactly). Low-entropy screens
+    * catch flat/synthetic/banner images that luma means miss. One decode
+    * pass, one 256-long histogram, slim output.
+    */
+  def lumaEntropy(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions(_.map { case (id, bytes, w, h, fmt) =>
+        val px = ImageCodec.decode(bytes, fmt, w, h)
+        val hist = new Array[Long](256)
+        val n = (w * h).toDouble
+        var j = 0
+        while (j < w * h) {
+          hist((299 * (px(3 * j) & 0xFF) + 587 * (px(3 * j + 1) & 0xFF)
+            + 114 * (px(3 * j + 2) & 0xFF)) / 1000) += 1
+          j += 1
+        }
+        var e = 0L
+        var v = 0
+        while (v < 256) {
+          if (hist(v) > 0)
+            e += math.round(
+              hist(v) * math.log(n / hist(v)) / n * 1000000000.0)
+          v += 1
+        }
+        (id, e)
+      }).toDF("image_id", "entropy_nano")
+  }
+
   /** 3×3 median filter over integer luma (salt-and-pepper denoising — the
     * order-statistics member of the per-image stack next to [[otsuThreshold]]
     * and [[histogramEqualize]]): per pixel, the LOWER median of its

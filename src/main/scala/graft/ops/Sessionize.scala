@@ -130,4 +130,30 @@ object Sessionize {
         col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Time-weighted value integral per user (the TWAP/telemetry
+    * aggregation): each event's `value` is held until the next event
+    * (time + event_id order); emitted as the EXACT pair (numerator =
+    * Σ value·hold_us in DECIMAL micros — order-independent, the q88
+    * discipline — and denominator = total held time), never as a
+    * floating division. One window pass, per-user partitions.
+    */
+  def timeWeightedValue(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"),
+        col("value").cast("decimal(18,6)").as("v"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("next_us", lead("us", 1).over(byUser))
+      .where(col("next_us").isNotNull)
+      .withColumn("hold_us", col("next_us") - col("us"))
+      .groupBy("user_id")
+      // exact DECIMAL sum presented as scale-6 TEXT: a double cast
+      // rounds differently per engine at 1e14 magnitudes (1-ulp diffs,
+      // measured), while both engines print decimals scale-preserving
+      .agg(sum(col("v") * col("hold_us")).cast("decimal(28,6)")
+          .cast("string").as("vt_sum"),
+        sum(col("hold_us")).as("hold_us_sum"),
+        count(lit(1)).as("n_holds"))
+  }
 }
