@@ -1027,6 +1027,13 @@ object SparkEntry {
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
     }),
+    "q147_peak_concurrency" -> ((s, d) => {
+      // peak concurrent 30-min sessions — grouped sweep line with the
+      // distributed two-pass running sum; oracle replays sessionization,
+      // boundaries, and the per-timestamp peak candidates.
+      ops.Sessionize.peakConcurrency(s.read.parquet(p(d, "events")),
+        gapUs = 1800000000L)
+    }),
     "q145_twap" -> ((s, d) => {
       // time-weighted value integral per user — exact DECIMAL numerator
       // + integer held time, never a float division.
@@ -3735,6 +3742,31 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q147_peak_concurrency" ->
+      // q88's session assignment verbatim -> interval bounds -> grouped
+      // boundary sweep; candidate = state after starts, before ends
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+             FROM events),
+         l AS (SELECT *, LAG(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS prev_us FROM e),
+         g AS (SELECT *, CASE WHEN prev_us IS NOT NULL
+               AND ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
+             FROM l),
+         sa AS (SELECT user_id, ts_us, SUM(brk) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS session_id FROM g),
+         sb AS (SELECT user_id, session_id, MIN(ts_us) AS start_us,
+               MAX(ts_us) AS end_us FROM sa GROUP BY 1, 2),
+         b AS (SELECT us, SUM(p) AS plus, SUM(m) AS minus FROM (
+             SELECT start_us AS us, 1 AS p, 0 AS m FROM sb
+             UNION ALL SELECT end_us + 1, 0, 1 FROM sb) GROUP BY 1),
+         c AS (SELECT us, SUM(plus - minus) OVER (ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               + minus AS cand FROM b)
+         SELECT CAST((SELECT MAX(cand) FROM c) AS BIGINT) AS peak,
+           (SELECT MIN(us) FROM c
+             WHERE cand = (SELECT MAX(cand) FROM c)) AS peak_us,
+           (SELECT COUNT(*) FROM sb)::BIGINT AS n_sessions""",
     "q145_twap" ->
       // same (us, event_id)-ordered LEAD holds, same DECIMAL(18,6)
       // value cast, same exact sums

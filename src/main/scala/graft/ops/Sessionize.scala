@@ -156,4 +156,47 @@ object Sessionize {
         sum(col("hold_us")).as("hold_us_sum"),
         count(lit(1)).as("n_holds"))
   }
+
+  /** Peak session concurrency (capacity planning's sweep-line op): +1 at
+    * each session start, −1 just after its inclusive end, boundaries
+    * GROUPED PER TIMESTAMP so the running state is permutation-
+    * independent (the peak candidate at a timestamp is the state after
+    * its starts and before its ends), and the global running sum is the
+    * budgetCut two-pass — range partition, local ROWS window, broadcast
+    * per-partition totals — never one reducer over the boundary stream.
+    * Returns ONE row: (peak, peak_us = earliest peak instant,
+    * n_sessions).
+    */
+  def peakConcurrency(events: DataFrame, gapUs: Long): DataFrame = {
+    val sess = assign(events, gapUs)
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    val bounds = sess
+      .select(col("start_us").as("us"), lit(1L).as("p"), lit(0L).as("m"))
+      .unionByName(sess.select((col("end_us") + 1L).as("us"),
+        lit(0L).as("p"), lit(1L).as("m")))
+      .groupBy("us").agg(sum(col("p")).as("plus"), sum(col("m")).as("minus"))
+      .repartitionByRange(col("us"))
+      .localCheckpoint()
+    val local = bounds.withColumn("pid", spark_partition_id())
+      .withColumn("lcum", sum(col("plus") - col("minus")).over(
+        Window.partitionBy("pid").orderBy("us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = local.groupBy("pid")
+      .agg(sum(col("plus") - col("minus")).as("ptot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L, 0L)) { case (acc, t) =>
+      (t._1, t._2, acc._2 + acc._3)
+    }.drop(1).map(t => (t._1, t._3))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cum = local
+      .join(broadcast(offsets.toSeq.toDF("pid", "off")), Seq("pid"))
+      .withColumn("cand", col("lcum") + col("off") + col("minus"))
+    val peak = cum.agg(max(col("cand"))).head().getLong(0)
+    val peakUs = cum.where(col("cand") === peak)
+      .agg(min(col("us"))).head().getLong(0)
+    val nSess = sess.count()
+    Seq((peak, peakUs, nSess)).toDF("peak", "peak_us", "n_sessions")
+  }
 }
