@@ -1027,6 +1027,12 @@ object SparkEntry {
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
     }),
+    "q148_ab_srm" -> ((s, d) => {
+      // deterministic A/B bucketing + SRM chi-square gate over the event
+      // stream; purchase conversion per variant.
+      ops.Sessionize.abSrmCheck(s.read.parquet(p(d, "events")),
+        "purchase").orderBy("variant")
+    }),
     "q147_peak_concurrency" -> ((s, d) => {
       // peak concurrent 30-min sessions — grouped sweep line with the
       // distributed two-pass running sum; oracle replays sessionization,
@@ -3742,6 +3748,24 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q148_ab_srm" ->
+      // same md5 bucketing, same exact counts, same chi-square double
+      // expression and 3.841 nano threshold
+      s"""WITH u AS (SELECT user_id, MAX(CASE WHEN event_type = 'purchase'
+               THEN 1 ELSE 0 END) AS converted FROM events GROUP BY 1),
+          v AS (SELECT user_id, converted,
+              ${O.md5n("'ab1' || CAST(user_id AS VARCHAR)")} % 2 AS variant
+            FROM u),
+          p AS (SELECT variant, COUNT(*)::BIGINT AS n_users,
+              CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM v GROUP BY 1),
+          t AS (SELECT CAST(SUM(n_users) AS DOUBLE) / 2.0 AS e FROM p)
+          SELECT p.variant, p.n_users, p.n_converted,
+            CAST(round(((p.n_users - t.e) * (p.n_users - t.e) / t.e)
+              * 2.0 * 1000000000.0, 0) AS BIGINT) AS chi2_nano,
+            CAST(round(((p.n_users - t.e) * (p.n_users - t.e) / t.e)
+              * 2.0 * 1000000000.0, 0) AS BIGINT) > 3841000000 AS srm
+          FROM p CROSS JOIN t ORDER BY variant""",
     "q147_peak_concurrency" ->
       // q88's session assignment verbatim -> interval bounds -> grouped
       // boundary sweep; candidate = state after starts, before ends

@@ -199,4 +199,32 @@ object Sessionize {
     val nSess = sess.count()
     Seq((peak, peakUs, nSess)).toDF("peak", "peak_us", "n_sessions")
   }
+
+  /** Deterministic A/B exposure assignment + sample-ratio-mismatch check
+    * (the experimentation-platform gate op): users bucket by a seeded
+    * md5 hash (no RNG state — same user, same variant, any engine or
+    * rerun), per-variant reached/converted counts, and the 1-df
+    * chi-square SRM statistic in nano units against the 50/50 design —
+    * flagged at the 95% critical value 3.841. Counts are exact; the
+    * statistic's doubles are built only from exact integers.
+    */
+  def abSrmCheck(events: DataFrame, convertType: String): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(max(when(col("event_type") === convertType, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("variant", pmod(
+        conv(substring(md5(concat(lit("ab1"),
+          col("user_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(2L)))
+    val per = users.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+    val Seq(nTotal) =
+      per.agg(sum(col("n_users"))).collect().map(_.getLong(0)).toSeq
+    val exp = nTotal.toDouble / 2.0
+    per.withColumn("chi2_nano",
+        round((((col("n_users") - exp) * (col("n_users") - exp)) / exp)
+          .multiply(2.0) * 1e9, 0).cast("long"))
+      .withColumn("srm", col("chi2_nano") > 3841000000L)
+  }
 }
