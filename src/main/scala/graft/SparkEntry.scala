@@ -1027,6 +1027,24 @@ object SparkEntry {
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
     }),
+    "q149_quadtree_zonal" -> ((s, d) => {
+      // composition capstone: every image lands in its adaptive quadtree
+      // leaf (q128 assignment), then per-leaf rollup of decoded raw luma
+      // sums + micro-meter anchor sums — exact integers end to end.
+      val imgs = synthImages(s, d)
+      val assign = SpatialOps.quadtreeAssign(imgs, "image_id",
+        "anchor_x", "anchor_y", baseLevel = 10, maxLevel = 16, cap = 64L)
+      val luma = ImageOps.lumaSamples(s, imgs)
+        .select(col("image_id"), col("lum_sum"),
+          round(col("anchor_x") * 1e6, 0).cast("long").as("ax_micro"),
+          round(col("anchor_y") * 1e6, 0).cast("long").as("ay_micro"))
+      assign.join(luma, Seq("image_id"))
+        .groupBy("level", "cell_id")
+        .agg(count(lit(1)).as("n_images"), sum(col("lum_sum")).as("lum_sum"),
+          sum(col("ax_micro")).as("ax_micro_sum"),
+          sum(col("ay_micro")).as("ay_micro_sum"))
+        .orderBy("level", "cell_id")
+    }),
     "q148_ab_srm" -> ((s, d) => {
       // deterministic A/B bucketing + SRM chi-square gate over the event
       // stream; purchase conversion per variant.
@@ -3748,6 +3766,36 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q149_quadtree_zonal" ->
+      // q128's leaf assignment verbatim, joined with raw luma recomputed
+      // from the pixel dump and the same micro-meter rounding
+      s"""WITH p AS (SELECT image_id,
+              ${O.cell("anchor_x", "anchor_y", 16)} AS cmax,
+              CAST(round(anchor_x * 1000000.0, 0) AS BIGINT) AS ax_micro,
+              CAST(round(anchor_y * 1000000.0, 0) AS BIGINT) AS ay_micro
+            FROM ${O.inp("images")}),
+          e AS (SELECT image_id, cmax, l.l AS l,
+              (l.l << 48) | ((cmax & 281474976710655) >> (2*(16 - l.l))) AS cell
+            FROM p CROSS JOIN range(10, 17) l(l)),
+          c AS (SELECT l, cell, COUNT(*) AS n FROM e GROUP BY 1, 2),
+          leaf AS (SELECT e.image_id,
+              COALESCE(MIN(CASE WHEN c.n <= 64 THEN e.l END), 16) AS ll,
+              MIN(e.cmax) AS cmax
+            FROM e JOIN c ON c.l = e.l AND c.cell = e.cell
+            GROUP BY e.image_id),
+          lum AS (SELECT image_id,
+              CAST(SUM(299*px[j.j*3+1] + 587*px[j.j*3+2]
+                + 114*px[j.j*3+3]) AS BIGINT) AS lum_sum
+            FROM ${O.inp("pixels")}, range(0,256) AS j(j) GROUP BY 1)
+          SELECT CAST(leaf.ll AS BIGINT) AS level,
+            (leaf.ll << 48) | ((leaf.cmax & 281474976710655) >> (2*(16 - leaf.ll)))
+              AS cell_id,
+            CAST(COUNT(*) AS BIGINT) AS n_images,
+            CAST(SUM(lum.lum_sum) AS BIGINT) AS lum_sum,
+            CAST(SUM(p.ax_micro) AS BIGINT) AS ax_micro_sum,
+            CAST(SUM(p.ay_micro) AS BIGINT) AS ay_micro_sum
+          FROM leaf JOIN lum USING (image_id) JOIN p USING (image_id)
+          GROUP BY 1, 2 ORDER BY level, cell_id""",
     "q148_ab_srm" ->
       // same md5 bucketing, same exact counts, same chi-square double
       // expression and 3.841 nano threshold

@@ -724,7 +724,7 @@ object SpatialOps {
     * stays coarse, which is exactly the balanced-partition currency the
     * fixed-level join (O-55/O-58) lacks on pathological skew.
     */
-  def quadtreeLeaves(points: DataFrame, idCol: String, xCol: String,
+  def quadtreeAssign(points: DataFrame, idCol: String, xCol: String,
                      yCol: String, baseLevel: Int, maxLevel: Int,
                      cap: Long): DataFrame = {
     require(0 <= baseLevel && baseLevel <= maxLevel &&
@@ -756,10 +756,16 @@ object SpatialOps {
       .groupBy("__id")
       .agg(coalesce(min(when(col("split").isNull, col("l"))),
         lit(maxLevel)).as("level"), min(col("cmax")).as("cmax"))
-      .select(col("level"), expr(
+      .select(col("__id").as(idCol), col("level"), expr(
         s"shiftleft(cast(level as bigint), ${2 * graft.geom.Cells.MaxLevel})" +
           s" | shiftright(cmax & $mask, 2 * ($maxLevel - level))")
         .as("cell_id"))
-      .groupBy("level", "cell_id").agg(count(lit(1)).as("n_points"))
   }
+
+  /** [[quadtreeAssign]] rolled up to one row per LEAF. */
+  def quadtreeLeaves(points: DataFrame, idCol: String, xCol: String,
+                     yCol: String, baseLevel: Int, maxLevel: Int,
+                     cap: Long): DataFrame =
+    quadtreeAssign(points, idCol, xCol, yCol, baseLevel, maxLevel, cap)
+      .groupBy("level", "cell_id").agg(count(lit(1)).as("n_points"))
 }
