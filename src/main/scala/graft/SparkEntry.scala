@@ -126,6 +126,26 @@ object SparkEntry {
     right.unionByName(down)
   }
 
+
+  /** Segment layer in the walker-track domain (q150): the q129 generator
+    * re-based onto [96000, 96000 + 16384)^2 so tracks and roads share a
+    * world.
+    */
+  private[graft] def synthTrackSegments(s: SparkSession,
+                                        n: Long): DataFrame = {
+    val h = (k: Long) => xxhash64(col("id"), lit(900L + k))
+    s.range(n).select(col("id").as("seg_id"),
+        (lit(96000L) + pmod(h(0), lit(16384L))).as("x1"),
+        (lit(96000L) + pmod(h(1), lit(16384L))).as("y1"),
+        (pmod(h(2), lit(385L)) - 192L).as("dx"),
+        (pmod(h(3), lit(385L)) - 192L).as("dy"))
+      .select(col("seg_id"), col("x1"), col("y1"),
+        greatest(lit(96000L), least(lit(96000L + 16383L),
+          col("x1") + col("dx"))).as("x2"),
+        greatest(lit(96000L), least(lit(96000L + 16383L),
+          col("y1") + col("dy"))).as("y2"))
+  }
+
   /** q62 fixtures (shared by the query and dumpInputs so the dumped edge
     * table is in lockstep with what the engine clusters): a chained
     * near-dup corpus and the union of minhash + simhash near-dup edge
@@ -303,6 +323,8 @@ object SparkEntry {
     w(synthTracks(s, math.max(16L, (20000 * sfOf(sfDir)).toLong), 200L),
       "tracks")
     w(synthGridEdges(s, 16), "grid_edges")
+    w(synthTrackSegments(s, math.max(256L, (160000 * sfOf(sfDir)).toLong)),
+      "seg_t")
     // stitched-mosaic tile pixels (world tile coords ride along): q114's
     // oracle rebuilds the whole-raster pixel graph from this dump
     w(Synth.mosaicTiles(s, mosaicSide(sfOf(sfDir)))
@@ -1026,6 +1048,27 @@ object SparkEntry {
       // relaxation rounds as a generated CTE chain (hop diameter 30).
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
+    }),
+    "q150_stop_hotspots" -> ((s, d) => {
+      // geo capstone composition: q133's dwell stops (centers of their
+      // 64 m cells) snap to the nearest road segment within 64 m (q132's
+      // exact machinery); per-segment dwell counts + the closest
+      // approach. Stop identity = 60-bit md5 of (walker, enter) — the
+      // oracle replays the whole chain.
+      val stops = TrajectoryOps.stopDetection(
+        synthTracks(s, math.max(16L, (20000 * sfOf(d)).toLong), 200L),
+        cellSize = 64L, minPoints = 10)
+      val pts = stops.select(
+        conv(substring(md5(concat(col("walker_id").cast("string"),
+          lit("_"), col("enter_us").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("point_id"),
+        (col("cx") * 64L + 32L).as("x"), (col("cy") * 64L + 32L).as("y"))
+      SpatialOps.snapToSegments(pts,
+        synthTrackSegments(s, math.max(256L, (160000 * sfOf(d)).toLong)),
+        radius = 64L)
+        .groupBy("seg_id")
+        .agg(count(lit(1)).as("n_stops"), min(col("d2")).as("d2_min"))
+        .orderBy("seg_id")
     }),
     "q149_quadtree_zonal" -> ((s, d) => {
       // composition capstone: every image lands in its adaptive quadtree
@@ -3766,6 +3809,42 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q150_stop_hotspots" ->
+      // q133's dwell replay -> 64 m cell centers -> blocking-independent
+      // brute argmin against the dumped track-domain segments
+      s"""WITH t AS (SELECT walker_id, seq, ts_us,
+              x // 64 AS cx, y // 64 AS cy FROM ${O.inp("tracks")}),
+          b AS (SELECT *, CASE WHEN LAG(cx) OVER w = cx
+                AND LAG(cy) OVER w = cy THEN 0 ELSE 1 END AS brk
+            FROM t WINDOW w AS (PARTITION BY walker_id ORDER BY seq)),
+          g AS (SELECT *, SUM(brk) OVER (PARTITION BY walker_id
+              ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS grp FROM b),
+          st AS (SELECT walker_id, cx, cy, MIN(ts_us) AS enter_us
+            FROM g GROUP BY walker_id, grp, cx, cy
+            HAVING COUNT(*) >= 10),
+          pt AS (SELECT ${O.md5n(
+              "CAST(walker_id AS VARCHAR) || '_' || CAST(enter_us AS VARCHAR)")}
+              AS point_id, cx * 64 + 32 AS x, cy * 64 + 32 AS y FROM st),
+          c AS (SELECT pt.point_id, s.seg_id,
+              pt.x - s.x1 AS vx, pt.y - s.y1 AS vy,
+              pt.x - s.x2 AS wx, pt.y - s.y2 AS wy,
+              s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy
+            FROM pt CROSS JOIN ${O.inp("seg_t")} s),
+          dd AS (SELECT point_id, seg_id,
+              CASE WHEN dx*dx + dy*dy = 0 OR vx*dx + vy*dy <= 0
+                THEN CAST(vx*vx + vy*vy AS DOUBLE)
+              WHEN vx*dx + vy*dy >= dx*dx + dy*dy
+                THEN CAST(wx*wx + wy*wy AS DOUBLE)
+              ELSE CAST((vx*dy - vy*dx)*(vx*dy - vy*dx) AS DOUBLE)
+                / (dx*dx + dy*dy) END AS d2
+            FROM c),
+          f AS (SELECT point_id, seg_id, d2, ROW_NUMBER() OVER
+              (PARTITION BY point_id ORDER BY d2 ASC, seg_id ASC) AS rn
+            FROM dd WHERE d2 <= 4096.0)
+          SELECT seg_id, CAST(COUNT(*) AS BIGINT) AS n_stops,
+            MIN(d2) AS d2_min
+          FROM f WHERE rn = 1 GROUP BY seg_id ORDER BY seg_id""",
     "q149_quadtree_zonal" ->
       // q128's leaf assignment verbatim, joined with raw luma recomputed
       // from the pixel dump and the same micro-meter rounding
