@@ -1049,6 +1049,12 @@ object SparkEntry {
       Clustering.shortestPaths(synthGridEdges(s, 16), sourceId = 0L,
         maxRounds = 64).orderBy("v")
     }),
+    "q151_channel_corr" -> ((s, d) => {
+      // R-G Pearson correlation per image (grayscale screen) — exact
+      // integer sums, one IEEE expression, nano rounding.
+      ImageOps.channelCorrelation(s, synthImages(s, d))
+        .orderBy("image_id")
+    }),
     "q150_stop_hotspots" -> ((s, d) => {
       // geo capstone composition: q133's dwell stops (centers of their
       // 64 m cells) snap to the nearest road segment within 64 m (q132's
@@ -3809,6 +3815,28 @@ object SparkEntry {
             SELECT e.dst AS v, r31.dist + e.w AS dist
             FROM r31 JOIN g e ON e.src = r31.v) GROUP BY v)
           SELECT v, dist FROM r32 ORDER BY v""",
+    "q151_channel_corr" ->
+      // same six integer sums from the pixel dump, same single-rounded
+      // correlation expression, same 0.99 flag
+      s"""WITH c AS (SELECT image_id,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(px[j.j*3+1]) AS BIGINT) AS sr,
+              CAST(SUM(px[j.j*3+2]) AS BIGINT) AS sg,
+              CAST(SUM(px[j.j*3+1] * px[j.j*3+1]) AS BIGINT) AS srr,
+              CAST(SUM(px[j.j*3+2] * px[j.j*3+2]) AS BIGINT) AS sgg,
+              CAST(SUM(px[j.j*3+1] * px[j.j*3+2]) AS BIGINT) AS srg
+            FROM ${O.inp("pixels")}, range(0,256) AS j(j) GROUP BY 1)
+          SELECT image_id,
+            CAST(round(CAST(n*srg - sr*sg AS DOUBLE)
+              / sqrt(CAST(n*srr - sr*sr AS DOUBLE)
+                * (n*sgg - sg*sg)) * 1000000000.0, 0) AS BIGINT)
+              AS r_nano,
+            CAST(round(CAST(n*srg - sr*sg AS DOUBLE)
+              / sqrt(CAST(n*srr - sr*sr AS DOUBLE)
+                * (n*sgg - sg*sg)) * 1000000000.0, 0) AS BIGINT)
+              > 990000000 AS grayish
+          FROM c WHERE n*srr - sr*sr <> 0 AND n*sgg - sg*sg <> 0
+          ORDER BY image_id""",
     "q150_stop_hotspots" ->
       // q133's dwell replay -> 64 m cell centers -> blocking-independent
       // brute argmin against the dumped track-domain segments

@@ -957,6 +957,42 @@ object ImageOps {
 
 
 
+
+  /** Red–green channel Pearson correlation per image in nano units (the
+    * grayscale/duotone detector a curation pipeline screens with: gray
+    * images have r ≈ 1): six exact integer sums per image, then ONE
+    * IEEE-rounded expression — (n·Σrg − Σr·Σg) / sqrt((n·Σr² − (Σr)²) ·
+    * (n·Σg² − (Σg)²)) — every operand exact in a double and every op
+    * correctly rounded, so both engines agree bit-for-bit before the
+    * nano rounding. Constant channels (zero variance) emit no row.
+    */
+  def channelCorrelation(spark: SparkSession,
+                         images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions(_.flatMap { case (id, bytes, w, h, fmt) =>
+        val px = ImageCodec.decode(bytes, fmt, w, h)
+        val n = (w * h).toLong
+        var sr = 0L; var sg = 0L; var srr = 0L; var sgg = 0L; var srg = 0L
+        var j = 0
+        while (j < w * h) {
+          val r = px(3 * j) & 0xFF; val g = px(3 * j + 1) & 0xFF
+          sr += r; sg += g
+          srr += r.toLong * r; sgg += g.toLong * g; srg += r.toLong * g
+          j += 1
+        }
+        val vr = n * srr - sr * sr
+        val vg = n * sgg - sg * sg
+        if (vr == 0L || vg == 0L) None
+        else {
+          val rNano = math.round((n * srg - sr * sg).toDouble /
+            math.sqrt(vr.toDouble * vg.toDouble) * 1000000000.0)
+          Some((id, rNano, rNano > 990000000L))
+        }
+      }).toDF("image_id", "r_nano", "grayish")
+  }
+
   /** Shannon entropy of the luma histogram per image, in integer
     * nano-nats (−Σ p·ln p = Σ (c/n)·ln(n/c), each bin's term rounded to
     * nano before the integer sum — the q112 per-term transcendental
