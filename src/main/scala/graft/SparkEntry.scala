@@ -23,6 +23,15 @@ object SparkEntry {
 
   private def p(dir: String, t: String) = s"$dir/$t.parquet"
 
+  /** Per-run-unique scratch dir for lakehouse fixtures that are deleted
+    * and rewritten each run: two concurrent harness invocations on one
+    * host must never share (and corrupt) a fixture path, so the name is
+    * suffixed with the Spark application id — unique per session, stable
+    * within a run, no RNG (r5 ADVICE). */
+  private def fixtureDir(s: SparkSession, name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"${name}_${s.sparkContext.applicationId}").getAbsolutePath
+
   /** Parse scale factor from ".../sfX.Y" for the synth geometry tables. */
   def sfOf(dir: String): Double = {
     val m = "sf([0-9.]+)".r.findFirstMatchIn(dir)
@@ -1186,8 +1195,7 @@ object SparkEntry {
       // sequence 4 (delete + partial re-insert + fresh keys), with
       // payload identity hashed pre/post. Oracle = the same commit
       // arithmetic straight off documents.
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q134_data").getAbsolutePath
+      val dir = fixtureDir(s, "graft_q134_data")
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       dirPath.getFileSystem(s.sessionState.newHadoopConf())
         .delete(dirPath, true)
@@ -1237,8 +1245,7 @@ object SparkEntry {
       // prunes range reads on BOTH dimensions (per-dim `skipped` pins,
       // the q84 shape), plus a key-exactness leg — bit_xor of the 8-bit
       // Hilbert index over every doc, replayed step-for-step in SQL.
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q130_data").getAbsolutePath
+      val dir = fixtureDir(s, "graft_q130_data")
       val docs = s.read.parquet(p(d, "documents"))
         .select("doc_id", "source", "n_chars")
       graft.sources.StatsManifest.hilbertWrite(docs, dir, "doc_id",
@@ -1297,8 +1304,7 @@ object SparkEntry {
       // folds the delete log away (content equality pinned TRUE). The
       // oracle reconstructs the surviving set from documents with the
       // same commit arithmetic — end-to-end proof of the metadata layer.
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q126_data").getAbsolutePath
+      val dir = fixtureDir(s, "graft_q126_data")
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       dirPath.getFileSystem(s.sessionState.newHadoopConf())
         .delete(dirPath, true)
@@ -1613,8 +1619,7 @@ object SparkEntry {
       // — each commit is a numbered manifest; v1/v2 reads reconstruct the
       // table exactly as of those commits even though v3's compaction
       // superseded the small files (they stay on disk until vacuum).
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q93_data").getAbsolutePath
+      val dir = fixtureDir(s, "graft_q93_data")
       val docs = s.read.parquet(p(d, "documents"))
       graft.sources.StatsManifest.write(docs.where(col("doc_id") < 400)
         .repartitionByRange(2, col("n_chars")), dir, Seq("n_chars"))
@@ -1642,8 +1647,7 @@ object SparkEntry {
       // executed plan (SortMergeJoin present, zero hash-partition
       // exchanges) and pinned TRUE by the oracle — if this layout ever
       // starts shuffling, the gate goes red.
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q92_data").getAbsolutePath
+      val base = fixtureDir(s, "graft_q92_data")
       val docs = s.read.parquet(p(d, "documents"))
       val bands = TextOps.minhashBandTable(docs, k = 3, bands = 16, rows = 2)
       docs.write.mode("overwrite").format("parquet")
@@ -1669,8 +1673,7 @@ object SparkEntry {
       // untouched (zero I/O). Pins: rows identical to the source table,
       // `compacted` (file count dropped) and `big_kept` (both base files
       // still referenced by the refreshed manifest) both TRUE.
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q91_data").getAbsolutePath
+      val dir = fixtureDir(s, "graft_q91_data")
       val docs = s.read.parquet(p(d, "documents"))
       graft.sources.StatsManifest.write(docs.where(col("doc_id") < 400)
         .repartitionByRange(2, col("n_chars")), dir, Seq("n_chars"))
@@ -1755,8 +1758,7 @@ object SparkEntry {
       // OPTIMIZE ZORDER for plain parquet: ONE Morton-clustered layout
       // serves range predicates on BOTH doc_id AND n_chars — each dim's
       // pruned read must skip files (per-dim `skipped` pins, q54 trick).
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q84_data").getAbsolutePath
+      val dir = fixtureDir(s, "graft_q84_data")
       val docs = s.read.parquet(p(d, "documents"))
         .select("doc_id", "source", "n_chars")
       graft.sources.StatsManifest.zorderWrite(docs, dir, "doc_id", "n_chars", 16)
@@ -1778,8 +1780,7 @@ object SparkEntry {
       // manifest, answer an inclusive range query opening ONLY overlapping
       // files. `skipped` is pinned TRUE by the oracle (the q54 trick): if
       // pruning ever stops happening on this layout the gate goes red.
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q82_data").getAbsolutePath
+      val dir = fixtureDir(s, "graft_q82_data")
       val docs = s.read.parquet(p(d, "documents"))
       graft.sources.StatsManifest.write(
         docs.repartitionByRange(8, col("n_chars")), dir, Seq("n_chars"))

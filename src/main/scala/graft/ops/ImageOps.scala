@@ -1147,7 +1147,8 @@ object ImageOps {
     * of both legs (interior + edge) — a checksum that pins every output
     * pixel of both operators. Opening/closing = composing this op twice.
     */
-  def morphology(spark: SparkSession, tiles: DataFrame): DataFrame = {
+  def morphology(spark: SparkSession, tiles: DataFrame,
+                 tileW: Int = 16, tileH: Int = 16): DataFrame = {
     import spark.implicits._
     val Shift = 22 // world pixel key = wy << 22 | wx (same as q120)
     val tagged = tiles
@@ -1155,6 +1156,11 @@ object ImageOps {
       .as[(Array[Byte], Int, Int, String, Int, Int)]
       .mapPartitions { rows =>
         rows.flatMap { case (bytes, w, h, fmt, tx, ty) =>
+          // the edge-leg decode divides world pixel coords by the tile
+          // size; a row whose w/h diverges from it would silently
+          // attribute edge pixels to wrong tiles — fail fast (r5 ADVICE)
+          require(w == tileW && h == tileH,
+            s"morphology: tile ($tx,$ty) is ${w}x$h, expected ${tileW}x$tileH")
           val px = ImageCodec.decode(bytes, fmt, w, h)
           val lum = new Array[Int](w * h)
           var j = 0
@@ -1234,9 +1240,9 @@ object ImageOps {
       .agg(min(col("a")).as("ero"), max(col("a")).as("dil"),
         max(col("b")).as("has_self"))
       .where(col("has_self") === 1L)
-      .select((pmod(col("k"), lit(1L << Shift)) / 16).cast("long")
+      .select((pmod(col("k"), lit(1L << Shift)) / tileW).cast("long")
           .as("tile_x"),
-        (col("k") / (1L << Shift)).cast("long").divide(16).cast("long")
+        (col("k") / (1L << Shift)).cast("long").divide(tileH).cast("long")
           .as("tile_y"),
         col("ero"), col("dil"))
       .groupBy("tile_x", "tile_y")

@@ -541,10 +541,20 @@ object SpatialOps {
   /** Great-circle (haversine) radius join — the geodesic twin of the
     * planar bbox/PIP joins: all point pairs within `radiusM` meters on the
     * sphere, rolled up per point. Blocking is a `gridDeg` lon/lat grid
-    * with a 3×3-neighbor equi-join (one explode of 9 slim cell keys per
-    * point — REQUIRE: `gridDeg` ≥ the radius in degrees at every latitude
-    * of the data, checked against the worst-case 1°≈110.574 km minor arc),
-    * then the exact haversine refine. Distances round to integer METERS
+    * with a latitude-adaptive neighbor ring: `dy` spans ±1 (REQUIRE:
+    * `gridDeg` ≥ the radius in degrees of meridian arc, checked against
+    * the worst-case 1°≈110.574 km minor arc), while `dx` widens per probe
+    * row as sec(latitude) — one degree of LONGITUDE spans 111320·cos(lat)
+    * meters, so a fixed ±1 lon ring under-covers past the latitude where
+    * the radius exceeds one lon cell (r5 ADVICE). The per-row bound uses
+    * the row's own |lat|+gridDeg (a true pair's |Δlat| ≤ gridDeg by the
+    * require, so that bounds the partner too) against a 105 km/deg
+    * constant whose ~5% slack absorbs asin curvature for
+    * radiusM/cos(maxAbsLat) up to ~500 km. Unsupported envelope (both
+    * documented, neither reachable by current callers): |lat| >
+    * 89°−gridDeg (the sec clamp at 89° could under-cover) and the ±180°
+    * antimeridian (cells don't wrap). Then the exact haversine refine.
+    * Distances round to integer METERS
     * before the compare and the sums, so the only transcendentals sit
     * behind a fixed-point shield ≥ 10⁹ ulp wide (q118 discipline) and the
     * per-point rollups are order-independent integer sums the oracle
@@ -563,13 +573,20 @@ object SpatialOps {
     val base = pts.select(col("image_id"), col("lon"), col("lat"),
       floor(col("lon") / gridDeg).cast("long").as("cx"),
       floor(col("lat") / gridDeg).cast("long").as("cy"))
-    val probes = base.withColumn("dd",
-        explode(array((for (dx <- -1 to 1; dy <- -1 to 1)
-          yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)))
+    // lon ring half-width from the row's own latitude (+1 cell of slack
+    // to bound the partner's); 105000 m/deg < the true 111194.9 m/deg of
+    // great-circle arc — the ~5% headroom covers asin curvature.
+    val dxm = greatest(lit(1L), ceil(lit(radiusM) /
+      (lit(105000.0 * gridDeg) *
+        cos(radians(least(lit(89.0), abs(col("lat")) + lit(gridDeg))))))
+      .cast("long"))
+    val probes = base
+      .withColumn("dx", explode(sequence(-dxm, dxm)))
+      .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
       .select(col("image_id").as("ia"), col("lon").as("lon_a"),
         col("lat").as("lat_a"),
-        (col("cx") + col("dd.dx")).as("cx"),
-        (col("cy") + col("dd.dy")).as("cy"))
+        (col("cx") + col("dx")).as("cx"),
+        (col("cy") + col("dy")).as("cy"))
     val cand = probes.join(
       base.select(col("image_id").as("ib"), col("lon").as("lon_b"),
         col("lat").as("lat_b"), col("cx"), col("cy")), Seq("cx", "cy"))

@@ -67,6 +67,25 @@ class HaversineSpec extends AnyFunSuite {
     assert(run(out, 500.0, 0.006).isEmpty)
   }
 
+  test("high latitude: lon cells shrink as cos(lat), ring must widen") {
+    // at lat 75° one lon degree ≈ 28.8 km, so a 0.006° cell is ~173 m of
+    // longitude — a 500 m radius spans ~3 lon cells and the old fixed ±1
+    // ring missed true pairs (r5 ADVICE). Brute-force equality pins the
+    // widened ring's completeness.
+    val rnd = new scala.util.Random(31)
+    val pts = (0 until 100).map { i =>
+      (f"h$i%03d", 10.0 + rnd.nextDouble() * 0.04,
+        75.0 + rnd.nextDouble() * 0.008)
+    }
+    val expect = brute(pts, 500.0)
+    assert(expect.nonEmpty, "fixture produced no neighbor pairs")
+    assert(run(pts, 500.0, 0.006) === expect)
+    assert(run(pts, 500.0, 0.006, parts = 5) === expect)
+    // hand pair 2.5 lon cells apart but only ~432 m: must be found
+    val far = Seq(("a", 10.0, 75.0), ("b", 10.015, 75.0))
+    assert(run(far, 500.0, 0.006).keySet === Set("a", "b"))
+  }
+
   test("gridDeg guard rejects a grid finer than the radius") {
     intercept[IllegalArgumentException] {
       SpatialOps.haversineNeighbors(
