@@ -211,39 +211,15 @@ object ObjPipeline {
     * the offset table is tiny (≤ partitions × classes) and is the only
     * driver-side data. Same semantics, full parallelism.
     */
-  def assignOrdinals(firstSeen: DataFrame): DataFrame = {
-    // eager localCheckpoint: the range partitioner samples with an
-    // RDD-id-derived seed, so the counts job and the final job would
-    // otherwise see different bounds; localCheckpoint (not persist) so the
-    // materialized blocks are freed on GC instead of pinning the session's
-    // CacheManager per call — a persist here also made Bench reps 2+ read
-    // rep 1's canonicalized cache (round-5 item #2)
-    val sorted = firstSeen
-      .repartitionByRange(col("cls"), col("first_seen"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = sorted.groupBy("pid", "cls").count()
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    // one-pass per-class prefix sums over the (cls, pid)-sorted pairs — the
-    // naive per-key rescan is O(k²) in (partition, class) pairs, which the
-    // -sepC path (one class PER COMPONENT — potentially millions) cannot
-    // afford driver-side; this is O(k log k)
-    val offsets = counts.groupBy(_._2).toSeq.flatMap { case (cls, rows) =>
-      var acc = 0L
-      rows.sortBy(_._1).map { case (pid, _, n) =>
-        val o = (pid, cls, acc); acc += n; o
-      }
-    }
-    val offDf = broadcast(
-      firstSeen.sparkSession.createDataFrame(offsets).toDF("pid", "cls", "off"))
-    sorted
-      .withColumn("local_rn",
-        row_number().over(Window.partitionBy(col("pid"), col("cls"))
-          .orderBy(col("first_seen"))).cast("long"))
-      .join(offDf, Seq("pid", "cls"))
-      .withColumn("ordinal", (col("local_rn") + col("off")).cast("int"))
-      .drop("pid", "local_rn", "off")
-  }
+  def assignOrdinals(firstSeen: DataFrame): DataFrame =
+    // running count (value = 1) == per-class row_number; PrefixSum carries
+    // the localCheckpoint discipline and the O(k log k) offset scan the
+    // -sepC path (one class PER COMPONENT — potentially millions of
+    // (partition, class) pairs driver-side) depends on
+    PrefixSum.runningSum(firstSeen, Seq("cls"), Seq("first_seen"),
+        lit(1L), "__ord")
+      .withColumn("ordinal", col("__ord").cast("int"))
+      .drop("pid", "__ord")
 
   /** Global-min translation (O-42, `-t` flag): lexicographic min vertex over
     * all classes, subtracted from every vertex — two passes, like the

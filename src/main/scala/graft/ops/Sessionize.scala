@@ -176,23 +176,11 @@ object Sessionize {
       .unionByName(sess.select((col("end_us") + 1L).as("us"),
         lit(0L).as("p"), lit(1L).as("m")))
       .groupBy("us").agg(sum(col("p")).as("plus"), sum(col("m")).as("minus"))
-      .repartitionByRange(col("us"))
-      .localCheckpoint()
-    val local = bounds.withColumn("pid", spark_partition_id())
-      .withColumn("lcum", sum(col("plus") - col("minus")).over(
-        Window.partitionBy("pid").orderBy("us")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = local.groupBy("pid")
-      .agg(sum(col("plus") - col("minus")).as("ptot"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L, 0L)) { case (acc, t) =>
-      (t._1, t._2, acc._2 + acc._3)
-    }.drop(1).map(t => (t._1, t._3))
     val spark = events.sparkSession
     import spark.implicits._
-    val cum = local
-      .join(broadcast(offsets.toSeq.toDF("pid", "off")), Seq("pid"))
-      .withColumn("cand", col("lcum") + col("off") + col("minus"))
+    val cum = PrefixSum
+      .runningSum(bounds, Nil, Seq("us"), col("plus") - col("minus"), "cumv")
+      .withColumn("cand", col("cumv") + col("minus"))
     val peak = cum.agg(max(col("cand"))).head().getLong(0)
     val peakUs = cum.where(col("cand") === peak)
       .agg(min(col("us"))).head().getLong(0)

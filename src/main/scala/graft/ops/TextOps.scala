@@ -58,45 +58,18 @@ object TextOps {
     */
   def packOffsetsOf(counts: DataFrame, capacity: Long): DataFrame = {
     require(capacity >= 1, "capacity must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     val t = counts.select(col("doc_id"), col("n_tokens"))
-    // eager localCheckpoint: the range partitioner SAMPLES its child
-    // (RDD-id-seeded), so the counts job and the final job must see
-    // identical bounds — and unlike a persist() the checkpointed blocks are
-    // freed when the frame is GC'd, so no per-call cache pins the session
-    // (round-5 item #2)
-    val sorted = t.repartitionByRange(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val parts = sorted.groupBy("pid")
-      .agg(sum(col("n_tokens")).as("part_tokens"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = {
-      var acc = 0L
-      parts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
-    }
-    val offDf = broadcast(counts.sparkSession
-      .createDataFrame(offsets.toSeq).toDF("pid", "part_off"))
-    // explicit ROWS frame: the default RANGE frame makes equal-doc_id rows
-    // peers sharing one combined cum value, silently breaking the exclusive
-    // start-offset contract on duplicate ids (round-5 ADVICE fix)
-    val local = sum(col("n_tokens"))
-      .over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val out = sorted
-      .withColumn("cum_incl", local)
-      .join(offDf, Seq("pid"))
-      .withColumn("start_offset", col("part_off") + col("cum_incl") - col("n_tokens"))
+    PrefixSum.runningSum(t, Nil, Seq("doc_id"), col("n_tokens"), "cum_incl")
+      .withColumn("start_offset", col("cum_incl") - col("n_tokens"))
       .withColumn("first_bin", (col("start_offset") / capacity).cast("long"))
       // empty documents occupy no tokens: they sit AT start_offset and
       // belong wholly to first_bin
       .withColumn("last_bin",
         when(col("n_tokens") > 0,
-          ((col("part_off") + col("cum_incl") - 1) / capacity).cast("long"))
+          ((col("cum_incl") - 1) / capacity).cast("long"))
           .otherwise(col("first_bin")))
       .select(col("doc_id"), col("n_tokens"), col("start_offset"),
         col("first_bin"), col("last_bin"))
-    out
   }
 
   /** Corpus mixing: deterministic per-source subsampling to the given
@@ -723,6 +696,86 @@ object TextOps {
       .withColumn("keep", col("score_nano") > 0L)
   }
 
+  /** (doc_id, 1-based pos, 61-bit hash `h`) for every character `L`-gram —
+    * the hashing leg shared by [[winnowFingerprints]] and [[dupSpans]].
+    * `hashMode` (r5 verdict item #2 — the md5-per-position cost was the
+    * measured bottleneck of both ops, ~25× a rolling hash):
+    *  - `"md5"` (default — the ORACLE mode): 60-bit md5-prefix hash as a
+    *    Catalyst expression, replayable verbatim in DuckDB SQL.
+    *  - `"roll"` (the PRODUCTION mode): Rabin-Karp rolling polynomial hash
+    *    mod the Mersenne prime 2^61−1, computed in ONE O(n) pass per
+    *    document inside mapPartitions — O(1) work per position vs md5's
+    *    per-gram block digests — same (doc_id, pos, h) row shape, so every
+    *    downstream plan is unchanged. Hash VALUES differ from md5 mode:
+    *    dup detection depends only on gram EQUALITY, so [[dupSpans]]
+    *    output is identical (mod 2^61 collisions, same class of risk as
+    *    the 60-bit md5 prefix); winnowing SELECTS different (equally
+    *    valid) fingerprints — the w+k−1 guarantee and match detection
+    *    hold in both modes (WinnowingSpec pins both).
+    */
+  private[ops] def gramRows(documents: DataFrame, L: Int,
+                            hashMode: String): DataFrame = hashMode match {
+    case "md5" =>
+      documents.where(length(col("text")) >= L)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - L + 1)).as("pos"),
+          col("text"))
+        .select(col("doc_id"), col("pos"),
+          conv(substring(md5(expr(s"substring(text, pos, $L)")), 1, 15),
+            16, 10).cast("long").as("h"))
+    case "roll" =>
+      val spark = documents.sparkSession
+      import spark.implicits._
+      documents.where(length(col("text")) >= L)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val M = (1L << 61) - 1
+          val B = 1000003L
+          // 128-bit multiply, then the Mersenne fold 2^61 ≡ 8 (mod M)
+          def mulmod(a: Long, b: Long): Long = {
+            val hi = Math.multiplyHigh(a, b)
+            val lo = a * b
+            var r = (lo & M) + ((hi << 3) | (lo >>> 61))
+            if (r >= M) r -= M
+            r
+          }
+          var pw = 1L // B^(L-1) mod M, the drop-term multiplier
+          var e = 0
+          while (e < L - 1) { pw = mulmod(pw, B); e += 1 }
+          rows.flatMap { case (id, t) =>
+            val n = t.length
+            new Iterator[(Long, Int, Long)] {
+              private var pos = 0 // 0-based gram start
+              private var h = {
+                var x = 0L; var i = 0
+                while (i < L) {
+                  x = mulmod(x, B) + t.charAt(i); if (x >= M) x -= M
+                  i += 1
+                }
+                x
+              }
+              def hasNext: Boolean = pos <= n - L
+              def next(): (Long, Int, Long) = {
+                val out = (id, pos + 1, h)
+                if (pos < n - L) {
+                  var x = h - mulmod(t.charAt(pos).toLong, pw)
+                  if (x < 0) x += M
+                  x = mulmod(x, B) + t.charAt(pos + L)
+                  if (x >= M) x -= M
+                  h = x
+                }
+                pos += 1
+                out
+              }
+            }
+          }
+        }.toDF("doc_id", "pos", "h")
+    case other =>
+      throw new IllegalArgumentException(
+        s"hashMode must be 'md5' (oracle) or 'roll' (production), got $other")
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
     * algorithm — public): character `k`-gram 40-bit hashes, window-of-`w`
     * minimum selection with the RIGHTMOST tiebreak. The selection is ONE
@@ -731,20 +784,24 @@ object TextOps {
     * no argmin self-join, identical in Spark and SQL. Density 2/(w+1);
     * guarantee: any shared substring of length ≥ w+k−1 shares ≥ 1
     * fingerprint. Returns (doc_id, fh) distinct fingerprints.
+    * `hashMode`: see [[gramRows]] — "md5" replays in the oracle, "roll"
+    * is the O(1)-per-position production path.
     */
-  def winnowFingerprints(documents: DataFrame, k: Int,
-                         w: Int): DataFrame = {
-    val grams = documents.where(length(col("text")) >= k)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - k + 1)).as("pos"),
-        col("text"))
-      .withColumn("h40", pmod(
-        conv(substring(md5(expr(s"substring(text, pos, $k)")), 1, 15),
-          16, 10).cast("long"), lit(1099511627776L)))
+  def winnowFingerprints(documents: DataFrame, k: Int, w: Int,
+                         hashMode: String = "md5"): DataFrame = {
+    val grams = gramRows(documents, k, hashMode)
+      .withColumn("h40", pmod(col("h"), lit(1099511627776L)))
       .withColumn("ng", count(lit(1)).over(
         Window.partitionBy(col("doc_id"))))
-      .withColumn("key",
-        col("h40") * lit(1048576L) + (lit(1048575L) - col("pos")))
+      // the position rider packs into 20 bits; a doc past 2^20 chars would
+      // drive it negative and corrupt the packed min-key, so the guard
+      // lives INSIDE the key expression (an unused assert column would be
+      // pruned away by Catalyst) and raises instead of corrupting
+      .withColumn("key", col("h40") * lit(1048576L) +
+        when(col("pos") <= lit(1048575L), lit(1048575L) - col("pos"))
+          .otherwise(expr("raise_error('winnowFingerprints: document " +
+            "longer than 2^20 chars exceeds the 20-bit position pack')")
+            .cast("long")))
     val sel = grams.withColumn("wkey", min(col("key")).over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))
           .rowsBetween(Window.currentRow, w - 1)))
@@ -765,9 +822,9 @@ object TextOps {
     * HammingBlocking hot-bucket discipline) — at gate scale the skew is
     * measured and absent.
     */
-  def winnowMatches(documents: DataFrame, k: Int = 12,
-                    w: Int = 8): DataFrame = {
-    val f = winnowFingerprints(documents, k, w).localCheckpoint()
+  def winnowMatches(documents: DataFrame, k: Int = 12, w: Int = 8,
+                    hashMode: String = "md5"): DataFrame = {
+    val f = winnowFingerprints(documents, k, w, hashMode).localCheckpoint()
     val n = f.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     val m = f.select(col("doc_id").as("doc_a"), col("fh"))
       .join(f.select(col("doc_id").as("doc_b"), col("fh")), Seq("fh"))
@@ -795,20 +852,17 @@ object TextOps {
     * reference implementation is a monolithic suffix array; the gram
     * route is the distributed shape at 100 TB: one partial-aggregated
     * count shuffle on an 8-byte hash, one semi-join back, per-doc windows
-    * (doc-sized partitions, never corpus-sized). A production run swaps
-    * md5 for the q23 rolling xxhash64 (same plan, cheaper per position);
-    * md5 keeps the oracle replay engine-identical.
+    * (doc-sized partitions, never corpus-sized). `hashMode` "roll" swaps
+    * the per-position md5 for the O(1) rolling hash ([[gramRows]]) — span
+    * output is IDENTICAL (dup detection sees only gram equality; spec-
+    * pinned); md5 keeps the oracle replay engine-identical.
     */
-  def dupSpans(documents: DataFrame, L: Int): DataFrame = {
-    // md5-per-position is the expensive leg and the frame is read twice
-    // (global counts, then position lookup) — materialize once
-    val grams = documents.where(length(col("text")) >= L)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - L + 1)).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(expr(s"substring(text, pos, $L)")), 1, 15),
-          16, 10).cast("long").as("h60"))
+  def dupSpans(documents: DataFrame, L: Int,
+               hashMode: String = "md5"): DataFrame = {
+    // per-position hashing is the expensive leg and the frame is read
+    // twice (global counts, then position lookup) — materialize once
+    val grams = gramRows(documents, L, hashMode)
+      .withColumnRenamed("h", "h60")
       .localCheckpoint()
     val dup = grams.groupBy("h60").agg(count(lit(1)).as("n"))
       .where(col("n") >= 2).select("h60")
@@ -848,28 +902,8 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         col(weightCol).cast("long").as("weight"))
       .withColumn("rk", md5(concat(lit("bc"), col("doc_id").cast("string"))))
-      .repartitionByRange(col("source"), col("rk"), col("doc_id"))
-      // freeze the sampler's bounds + avoid double-executing upstream
-      .localCheckpoint()
-    val byLocal = Window.partitionBy("pid", "source")
-      .orderBy(col("rk"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranked.withColumn("pid", spark_partition_id())
-      .withColumn("lcum", sum(col("weight")).over(byLocal))
-    val totals = local.groupBy("pid", "source")
-      .agg(max(col("lcum")).as("ptot"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-      .sortBy(t => (t._2, t._1))
-    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (src, ts) =>
-      ts.sortBy(_._1).scanLeft((0, src, 0L, 0L)) { case (acc, t) =>
-        (t._1, src, t._3, acc._3 + acc._4)
-      }.drop(1).map(t => (t._1, t._2, t._4))
-    }
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toDF("pid", "source", "off")
-    local.join(broadcast(offDf), Seq("pid", "source"), "left")
-      .withColumn("cum", col("lcum") + coalesce(col("off"), lit(0L)))
+    PrefixSum.runningSum(ranked, Seq("source"), Seq("rk", "doc_id"),
+        col("weight"), "cum")
       .where(col("cum") - col("weight") < budget)
       .select(col("doc_id"), col("source"), col("weight"), col("cum"))
   }

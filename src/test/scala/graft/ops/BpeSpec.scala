@@ -56,6 +56,26 @@ class BpeSpec extends AnyFunSuite {
     assert(BpeTokenizer.train(words.repartition(7), 12) === ref)
   }
 
+  test("local and distributed trainers: identical merges on fuzz corpora") {
+    // r6 cadence fix: train() now collects small vocabs and runs
+    // driver-local — the merge sequence must match the distributed loop
+    // EXACTLY (counts, UTF-8 tie-breaks, <2 stop) on tie-heavy corpora
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 5) {
+      val words = (0 until 30 + rnd.nextInt(40)).map { _ =>
+        (0 until 1 + rnd.nextInt(8))
+          .map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+      }.distinct.map(w => (w, (1 + rnd.nextInt(9)).toLong))
+      val ref = refTrain(words, 25)
+      val df = words.toDF("w", "freq")
+      assert(BpeTokenizer.trainLocal(
+        words.map { case (w, f) => (f, w) }.toArray, 25) === ref,
+        s"trial $trial: local trainer diverged")
+      assert(BpeTokenizer.trainDistributed(df, 25) === ref,
+        s"trial $trial: distributed trainer diverged")
+    }
+  }
+
   test("encode reproduces the trainer's own final segmentation") {
     val merges = refTrain(corpus, 12)
     val ranks = BpeTokenizer.ranksOf(merges)

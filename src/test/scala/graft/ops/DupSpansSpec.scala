@@ -37,6 +37,28 @@ class DupSpansSpec extends AnyFunSuite {
         id -> rs.flatMap(r => r.getInt(1) to r.getInt(2)).toSet
       }
 
+  test("roll hash mode emits spans identical to md5 mode") {
+    // dup detection sees only gram EQUALITY, so the production rolling
+    // hash must reproduce the md5-mode spans exactly (r6: the ≥10× mode)
+    val rnd = new scala.util.Random(47)
+    val base = (0 until 30).map(i =>
+      (i.toLong, (0 until 80).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString))
+    val docs = base ++ Seq(
+      (100L, base(3)._2.substring(10, 50) + "xyzqw" + base(7)._2.take(30)),
+      (101L, "unique-" + (0 until 70).map(_ => ('p' + rnd.nextInt(8)).toChar).mkString))
+    val df = docs.toDF("doc_id", "text")
+    val md5Rows = TextOps.dupSpans(df, L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(4))).toSet
+    val rollRows = TextOps.dupSpans(df, L, hashMode = "roll").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(4))).toSet
+    assert(md5Rows.nonEmpty, "fixture produced no dup spans")
+    assert(rollRows === md5Rows)
+    val rollRepart = TextOps.dupSpans(df.repartition(7), L, hashMode = "roll")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(4))).toSet
+    assert(rollRepart === md5Rows, "roll mode must be partition-invariant")
+  }
+
   test("coverage equals brute force on a mixed hand corpus") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

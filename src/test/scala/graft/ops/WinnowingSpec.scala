@@ -82,4 +82,47 @@ class WinnowingSpec extends AnyFunSuite {
       .orderBy("doc_a", "doc_b").collect().toSeq
     assert(a === b)
   }
+
+  test("roll hash mode: guarantee, planted copy, partition invariance") {
+    // production mode selects DIFFERENT (equally valid) fingerprints, so
+    // the pins are the winnowing PROPERTIES, not md5-value equality
+    val shared = "zqxjkvwpylmzqxjkvwpylm"
+    val fps = TextOps.winnowFingerprints(
+      Seq((1L, s"aaaaaaaaaaaaaaaa $shared bbbbbbbbbbbbbbbb"),
+        (2L, s"cccccccccccccccc $shared dddddddddddddddd"))
+        .toDF("doc_id", "text"), K, W, hashMode = "roll")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    val base = "the shared corpus sentence that appears verbatim in " +
+      "both documents of interest without any modification whatsoever"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " plus a short unique tail xyzzy"),
+      (3L, "entirely unrelated words qwerty asdfgh zxcvbn uiophj klmnbv " +
+        "plus more filler so the length is comparable overall"))
+    val df = docs.toDF("doc_id", "text")
+    val got = TextOps.winnowMatches(df, K, W, hashMode = "roll")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+    val re = TextOps.winnowMatches(df.repartition(5), K, W, hashMode = "roll")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re === got)
+  }
+
+  test("rolling hash equals a direct per-gram polynomial evaluation") {
+    // pins the O(1) slide against the O(L) definition: h(g) =
+    // sum g(i)·B^(L-1-i) mod 2^61-1, for every position of every doc
+    val M = BigInt(2).pow(61) - 1
+    val B = BigInt(1000003)
+    def direct(g: String): Long =
+      g.foldLeft(BigInt(0))((acc, c) => (acc * B + c.toInt) mod M).toLong
+    val docs = Seq((7L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (8L, "aaaaaaaaaaaaaaaaaaaa"))
+    val got = TextOps.gramRows(docs.toDF("doc_id", "text"), K, "roll")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for ((id, t) <- docs; p <- 1 to t.length - K + 1)
+      assert(got((id, p)) === direct(t.substring(p - 1, p - 1 + K)),
+        s"doc $id pos $p")
+  }
 }
