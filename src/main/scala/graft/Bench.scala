@@ -154,6 +154,11 @@ object Bench {
       ImageOps.materializeTiles(spark, SpatialOps.imageCells(images))
         .toDF().where(col("psnr") >= 40.0 || col("psnr").isNull).count()
     }
+    // per-rep ladder diagnostics (round-5 verdict item #8): straggler counts
+    // + per-round seconds per rep, so an outlier knn minimum is
+    // self-explaining (which round absorbed a co-tenant stall) the way
+    // tiling's rep_times already are
+    val knnLadders = scala.collection.mutable.ArrayBuffer.empty[String]
     bench("knn") {
       // deterministic quarter of the probes: kNN fans each probe to ~30
       // candidates, so the full set would dominate total bench wall-clock
@@ -161,6 +166,10 @@ object Bench {
         images.where(pmod(col("phash"), lit(4L)) === 0), surfaces, k = 3)
       val n = r.count() // already materialized inside; this reads the cache
       r.unpersist(blocking = false) // don't accumulate a cached result per rep
+      knnLadders += SpatialOps.lastKnnRounds.map(l =>
+        s"""{"round":${l.round},"level":${l.level},"reach":${l.reach},""" +
+          s""""remaining":${l.remaining},"sec":${l.sec}}""")
+        .mkString("[", ",", "]")
       n
     }
     bench("obj_encode") {
@@ -225,8 +234,10 @@ object Bench {
     val reptimes = repTimes.map { case (k, v) =>
       s""""$k":[${v.mkString(",")}]""" }.mkString("{", ",", "}")
     val warms = warmTimes.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // warm-up ladder first, then one per timed rep
+    val ladders = knnLadders.mkString("[", ",", "]")
     println(
-      s"""{"metric":"spatial_join_tiling_rows_per_sec","value":$imagesPerSec,"value_normalized":$normalized,"cpu_control_sec":$ctrl,"cpu_control_ref_sec":${refControl.getOrElse(cpus, -1.0)},"unit":"rows/sec","total_sec":$total,"reps":$reps,"warmup":$warmup,"queries":$qs,"rep_times":$reptimes,"warmup_times":$warms,"rows":$rs,"sf":"$sfDir","cpus":$cpus,"n_images":$nI,"n_buildings":$nB}""")
+      s"""{"metric":"spatial_join_tiling_rows_per_sec","value":$imagesPerSec,"value_normalized":$normalized,"cpu_control_sec":$ctrl,"cpu_control_ref_sec":${refControl.getOrElse(cpus, -1.0)},"unit":"rows/sec","total_sec":$total,"reps":$reps,"warmup":$warmup,"queries":$qs,"rep_times":$reptimes,"warmup_times":$warms,"knn_ladders":$ladders,"rows":$rs,"sf":"$sfDir","cpus":$cpus,"n_images":$nI,"n_buildings":$nB}""")
     spark.stop()
   }
 }

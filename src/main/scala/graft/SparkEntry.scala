@@ -2315,6 +2315,43 @@ object SparkEntry {
       s.table(qn).select(col("text_hash"), col("keep_doc_id"))
         .orderBy("text_hash")
     }),
+    "q152_stream_restart" -> ((s, d) => {
+      // Structured Streaming FAULT TOLERANCE under the gate (r5 verdict
+      // item #4): the stateful dedup stream runs over phase-1 files, STOPS
+      // (a planned shutdown exercises the same recovery path as a crash —
+      // the next run boots from the checkpoint's offset log + state
+      // store), new files land, and a SECOND query on the same
+      // checkpointLocation resumes into the same parquet sink. Phase 2
+      // replays exact copies of phase-1 documents under NEW doc_ids —
+      // suppressed ONLY if the phase-1 state store recovered — plus
+      // genuinely new texts that must still emit. The oracle replays
+      // first-phase-wins dedup over the same union relationally, so a
+      // state loss (copies re-emitted), an offset loss (phase 1 replayed),
+      // or a sink-log loss (duplicate files visible) each break rows+hash.
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = s.read.parquet(p(d, "documents"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q152").toString
+      val in = s"$tmp/in"; val out = s"$tmp/out"; val cp = s"$tmp/cp"
+      def runOnce(): Unit = {
+        val q = graft.streaming.StreamingIngest.dedupStream(
+            s.readStream.schema(docs.schema).parquet(in))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", cp)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      docs.coalesce(1).write.mode("append").parquet(in)
+      runOnce() // phase 1, then the query stops (planned shutdown)
+      docs.where(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000L) // exact dups, new ids
+        .unionByName(docs.where(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 20000L)
+          .withColumn("text", concat(col("text"), lit("!")))) // new texts
+        .coalesce(1).write.mode("append").parquet(in)
+      runOnce() // restart: offsets + state recover from the checkpoint
+      s.read.parquet(out).select(col("text_hash"), col("keep_doc_id"))
+        .orderBy("text_hash")
+    }),
     "q35_attr_stats" -> ((s, d) => {
       // O-45 attribute range stats — computed over XML-INGESTED surfaces
       // (render → StAX parse round trip), so a green row proves the per-
@@ -5652,6 +5689,18 @@ object SparkEntry {
     "q44_stream_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id
          FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+    "q152_stream_restart" ->
+      """WITH arrivals AS (
+           SELECT doc_id, md5(text) AS text_hash, 0 AS ph FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, md5(text), 1 FROM documents
+           WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 20000, md5(text || '!'), 1 FROM documents
+           WHERE doc_id % 7 = 0)
+         SELECT text_hash,
+           arg_min(doc_id, ph * 1099511627776 + doc_id) AS keep_doc_id
+         FROM arrivals GROUP BY text_hash ORDER BY text_hash""",
     "q11_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
            length(text) AS n_chars_calc
