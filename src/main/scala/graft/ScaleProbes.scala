@@ -1,0 +1,283 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 linearity sweep (NOT part of the Bench protocol): every
+  * data-sized round-5 op runs at two input scales ~10× apart and reports
+  * rows/s at both plus the throughput ratio (rps_big / rps_small — ~1.0 is
+  * linear scaling, well below ~0.7 flags a super-linear cliff the sf0.01
+  * correctness gate cannot see; round-5 verdict item #1). Inputs are
+  * localCheckpointed and counted so generation is excluded; each leg is
+  * timed `SPARK_GRAFT_SCALE_REPS` times (default 1 — the ratio compares
+  * two legs of the SAME run, so box noise largely cancels) after one
+  * JVM/codegen warm-up on the small leg. cpu_control prints first, as in
+  * Bench, to gauge the box. Numbers recorded in BENCH.md §Round-6.
+  * Reproduce: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbes"
+  */
+object ScaleProbes {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", "/dev/shm/graft_probe_tmp")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
+    def sel(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
+
+    def timeOnce(f: () => Unit): Double = {
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    /** Two-scale probe: warm on the small leg, then min-of-reps each leg. */
+    def pair(name: String, n1: Long, n2: Long)
+            (small: () => Unit)(big: () => Unit): Unit = {
+      if (!sel(name)) return
+      small() // warm-up: JIT + codegen + page cache
+      spark.catalog.clearCache()
+      val s1 = (1 to reps).map(_ => { val t = timeOnce(small); spark.catalog.clearCache(); t }).min
+      val s2 = (1 to reps).map(_ => { val t = timeOnce(big); spark.catalog.clearCache(); t }).min
+      val r1 = n1 / s1; val r2 = n2 / s2
+      println(f"[scale] op=$name n1=$n1 sec1=$s1%.2f rps1=${r1.toLong} " +
+        f"n2=$n2 sec2=$s2%.2f rps2=${r2.toLong} ratio=${r2 / r1}%.3f")
+    }
+
+    // box gauge (same expression as Bench's cpu_control)
+    if (sel("cpu_control")) {
+      val t = timeOnce(() => {
+        spark.range(0, 4L << 30, 1, cpus.toInt)
+          .select(max(xxhash64(xxhash64(xxhash64(col("id")))))).head(); ()
+      })
+      println(f"[scale] op=cpu_control sec=$t%.2f (quiet-box 32c ref 2.14)")
+    }
+
+    // ---- q62 near-dup clustering: 1M vs 10M vertices ----
+    // chains of 100 (diameter 99 — pointer jumping needs its log rounds),
+    // ~0.99 edges/vertex, plus the vertex table
+    def graph(n: Long) = {
+      val v = spark.range(n).select(col("id").as("doc_id"))
+        .localCheckpoint(true)
+      val e = spark.range(n).where(pmod(col("id"), lit(100L)) =!= 99L)
+        .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+        .localCheckpoint(true)
+      v.count(); e.count(); (v, e)
+    }
+    if (sel("cluster")) {
+      val (v1, e1) = graph(1000000L)
+      val (v2, e2) = graph(10000000L)
+      pair("cluster", 1000000L, 10000000L)(
+        () => assert(ops.Clustering.keepList(v1, e1)
+          .where(col("is_keep")).count() == 10000L))(
+        () => assert(ops.Clustering.keepList(v2, e2)
+          .where(col("is_keep")).count() == 100000L))
+    }
+
+    // ---- q114 raster CC: 1.05M vs 10.2M pixels ----
+    if (sel("raster_cc")) {
+      val t1 = model.Synth.mosaicTiles(spark, side = 64)
+        .repartition(64).localCheckpoint(true)
+      val t2 = model.Synth.mosaicTiles(spark, side = 200)
+        .repartition(64).localCheckpoint(true)
+      t1.count(); t2.count()
+      pair("raster_cc", 64L * 64 * 256, 200L * 200 * 256)(
+        () => ops.ImageOps.rasterComponents(spark, t1)
+          .agg(count(lit(1)), sum("n_px")).head())(
+        () => ops.ImageOps.rasterComponents(spark, t2)
+          .agg(count(lit(1)), sum("n_px")).head())
+    }
+
+    // ---- q124/q125 fingerprint ops: 50k vs 500k docs, BOTH hash modes ----
+    // (the md5-vs-roll legs are ALSO round-5 item #2's speedup evidence)
+    // near-dup structure INDEPENDENT of scale: 3 exact copies per text
+    // (gid = id div 3) and ~78% word overlap with gid±1 via a stride-11
+    // window over an UNBOUNDED vocabulary — pair cardinality stays O(n) at
+    // every scale. (The first sweep used a FIXED 4000-word vocab: at 500k
+    // docs every text had 125 exact copies and the match join exploded
+    // quadratically — measuring the corpus degeneracy, not the op.)
+    def corpus(n: Long, wordsPerDoc: Int) = {
+      val d = spark.range(0L, n, 1L, 64).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(wordsPerDoc - 1)),
+          j => concat(lit("w"), expr("id div 3") * 11L + j))).as("text"))
+        .localCheckpoint(true)
+      d.count(); d
+    }
+    lazy val w1 = corpus(50000L, 50)
+    lazy val w2 = corpus(500000L, 50)
+    // long docs (~6.9k chars): the per-position digest DOMINATES here —
+    // the shape where md5-vs-roll is the honest comparison
+    lazy val wl = corpus(5000L, 1000)
+    if (sel("winnow")) {
+      pair("winnow_md5_vs_roll_50k", 50000L, 50000L)(
+        () => ops.TextOps.winnowMatches(w1, 12, 8, "md5")
+          .agg(count(lit(1))).head())(
+        () => ops.TextOps.winnowMatches(w1, 12, 8, "roll")
+          .agg(count(lit(1))).head())
+      pair("winnow_long_md5_vs_roll_5k", 5000L, 5000L)(
+        () => ops.TextOps.winnowMatches(wl, 12, 8, "md5")
+          .agg(count(lit(1))).head())(
+        () => ops.TextOps.winnowMatches(wl, 12, 8, "roll")
+          .agg(count(lit(1))).head())
+      // fingerprinting alone (no match join): the stage the fused pass
+      // replaces — where the md5-vs-roll gap actually lives
+      pair("winnow_fps_long_md5_vs_roll_5k", 5000L, 5000L)(
+        () => ops.TextOps.winnowFingerprints(wl, 12, 8, "md5")
+          .agg(count(lit(1))).head())(
+        () => ops.TextOps.winnowFingerprints(wl, 12, 8, "roll")
+          .agg(count(lit(1))).head())
+      pair("winnow_roll", 50000L, 500000L)(
+        () => ops.TextOps.winnowMatches(w1, 12, 8, "roll")
+          .agg(count(lit(1))).head())(
+        () => ops.TextOps.winnowMatches(w2, 12, 8, "roll")
+          .agg(count(lit(1))).head())
+    }
+    if (sel("dup_spans")) {
+      pair("dup_spans_md5_vs_roll_50k", 50000L, 50000L)(
+        () => ops.TextOps.dupSpans(w1, 30, "md5")
+          .agg(count(lit(1))).head())(
+        () => ops.TextOps.dupSpans(w1, 30, "roll")
+          .agg(count(lit(1))).head())
+      pair("dup_spans_long_md5_vs_roll_5k", 5000L, 5000L)(
+        () => ops.TextOps.dupSpans(wl, 30, "md5")
+          .agg(count(lit(1))).head())(
+        () => ops.TextOps.dupSpans(wl, 30, "roll")
+          .agg(count(lit(1))).head())
+      pair("dup_spans_roll", 50000L, 500000L)(
+        () => ops.TextOps.dupSpans(w1, 30, "roll")
+          .agg(count(lit(1))).head())(
+        () => ops.TextOps.dupSpans(w2, 30, "roll")
+          .agg(count(lit(1))).head())
+    }
+
+    // ---- q147 sweep line + q88 sessions under it: 10M vs 100M events ----
+    def events(n: Long) = {
+      val e = spark.range(0L, n, 1L, 128).select(
+        col("id").as("event_id"),
+        ((col("id") % 100000L) * 97000000L +
+          expr("id div 100000") * 13000000L).as("ts_us_raw"),
+        (col("id") % 100000L).as("user_id"))
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("ts_us_raw")).cast("timestamp_ntz").as("ts"),
+          lit(0.0).as("value"))
+        .localCheckpoint(true)
+      e.count(); e
+    }
+    if (sel("sweep_line")) {
+      val e1 = events(10000000L)
+      val e2 = events(100000000L)
+      pair("sweep_line", 10000000L, 100000000L)(
+        () => ops.Sessionize.peakConcurrency(e1, 1800000000L).head())(
+        () => ops.Sessionize.peakConcurrency(e2, 1800000000L).head())
+    }
+
+    // ---- q138 budget cut: 10M vs 100M docs ----
+    def weighted(n: Long) = {
+      val d = spark.range(0L, n, 1L, 128).select(
+        col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(20L))).as("source"),
+        (pmod(xxhash64(col("id")), lit(900L)) + 100L).as("weight"))
+        .localCheckpoint(true)
+      d.count(); d
+    }
+    if (sel("budget_cut")) {
+      val d1 = weighted(10000000L)
+      val d2 = weighted(100000000L)
+      pair("budget_cut", 10000000L, 100000000L)(
+        () => ops.TextOps.budgetCut(d1, "weight", 50000000L)
+          .agg(count(lit(1)), sum("weight")).head())(
+        () => ops.TextOps.budgetCut(d2, "weight", 500000000L)
+          .agg(count(lit(1)), sum("weight")).head())
+    }
+
+    // ---- q106 zonal stats: 1M vs 10M images ----
+    if (sel("zonal")) {
+      val zones = spark.range(0L, 2000L).select(col("id").as("building_ord"),
+          (col("id") % 45L).cast("double") * 22.0 + 100.0,
+          (col("id") / 45L).cast("double") * 22.0 + 100.0)
+        .toDF("building_ord", "x0", "y0")
+        .select(col("building_ord"), col("x0").as("xmin"),
+          (col("x0") + 12.0).as("xmax"), col("y0").as("ymin"),
+          (col("y0") + 12.0).as("ymax"))
+      def imgs(n: Long) = {
+        val i = model.Synth.withAnchors(
+          model.Synth.images(spark, n, 2000L).toDF(), 2000L)
+          .localCheckpoint(true)
+        i.count(); i
+      }
+      val i1 = imgs(1000000L)
+      val i2 = imgs(10000000L)
+      pair("zonal", 1000000L, 10000000L)(
+        () => ops.ImageOps.zonalStats(spark, i1, zones)
+          .agg(count(lit(1)), sum("luma_sum")).head())(
+        () => ops.ImageOps.zonalStats(spark, i2, zones)
+          .agg(count(lit(1)), sum("luma_sum")).head())
+    }
+
+    // ---- q82/q84/q130 manifest planning: 100k vs 1M files ----
+    if (sel("manifest_plan")) {
+      def manifest(n: Long) = {
+        val m = spark.range(n).select(
+          concat(lit("file:/fleet/part-"),
+            lpad(col("id").cast("string"), 8, "0"), lit(".parquet")).as("file"),
+          (col("id") * 10L).as("min_v"), (col("id") * 10L + 9L).as("max_v"),
+          lit(1000L).as("n_rows"),
+          when(pmod(xxhash64(col("id")), lit(5L)) === 0L,
+            pmod(xxhash64(col("id"), lit(1L)), lit(40000L)) + 1000L)
+            .otherwise(lit(256L * 1024L * 1024L)).as("file_bytes"))
+          .localCheckpoint(true)
+        m.count(); m
+      }
+      val m1 = manifest(100000L)
+      val m2 = manifest(1000000L)
+      pair("manifest_plan", 100000L, 1000000L)(
+        () => {
+          assert(sources.StatsManifest.planPrune(m1, "v", 0L, Long.MaxValue)
+            .count() == 100000L)
+          sources.StatsManifest.compactBins(m1, 50000L, 200000L).length; ()
+        })(
+        () => {
+          assert(sources.StatsManifest.planPrune(m2, "v", 0L, Long.MaxValue)
+            .count() == 1000000L)
+          sources.StatsManifest.compactBins(m2, 50000L, 200000L).length; ()
+        })
+    }
+
+    // ---- q83 incremental dedup: 50k vs 500k increment against 10× history ----
+    if (sel("incr_dedup")) {
+      val h1 = corpus(100000L, 50)
+      val h2 = corpus(1000000L, 50)
+      pair("incr_dedup", 50000L, 500000L)(
+        () => ops.TextOps.incrementalDedup(w1, h1)
+          .agg(count(lit(1))).head())(
+        () => ops.TextOps.incrementalDedup(w2, h2)
+          .agg(count(lit(1))).head())
+    }
+
+    // ---- r5 item #3 Done criterion: 8k merges on a 1M-word vocabulary ----
+    // (driver-local trainer — one collect of the vocab, zero jobs/merge)
+    if (sel("bpe_train")) {
+      val chars = "abcdefghijklmnopqrstuvwxyz"
+      val vocab = Array.tabulate(1000000) { i =>
+        val len = 3 + (i % 10)
+        val sb = new StringBuilder
+        var x = i.toLong * 2654435761L
+        (0 until len).foreach { _ =>
+          sb += chars(((x >>> 7) % 26).toInt.abs)
+          x = x * 6364136223846793005L + 1442695040888963407L
+        }
+        ((i % 997 + 1).toLong, sb.result())
+      }
+      val t0 = System.nanoTime()
+      val merges = ops.BpeTokenizer.trainLocal(vocab, 8000)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] op=bpe_train_local vocab=1000000 merges=${merges.length} sec=$sec%.1f")
+    }
+
+    spark.stop()
+  }
+}

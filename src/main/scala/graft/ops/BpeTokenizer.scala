@@ -146,8 +146,8 @@ object BpeTokenizer {
     * count they were pushed with; stale ones are skipped on pop) — each
     * round is O(touched words · word length + log heap), not O(vocab).
     */
-  private[ops] def trainLocal(words: Array[(Long, String)],
-                              nMerges: Int): Seq[(String, String)] = {
+  def trainLocal(words: Array[(Long, String)],
+                 nMerges: Int): Seq[(String, String)] = {
     import scala.collection.mutable
     val freqs = words.map(_._1)
     val segs: Array[Seq[String]] = words.map(_._2.map(_.toString): Seq[String])

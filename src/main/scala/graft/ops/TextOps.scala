@@ -730,50 +730,57 @@ object TextOps {
         .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
         .mapPartitions { rows =>
-          val M = (1L << 61) - 1
-          val B = 1000003L
-          // 128-bit multiply, then the Mersenne fold 2^61 ≡ 8 (mod M)
-          def mulmod(a: Long, b: Long): Long = {
-            val hi = Math.multiplyHigh(a, b)
-            val lo = a * b
-            var r = (lo & M) + ((hi << 3) | (lo >>> 61))
-            if (r >= M) r -= M
-            r
-          }
-          var pw = 1L // B^(L-1) mod M, the drop-term multiplier
-          var e = 0
-          while (e < L - 1) { pw = mulmod(pw, B); e += 1 }
           rows.flatMap { case (id, t) =>
-            val n = t.length
-            new Iterator[(Long, Int, Long)] {
-              private var pos = 0 // 0-based gram start
-              private var h = {
-                var x = 0L; var i = 0
-                while (i < L) {
-                  x = mulmod(x, B) + t.charAt(i); if (x >= M) x -= M
-                  i += 1
-                }
-                x
-              }
-              def hasNext: Boolean = pos <= n - L
-              def next(): (Long, Int, Long) = {
-                val out = (id, pos + 1, h)
-                if (pos < n - L) {
-                  var x = h - mulmod(t.charAt(pos).toLong, pw)
-                  if (x < 0) x += M
-                  x = mulmod(x, B) + t.charAt(pos + L)
-                  if (x >= M) x -= M
-                  h = x
-                }
-                pos += 1
-                out
-              }
-            }
+            val hs = rollHashes(t, L)
+            Iterator.range(0, hs.length).map(i => (id, i + 1, hs(i)))
           }
         }.toDF("doc_id", "pos", "h")
     case other =>
       throw new IllegalArgumentException(
         s"hashMode must be 'md5' (oracle) or 'roll' (production), got $other")
+  }
+
+  /** All 61-bit Rabin-Karp hashes of `t`'s character `L`-grams — index
+    * `i` holds the hash of the gram at 1-based position `i+1`:
+    * h(g) = Σ g(j)·B^(L−1−j) mod 2^61−1, B = 1000003. One O(n) pass
+    * (O(1) per slide via the Mersenne fold 2^61 ≡ 8); the scalar core of
+    * [[gramRows]]'s roll mode and the fused roll winnowing.
+    */
+  private[ops] def rollHashes(t: String, L: Int): Array[Long] = {
+    val M = (1L << 61) - 1
+    val B = 1000003L
+    // 128-bit multiply, then the Mersenne fold 2^61 ≡ 8 (mod M)
+    def mulmod(a: Long, b: Long): Long = {
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      var r = (lo & M) + ((hi << 3) | (lo >>> 61))
+      if (r >= M) r -= M
+      r
+    }
+    val n = t.length
+    if (n < L) return Array.emptyLongArray
+    var pw = 1L // B^(L-1) mod M, the drop-term multiplier
+    var e = 0
+    while (e < L - 1) { pw = mulmod(pw, B); e += 1 }
+    val out = new Array[Long](n - L + 1)
+    var h = 0L
+    var i = 0
+    while (i < L) {
+      h = mulmod(h, B) + t.charAt(i); if (h >= M) h -= M
+      i += 1
+    }
+    out(0) = h
+    var pos = 0
+    while (pos < n - L) {
+      var x = h - mulmod(t.charAt(pos).toLong, pw)
+      if (x < 0) x += M
+      x = mulmod(x, B) + t.charAt(pos + L)
+      if (x >= M) x -= M
+      h = x
+      out(pos + 1) = h
+      pos += 1
+    }
+    out
   }
 
   /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
@@ -788,29 +795,88 @@ object TextOps {
     * is the O(1)-per-position production path.
     */
   def winnowFingerprints(documents: DataFrame, k: Int, w: Int,
-                         hashMode: String = "md5"): DataFrame = {
-    val grams = gramRows(documents, k, hashMode)
-      .withColumn("h40", pmod(col("h"), lit(1099511627776L)))
-      .withColumn("ng", count(lit(1)).over(
-        Window.partitionBy(col("doc_id"))))
-      // the position rider packs into 20 bits; a doc past 2^20 chars would
-      // drive it negative and corrupt the packed min-key, so the guard
-      // lives INSIDE the key expression (an unused assert column would be
-      // pruned away by Catalyst) and raises instead of corrupting
-      .withColumn("key", col("h40") * lit(1048576L) +
-        when(col("pos") <= lit(1048575L), lit(1048575L) - col("pos"))
-          .otherwise(expr("raise_error('winnowFingerprints: document " +
-            "longer than 2^20 chars exceeds the 20-bit position pack')")
-            .cast("long")))
-    val sel = grams.withColumn("wkey", min(col("key")).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(Window.currentRow, w - 1)))
-      .where(col("pos") <= col("ng") - w + 1)
-      // integer div, NOT `/`: wkey is up to 2^60 and double division
-      // loses ulps past 2^53 (off-by-one decodes — caught by the spec)
-      .select(col("doc_id"), expr("wkey div 1048576").as("fh"))
-      .distinct()
-    sel
+                         hashMode: String = "md5"): DataFrame = hashMode match {
+    case "md5" =>
+      val grams = gramRows(documents, k, hashMode)
+        .withColumn("h40", pmod(col("h"), lit(1099511627776L)))
+        .withColumn("ng", count(lit(1)).over(
+          Window.partitionBy(col("doc_id"))))
+        // the position rider packs into 20 bits; a doc past 2^20 chars
+        // would drive it negative and corrupt the packed min-key, so the
+        // guard lives INSIDE the key expression (an unused assert column
+        // would be pruned away by Catalyst) and raises instead of
+        // corrupting
+        .withColumn("key", col("h40") * lit(1048576L) +
+          when(col("pos") <= lit(1048575L), lit(1048575L) - col("pos"))
+            .otherwise(expr("raise_error('winnowFingerprints: document " +
+              "longer than 2^20 chars exceeds the 20-bit position pack')")
+              .cast("long")))
+      grams.withColumn("wkey", min(col("key")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+            .rowsBetween(Window.currentRow, w - 1)))
+        .where(col("pos") <= col("ng") - w + 1)
+        // integer div, NOT `/`: wkey is up to 2^60 and double division
+        // loses ulps past 2^53 (off-by-one decodes — caught by the spec)
+        .select(col("doc_id"), expr("wkey div 1048576").as("fh"))
+        .distinct()
+    case "roll" =>
+      // FUSED production path (round-6: the first roll cut kept the
+      // md5-plan shape — explode to |positions| rows, per-doc count + min
+      // windows — and MEASURED SLOWER than md5 at 50k short docs: the
+      // explode/sort/window machinery, not the digest, was the cost. Here
+      // hashing AND selection run in ONE pass per document inside
+      // mapPartitions: rolling hashes, then a monotonic-deque sliding
+      // window minimum (O(1) amortized per position) over the exact same
+      // packed key, per-doc fingerprint set out — no explode, no window
+      // sort, no distinct exchange (rows are unique per doc by
+      // construction). Selection is identical to md5 mode's math on roll
+      // hashes: full windows only, min key = (h mod 2^40)·2^20 +
+      // (2^20−1−pos) — smallest hash, rightmost position.
+      val spark = documents.sparkSession
+      import spark.implicits._
+      documents.where(length(col("text")) >= k)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, t) =>
+            val hs = rollHashes(t, k)
+            val ng = hs.length
+            if (ng > 1048575)
+              throw new IllegalArgumentException("winnowFingerprints: " +
+                "document longer than 2^20 chars exceeds the 20-bit " +
+                "position pack")
+            if (ng < w) Iterator.empty
+            else {
+              val keys = new Array[Long](ng)
+              var i = 0
+              while (i < ng) {
+                keys(i) = hs(i) % 1099511627776L * 1048576L +
+                  (1048575L - (i + 1))
+                i += 1
+              }
+              // keys are unique within a doc (position rider), so a
+              // strictly-monotonic deque needs no tie handling
+              val fhs = scala.collection.mutable.LinkedHashSet.empty[Long]
+              val dq = new Array[Int](ng)
+              var head = 0; var tail = 0
+              var j = 0
+              while (j < ng) {
+                while (tail > head && keys(dq(tail - 1)) >= keys(j)) tail -= 1
+                dq(tail) = j; tail += 1
+                val s = j - w + 1
+                if (s >= 0) {
+                  while (dq(head) < s) head += 1
+                  fhs += keys(dq(head)) / 1048576L
+                }
+                j += 1
+              }
+              fhs.iterator.map(fh => (id, fh))
+            }
+          }
+        }.toDF("doc_id", "fh")
+    case other =>
+      throw new IllegalArgumentException(
+        s"hashMode must be 'md5' (oracle) or 'roll' (production), got $other")
   }
 
   /** Near-verbatim overlap detection over winnowing fingerprints (the

@@ -110,6 +110,35 @@ class WinnowingSpec extends AnyFunSuite {
     assert(re === got)
   }
 
+  test("fused roll selection equals brute-force winnowing of direct hashes") {
+    // r6: roll mode fuses hashing + deque selection into one pass — pin it
+    // against an independent per-window min over DIRECT polynomial hashes
+    // on a 4-letter alphabet (dense gram collisions stress the tiebreak)
+    val M = BigInt(2).pow(61) - 1
+    val B = BigInt(1000003)
+    def direct(g: String): Long =
+      g.foldLeft(BigInt(0))((acc, c) => (acc * B + c.toInt) mod M).toLong
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 25).map(i => (i.toLong,
+      (0 until 30 + rnd.nextInt(150))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString))
+    val expect = docs.flatMap { case (id, t) =>
+      val ng = t.length - K + 1
+      if (ng < W) Nil
+      else {
+        val keys = (1 to ng).map(p =>
+          direct(t.substring(p - 1, p - 1 + K)) % 1099511627776L * 1048576L +
+            (1048575L - p))
+        (0 to ng - W).map(s => keys.slice(s, s + W).min / 1048576L)
+          .distinct.map(fh => (id, fh))
+      }
+    }.toSet
+    val got = TextOps.winnowFingerprints(
+        docs.toDF("doc_id", "text"), K, W, hashMode = "roll")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect)
+  }
+
   test("rolling hash equals a direct per-gram polynomial evaluation") {
     // pins the O(1) slide against the O(L) definition: h(g) =
     // sum g(i)·B^(L-1-i) mod 2^61-1, for every position of every doc
