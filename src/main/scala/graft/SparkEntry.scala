@@ -219,6 +219,67 @@ object SparkEntry {
     mh.unionByName(sh).distinct()
   }
 
+  /** q153 fixture: 600 16×16 striped images in three orientation classes
+    * (0 vertical / 1 horizontal / 2 diagonal stripes) with deterministic
+    * per-image phase, level, amplitude, ±11 pseudo-noise, AND a weaker
+    * CONFUSER stripe at one of the two non-label orientations — the class
+    * is linearly recoverable from the global HOG orientation histogram
+    * (vertical → bins 3/7, horizontal → 4/6, diagonal → 1/7) but no
+    * single bin is pure (measured probe accuracy 0.927, not 1.0).
+    */
+  private[graft] def probeImages(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(0L, 600L, 1L, 8).map { id =>
+      val label = (id % 3).toInt
+      val phase = ((id / 3) % 4).toInt
+      val base = 60 + ((id * 7) % 30).toInt
+      val amp = 80 + ((id * 13) % 50).toInt
+      val conf = (label + 1 + ((id / 3) % 2)).toInt % 3
+      val amp2 = 45 + ((id * 11) % 40).toInt
+      val phase2 = ((id / 7) % 4).toInt
+      val px = new Array[Byte](16 * 16 * 3)
+      var j = 0
+      while (j < 256) {
+        val x = j % 16; val y = j / 16
+        def dir(o: Int): Int = o match {
+          case 0 => x
+          case 1 => y
+          case _ => x + y
+        }
+        val stripe = if (((dir(label) + phase) / 2) % 2 == 0) amp else 0
+        val stripe2 = if (((dir(conf) + phase2) / 2) % 2 == 0) amp2 else 0
+        val noise = ((id * 31 + j * 17) % 23).toInt - 11
+        val v = math.max(0, math.min(255, base + stripe + stripe2 + noise))
+        px(3 * j) = v.toByte; px(3 * j + 1) = v.toByte
+        px(3 * j + 2) = v.toByte
+        j += 1
+      }
+      (f"p$id%04d", id, label.toLong,
+        graft.model.ImageCodec.encodeRaw(px), 16, 16, "raw")
+    }.toDF("image_id", "img_no", "label", "bytes", "w", "h", "fmt")
+  }
+
+  /** Global 8-bin HOG orientation proportions of the q153 fixture in
+    * micro-units (one 16×16 cell per image — hogCells at cellSize 16),
+    * plus the label: the feature table the linear probes train on and the
+    * `probe_feats` oracle input dump.
+    */
+  private[graft] def probeFeats(s: SparkSession): DataFrame = {
+    val S = MlOps.Scale
+    val imgs = probeImages(s)
+    val agg = ImageOps.hogCells(s, imgs, cellSize = 16)
+      .groupBy("image_id")
+      .agg(sum(when(col("bin") === 0, col("mag")).otherwise(0L)).as("m0"),
+        (1 until 8).map(b =>
+          sum(when(col("bin") === b, col("mag")).otherwise(0L)).as(s"m$b")): _*)
+    imgs.select("image_id", "img_no", "label")
+      .join(agg, Seq("image_id"))
+      .select(col("img_no") +: col("label") +:
+        (0 until 8).map(b =>
+          expr(s"(m$b * $S) div greatest(m0+m1+m2+m3+m4+m5+m6+m7, 1)")
+            .as(s"r${b + 1}")): _*)
+  }
+
   /** Dump the synthetic INPUT tables under `<outDir>/inputs/` so the DuckDB
     * oracles can recompute the geometry/engine queries from first principles
     * (see [[OracleSql]]). Parameters (k/bands/bits/…) stay in lockstep with
@@ -348,6 +409,11 @@ object SparkEntry {
     // q122/q123 oracles replay resampling + features from these
     w(AudioOps.synthSampleTable(s, nOther(sfOf(sfDir)), 1600),
       "audio_samples")
+    // q153 linear-probe feature table (HOG orientation proportions, gated
+    // feature extraction precedent: q64 recomputes hogCells from pixels;
+    // here the oracle replays CENTERING + the whole grouped TRAINING RUN +
+    // scoring from this dump)
+    w(probeFeats(s), "probe_feats")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -2351,6 +2417,39 @@ object SparkEntry {
       runOnce() // restart: offsets + state recover from the checkpoint
       s.read.parquet(out).select(col("text_hash"), col("keep_doc_id"))
         .orderBy("text_hash")
+    }),
+    "q153_linear_probe" -> ((s, d) => {
+      // learned SEMANTIC features (round-5 "What's missing #2" / next-round
+      // item #7): one-vs-rest linear probes over the global HOG orientation
+      // histogram, trained by the GROUPED integer-GD machinery (one
+      // broadcast join + one groupBy(class) aggregate per iteration for ALL
+      // classes) on a striped fixture whose class is linearly recoverable
+      // from gradient orientations. The per-class hard-sigmoid scores ARE
+      // the learned 3-dim embedding (LinearProbeSpec: its 1-NN preserves
+      // the raw 8-dim neighborhood label structure at 3/8 the width); the
+      // oracle replays centering, the crossed frame, every GD iteration
+      // (weights as a per-class CTE relation), scoring, argmax, and the
+      // correctness flag — bit for bit.
+      val feats = probeFeats(s).localCheckpoint()
+      val rs = (1 to 8).map(b => s"r$b")
+      val mu = MlOps.integerMeans(feats, rs)
+      val xs = (1 to 8).map(b => s"x$b")
+      val feat = feats.select(col("img_no") +: col("label") +:
+        rs.zip(xs).zipWithIndex.map { case ((r, x), i) =>
+          (col(r) - lit(mu(i))).as(x) }: _*)
+      val crossed = feat
+        .withColumn("cls", explode(array(lit(0L), lit(1L), lit(2L))))
+        .withColumn("y", when(col("label") === col("cls"), 1L).otherwise(0L))
+      val models = MlOps.trainLinearProbes(crossed, "cls", "y", xs,
+        iters = 6, lr = 2L)
+      val scored = feat.select(Seq(col("img_no"), col("label")) ++
+        (0L to 2L).map(c => MlOps.scoreU(models(c), xs).as(s"s$c")): _*)
+      scored
+        .withColumn("pred", expr("CAST(CASE WHEN s0 >= s1 AND s0 >= s2 " +
+          "THEN 0 WHEN s1 >= s2 THEN 1 ELSE 2 END AS BIGINT)"))
+        .withColumn("correct",
+          expr("CAST(CASE WHEN pred = label THEN 1 ELSE 0 END AS BIGINT)"))
+        .orderBy("img_no")
     }),
     "q35_attr_stats" -> ((s, d) => {
       // O-45 attribute range stats — computed over XML-INGESTED surfaces
@@ -5701,6 +5800,61 @@ object SparkEntry {
          SELECT text_hash,
            arg_min(doc_id, ph * 1099511627776 + doc_id) AS keep_doc_id
          FROM arrivals GROUP BY text_hash ORDER BY text_hash""",
+    "q153_linear_probe" -> {
+      // the grouped training run replayed relationally: weights live in a
+      // per-class CTE relation (3 rows) instead of q104's scalar chain —
+      // each iteration is one JOIN + GROUP BY cls, referencing only its
+      // predecessor (previous weights ride through as MIN()s)
+      val dotW = (1 to 8).map(i => s"w.w$i*cr.x$i").mkString(" + ")
+      val dotF = (1 to 8).map(i => s"w.w$i*f.x$i").mkString(" + ")
+      val gIter = (1 to 6).map { i =>
+        val prev = if (i == 1) "w0" else s"w${i - 1}"
+        s"""g$i AS (SELECT cls, CAST(SUM(e) AS BIGINT) AS gb,
+              ${(1 to 8).map(j => s"CAST(SUM((e*x$j)//1000000) AS BIGINT) AS g$j").mkString(", ")},
+              MIN(pb) AS pb,
+              ${(1 to 8).map(j => s"MIN(pw$j) AS pw$j").mkString(", ")},
+              COUNT(*) AS n
+            FROM (SELECT cr.cls,
+                    least(greatest((($dotW)//1000000 + w.b)//4 + 500000,
+                      0), 1000000) - cr.y*1000000 AS e,
+                    ${(1 to 8).map(j => s"cr.x$j").mkString(", ")},
+                    w.b AS pb,
+                    ${(1 to 8).map(j => s"w.w$j AS pw$j").mkString(", ")}
+                  FROM crossed cr JOIN $prev w ON cr.cls = w.cls) t
+            GROUP BY cls),
+          w$i AS (SELECT cls, pb - 2*gb//n AS b,
+              ${(1 to 8).map(j => s"pw$j - 2*g$j//n AS w$j").mkString(", ")}
+            FROM g$i)"""
+      }.mkString(",\n          ")
+      s"""WITH pf AS (SELECT * FROM ${O.inp("probe_feats")}),
+          nn AS (SELECT COUNT(*) AS n FROM pf),
+          mu AS (SELECT ${(1 to 8).map(i =>
+            s"CAST(SUM(r$i) AS BIGINT)//(SELECT n FROM nn) AS m$i").mkString(", ")}
+               FROM pf),
+          feat AS (SELECT img_no, label,
+              ${(1 to 8).map(i => s"r$i-m$i AS x$i").mkString(", ")}
+            FROM pf CROSS JOIN mu),
+          crossed AS (SELECT f.*, c.cls,
+              CAST(CASE WHEN f.label = c.cls THEN 1 ELSE 0 END AS BIGINT) AS y
+            FROM feat f CROSS JOIN
+              (SELECT unnest(range(0, 3)) AS cls) c),
+          w0 AS (SELECT DISTINCT cls, 0::BIGINT AS b,
+              ${(1 to 8).map(i => s"0::BIGINT AS w$i").mkString(", ")}
+            FROM crossed),
+          $gIter,
+          scored AS (SELECT f.img_no, f.label,
+              ${(0 to 2).map(c => s"MAX(CASE WHEN w.cls = $c THEN " +
+                s"least(greatest((($dotF)//1000000 + w.b)//4 + 500000, 0), " +
+                s"1000000) END) AS s$c").mkString(", ")}
+            FROM feat f CROSS JOIN w6 w GROUP BY f.img_no, f.label)
+          SELECT img_no, label, s0, s1, s2, pred,
+            CAST(CASE WHEN pred = label THEN 1 ELSE 0 END AS BIGINT)
+              AS correct
+          FROM (SELECT *, CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+                  WHEN s1 >= s2 THEN 1 ELSE 2 END AS BIGINT) AS pred
+                FROM scored) z
+          ORDER BY img_no"""
+    },
     "q11_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
            length(text) AS n_chars_calc
