@@ -28,8 +28,10 @@ object ScaleProbes {
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").toSeq).getOrElse(Nil)
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
+    // bidirectional substring match so a probe-level selector (e.g.
+    // "dup_spans_roll") also opens its enclosing group gate ("dup_spans")
     def sel(name: String): Boolean =
-      only.isEmpty || only.exists(name.contains)
+      only.isEmpty || only.exists(o => name.contains(o) || o.contains(name))
 
     def timeOnce(f: () => Unit): Double = {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
