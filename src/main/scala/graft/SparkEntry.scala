@@ -84,6 +84,32 @@ object SparkEntry {
       pmod(xxhash64(col("id"), lit(salt + 1)), lit(4096L)).as("y"))
 
 
+  /** Seeded clustered point cloud for the q154 DBSCAN gate: ~7/8 of the
+    * points jitter ±30 around one of 24 seeded cluster centers on a
+    * [2000, 62000)² domain, ~1/8 are uniform noise over [0, 65536)² —
+    * at eps=25/minPts=4 the gate corpus yields a genuine core/border/noise
+    * mix. Values carried by the input dump; the oracle replays DBSCAN
+    * itself (all-pairs + recursive CTE), never this generator.
+    */
+  private[graft] def synthClusterPoints(s: SparkSession, n: Long): DataFrame =
+    s.range(n).select(col("id").as("point_id"),
+        pmod(xxhash64(col("id"), lit(901L)), lit(8L)).as("nz"),
+        pmod(xxhash64(col("id"), lit(902L)), lit(24L)).as("c"))
+      .select(col("point_id"),
+        when(col("nz") === 0L,
+          pmod(xxhash64(col("point_id"), lit(904L)), lit(65536L)))
+          .otherwise(pmod(xxhash64(col("c"), lit(905L)), lit(60000L)) + 2000L
+            + pmod(xxhash64(col("point_id"), lit(906L)), lit(61L)) - 30L)
+          .as("x"),
+        when(col("nz") === 0L,
+          pmod(xxhash64(col("point_id"), lit(907L)), lit(65536L)))
+          .otherwise(pmod(xxhash64(col("c"), lit(908L)), lit(60000L)) + 2000L
+            + pmod(xxhash64(col("point_id"), lit(909L)), lit(61L)) - 30L)
+          .as("y"))
+
+  private[graft] def dbscanN(sf: Double): Long =
+    math.max(160L, (40000 * sf).toLong)
+
   /** Seeded walker tracks for the q133 dwell op: 30 s steps, per-walker
     * 20-step blocks where ~1/3 freeze in place (planted stops), positions
     * offset to stay positive (the `div`-vs-`//` floor contract).
@@ -414,6 +440,9 @@ object SparkEntry {
     // here the oracle replays CENTERING + the whole grouped TRAINING RUN +
     // scoring from this dump)
     w(probeFeats(s), "probe_feats")
+    // q154 DBSCAN point cloud: the dump carries the coordinates, the
+    // oracle replays the clustering (all-pairs + recursive CTE)
+    w(synthClusterPoints(s, dbscanN(sfOf(sfDir))), "dbscan_points")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -2417,6 +2446,17 @@ object SparkEntry {
       runOnce() // restart: offsets + state recover from the checkpoint
       s.read.parquet(out).select(col("text_hash"), col("keep_doc_id"))
         .orderBy("text_hash")
+    }),
+    "q154_dbscan" -> ((s, d) => {
+      // distributed DBSCAN (round-6 engine depth): one cell-grid equi-join
+      // at cell side = eps produces every eps-pair (exact integer squared
+      // distances), core = neighbor count ≥ minPts, clusters = q62's
+      // pointer-jumping components over the core-core graph, borders take
+      // the MIN core-neighbor cluster (the deterministic refinement of the
+      // classic scan-order assignment). The oracle replays DBSCAN from the
+      // dumped points: all-pairs neighbors + a recursive-CTE closure.
+      Dbscan.dbscan(synthClusterPoints(s, dbscanN(sfOf(d))),
+        eps = 25L, minPts = 4).orderBy("point_id")
     }),
     "q153_linear_probe" -> ((s, d) => {
       // learned SEMANTIC features (round-5 "What's missing #2" / next-round
@@ -5800,6 +5840,39 @@ object SparkEntry {
          SELECT text_hash,
            arg_min(doc_id, ph * 1099511627776 + doc_id) AS keep_doc_id
          FROM arrivals GROUP BY text_hash ORDER BY text_hash""",
+    "q154_dbscan" ->
+      // full DBSCAN replay: brute-force all-pairs eps-neighbors (exact
+      // integer math, inclusive boundary), core = |N|+self ≥ 4, clusters =
+      // transitive closure of the core-core graph (q62's recursive-CTE
+      // shape), border = MIN core-neighbor cluster, noise = -1
+      s"""WITH RECURSIVE
+          pts AS (SELECT point_id, x, y FROM ${O.inp("dbscan_points")}),
+          pr AS (SELECT p.point_id AS a, q.point_id AS b
+                 FROM pts p JOIN pts q ON p.point_id <> q.point_id
+                  AND (p.x-q.x)*(p.x-q.x) + (p.y-q.y)*(p.y-q.y) <= 625),
+          nc AS (SELECT a AS point_id, COUNT(*) AS nn FROM pr GROUP BY a),
+          core AS (SELECT point_id FROM nc WHERE nn + 1 >= 4),
+          ce AS (SELECT a, b FROM pr
+                 WHERE a IN (SELECT point_id FROM core)
+                   AND b IN (SELECT point_id FROM core)),
+          reach(v, r) AS (
+            SELECT point_id, point_id FROM core
+            UNION
+            SELECT ce.b, reach.r FROM reach JOIN ce ON ce.a = reach.v),
+          comp AS (SELECT v AS point_id, MIN(r) AS cluster
+                   FROM reach GROUP BY v),
+          border AS (SELECT pr.a AS point_id, MIN(c.cluster) AS cluster
+                     FROM pr JOIN comp c ON c.point_id = pr.b
+                     WHERE pr.a NOT IN (SELECT point_id FROM core)
+                     GROUP BY pr.a)
+          SELECT p.point_id,
+            CASE WHEN cm.cluster IS NOT NULL THEN 'core'
+                 WHEN bd.cluster IS NOT NULL THEN 'border'
+                 ELSE 'noise' END AS role,
+            CAST(COALESCE(cm.cluster, bd.cluster, -1) AS BIGINT) AS cluster
+          FROM pts p LEFT JOIN comp cm USING (point_id)
+                     LEFT JOIN border bd USING (point_id)
+          ORDER BY p.point_id""",
     "q153_linear_probe" -> {
       // the grouped training run replayed relationally: weights live in a
       // per-class CTE relation (3 rows) instead of q104's scalar chain —
