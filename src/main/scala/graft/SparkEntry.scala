@@ -2447,6 +2447,16 @@ object SparkEntry {
       s.read.parquet(out).select(col("text_hash"), col("keep_doc_id"))
         .orderBy("text_hash")
     }),
+    "q155_tfidf_pairs" -> ((s, d) => {
+      // exact sparse TF-IDF cosine top-k pairs (round-6 engine depth): the
+      // posting-list join compares docs only through shared tokens; idf is
+      // integer milli-nats (one rounded ln — the q139 rule), dots/norms
+      // exact integer sums, one IEEE division+sqrt ranked unrounded. The
+      // oracle replays tf, the df cap, idf quantization, the posting join
+      // and the top-25 ranking over the documents table.
+      TextOps.tfidfCosinePairs(s.read.parquet(p(d, "documents")), k = 25)
+        .orderBy("doc_a", "doc_b")
+    }),
     "q154_dbscan" -> ((s, d) => {
       // distributed DBSCAN (round-6 engine depth): one cell-grid equi-join
       // at cell side = eps produces every eps-pair (exact integer squared
@@ -5840,6 +5850,38 @@ object SparkEntry {
          SELECT text_hash,
            arg_min(doc_id, ph * 1099511627776 + doc_id) AS keep_doc_id
          FROM arrivals GROUP BY text_hash ORDER BY text_hash""",
+    "q155_tfidf_pairs" ->
+      // full TF-IDF replay: tf → df cap (≤ half the corpus) → milli-nat
+      // idf (rounded ln, both engines) → integer weights/norms/dots via
+      // the same posting join → one double division+sqrt → top-25 ranked
+      // on the UNROUNDED similarity with (doc_a, doc_b) tiebreaks
+      s"""WITH toks AS (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS token FROM documents),
+          tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                 FROM toks GROUP BY doc_id, token),
+          nn AS (SELECT COUNT(*) AS n FROM documents),
+          idf AS (SELECT token,
+                    CAST(round(ln(((SELECT n FROM nn) + 1.0)
+                      / (COUNT(*) + 1.0)) * 1000.0, 0) AS BIGINT) AS idf
+                  FROM tf GROUP BY token
+                  HAVING CAST(COUNT(*) AS DOUBLE)
+                    <= 0.5 * (SELECT n FROM nn)),
+          w AS (SELECT tf.doc_id, tf.token, tf.tf * idf.idf AS w
+                FROM tf JOIN idf USING (token)),
+          nrm AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS nrm
+                  FROM w GROUP BY doc_id),
+          dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+                   FROM w a JOIN w b
+                     ON a.token = b.token AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+          sim AS (SELECT doc_a, doc_b,
+                    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE)
+                      * CAST(nb.nrm AS DOUBLE)) AS sim_raw
+                  FROM dots JOIN nrm na ON na.doc_id = dots.doc_a
+                            JOIN nrm nb ON nb.doc_id = dots.doc_b)
+          SELECT doc_a, doc_b, round(sim_raw, 6) + 0.0 AS sim
+          FROM sim ORDER BY sim_raw DESC, doc_a, doc_b LIMIT 25""",
     "q154_dbscan" ->
       // full DBSCAN replay: brute-force all-pairs eps-neighbors (exact
       // integer math, inclusive boundary), core = |N|+self ≥ 4, clusters =

@@ -399,6 +399,66 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), countDistinct(col("h")).as("n_grams"))
 
+  /** Exact TF-IDF cosine document similarity — the sparse all-pairs
+    * "related documents" op: per-doc TF-IDF weight vectors, pairwise
+    * cosine via a posting-list join (docs compare only through shared
+    * tokens — never a dense all-pairs), global top-k pairs.
+    *
+    * Float discipline: idf is quantized to INTEGER milli-nats by a Spark
+    * `round` (ln is the one transcendental, rounded identically on both
+    * engines — the q139/q77 rule), so weights, dots and norms are exact
+    * integer math; the single division + sqrt at the end is
+    * IEEE-deterministic from exact operands, ranked unrounded, rounded
+    * only for display.
+    *
+    * 100 TB design: tf and df are map-side-combined aggregates; the only
+    * quadratic site is the per-token posting-list self-join, whose cost is
+    * Σ_t df(t)² — `maxDfRatio` caps it by dropping tokens in more than
+    * that fraction of the corpus (the classic stopword screen; a raised
+    * cap trades cost for recall on generic pairs, and the LSH/minhash ops
+    * are the sub-linear alternative when exact similarity isn't required).
+    * Dropped-by-cap tokens leave norms too, so reported cosines are exact
+    * over the RETAINED vocabulary. The top-k is TakeOrdered (per-task
+    * local top-k), never a global sort.
+    */
+  def tfidfCosinePairs(documents: DataFrame, k: Int,
+                       maxDfRatio: Double = 0.5): DataFrame = {
+    require(k >= 1 && maxDfRatio > 0.0 && maxDfRatio <= 1.0)
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df AND weights — compute the explode once
+    val n = documents.count()
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .where(col("df").cast("double") <= lit(maxDfRatio) * n)
+      .select(col("token"),
+        round(log(lit(n + 1.0) / (col("df") + 1.0)) * 1000.0, 0)
+          .cast("long").as("idf"))
+    val w = tf.join(idf, Seq("token"))
+      .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("w"))
+      .localCheckpoint() // reused by norms + both posting-join sides
+    val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm"))
+    val dots = w.select(col("doc_id").as("doc_a"), col("token"),
+        col("w").as("wa"))
+      .join(w.select(col("doc_id").as("doc_b"), col("token"),
+        col("w").as("wb")), Seq("token"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+        Seq("doc_a"))
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
+          .as("sim_raw"))
+      .orderBy(col("sim_raw").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(k)
+      .select(col("doc_a"), col("doc_b"),
+        (round(col("sim_raw"), 6) + 0.0).as("sim"))
+  }
+
   /** BM25 relevance scores (Robertson/Spärck Jones, the standard public
     * ranking function) of every document against a small query-term set,
     * plus the global top-k.
