@@ -2447,6 +2447,17 @@ object SparkEntry {
       s.read.parquet(out).select(col("text_hash"), col("keep_doc_id"))
         .orderBy("text_hash")
     }),
+    "q156_hausdorff" -> ((s, d) => {
+      // symmetric trajectory Hausdorff (round-6 engine depth): AABB-gap
+      // candidate pairs (cell-cover blocked, exact gap decided), per-pair
+      // max-of-min squared distances in exact integer math over the
+      // every-4th-point downsample, 50 closest pairs. The oracle replays
+      // the candidate screen and both Hausdorff directions all-pairs from
+      // the track dump — blocking-independent (q129 rule).
+      TrajectoryOps.hausdorffPairs(
+        synthTracks(s, math.max(16L, (20000 * sfOf(d)).toLong), 200L),
+        sampleEvery = 4L, maxGap = 300L, cellSize = 1024L, k = 50)
+    }),
     "q155_tfidf_pairs" -> ((s, d) => {
       // exact sparse TF-IDF cosine top-k pairs (round-6 engine depth): the
       // posting-list join compares docs only through shared tokens; idf is
@@ -5850,6 +5861,35 @@ object SparkEntry {
          SELECT text_hash,
            arg_min(doc_id, ph * 1099511627776 + doc_id) AS keep_doc_id
          FROM arrivals GROUP BY text_hash ORDER BY text_hash""",
+    "q156_hausdorff" ->
+      // blocking-independent replay: exact AABB-gap candidates all-pairs,
+      // then max-of-min integer squared distances in both directions
+      s"""WITH pts AS (SELECT walker_id, seq, x, y FROM ${O.inp("tracks")}
+                       WHERE seq % 4 = 0),
+          bb AS (SELECT walker_id, MIN(x) AS mnx, MAX(x) AS mxx,
+                   MIN(y) AS mny, MAX(y) AS mxy
+                 FROM pts GROUP BY walker_id),
+          cand AS (SELECT a.walker_id AS ta, b.walker_id AS tb
+                   FROM bb a JOIN bb b ON a.walker_id < b.walker_id
+                   WHERE GREATEST(0, a.mnx - b.mxx, b.mnx - a.mxx)
+                         * GREATEST(0, a.mnx - b.mxx, b.mnx - a.mxx)
+                       + GREATEST(0, a.mny - b.mxy, b.mny - a.mxy)
+                         * GREATEST(0, a.mny - b.mxy, b.mny - a.mxy)
+                       <= 90000),
+          dp AS (SELECT ta AS s, tb AS t FROM cand
+                 UNION ALL SELECT tb, ta FROM cand),
+          dm AS (SELECT dp.s, dp.t, pa.seq,
+                   MIN((pa.x-pb.x)*(pa.x-pb.x)
+                     + (pa.y-pb.y)*(pa.y-pb.y)) AS md
+                 FROM dp JOIN pts pa ON pa.walker_id = dp.s
+                         JOIN pts pb ON pb.walker_id = dp.t
+                 GROUP BY dp.s, dp.t, pa.seq),
+          h AS (SELECT s, t, MAX(md) AS h FROM dm GROUP BY s, t),
+          sym AS (SELECT LEAST(s, t) AS track_a, GREATEST(s, t) AS track_b,
+                    MAX(h) AS hausdorff_sq
+                  FROM h GROUP BY 1, 2)
+          SELECT track_a, track_b, hausdorff_sq FROM sym
+          ORDER BY hausdorff_sq, track_a, track_b LIMIT 50""",
     "q155_tfidf_pairs" ->
       // full TF-IDF replay: tf → df cap (≤ half the corpus) → milli-nat
       // idf (rounded ln, both engines) → integer weights/norms/dots via

@@ -39,4 +39,90 @@ object TrajectoryOps {
       .where(col("n_points") >= minPoints)
       .select("walker_id", "cx", "cy", "enter_us", "exit_us", "n_points")
   }
+
+  /** Symmetric Hausdorff distance between trajectory pairs — the exact
+    * "how far apart do these two tracks ever get" similarity every
+    * map-matching / trip-dedup pipeline ranks by. Returns the `k` closest
+    * candidate pairs as (track_a, track_b, hausdorff_sq) in exact integer
+    * squared units (no sqrt — order-preserving and engine-exact).
+    *
+    * Semantics: tracks are downsampled to every `sampleEvery`-th point
+    * (seq % sampleEvery == 0 — deterministic, the classic
+    * simplify-then-compare step); CANDIDATE pairs are those whose point
+    * AABBs are within `maxGap` of each other (exact per-axis gap test —
+    * the blocking below only generates, never decides, so the result is
+    * blocking-independent); for each candidate,
+    * hausdorff_sq = max over both directions of
+    * max_{p∈A} min_{q∈B} dist²(p,q).
+    *
+    * Plan shape (the 100 TB story): per-track AABBs are one
+    * map-side-combined aggregate; candidates come from covering each
+    * maxGap-expanded AABB with `cellSize` cells and equi-joining cover
+    * cells (a pair within maxGap shares a covering cell — recall
+    * complete), then the exact gap screen. The point-vs-point stage costs
+    * |A|·|B| per CANDIDATE pair only — bounded by the sampling rate and
+    * the gap screen, never corpus-quadratic — and both min and max are
+    * partial aggregates. The final k is TakeOrdered.
+    *
+    * Caller contract: coordinates ≥ maxGap (integer `div` cover math;
+    * checked against the materialized AABBs).
+    */
+  def hausdorffPairs(tracks: DataFrame, sampleEvery: Long, maxGap: Long,
+                     cellSize: Long, k: Int): DataFrame = {
+    require(sampleEvery >= 1 && maxGap >= 0 && cellSize >= 1 && k >= 1)
+    val pts = tracks.where(pmod(col("seq"), lit(sampleEvery)) === 0L)
+      .select(col("walker_id"), col("seq"), col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"))
+      .localCheckpoint() // reused: AABBs + both point sides
+    val bb = pts.groupBy("walker_id").agg(
+      min("x").as("mnx"), max("x").as("mxx"),
+      min("y").as("mny"), max("y").as("mxy"))
+      .localCheckpoint() // reused: both cover sides + the contract check
+    val gmn = bb.agg(min(least(col("mnx"), col("mny")))).head()
+    require(gmn.isNullAt(0) || gmn.getLong(0) >= maxGap,
+      s"coordinates must be >= maxGap=$maxGap for the cover grid math")
+
+    def cover(df: DataFrame, idAs: String, pre: String,
+              pad: Long): DataFrame =
+      df.select(col("walker_id").as(idAs),
+          col("mnx").as(s"${pre}mnx"), col("mxx").as(s"${pre}mxx"),
+          col("mny").as(s"${pre}mny"), col("mxy").as(s"${pre}mxy"))
+        .withColumn("cx", explode(sequence(
+          expr(s"(${pre}mnx - $pad) div $cellSize"),
+          expr(s"(${pre}mxx + $pad) div $cellSize"))))
+        .withColumn("cy", explode(sequence(
+          expr(s"(${pre}mny - $pad) div $cellSize"),
+          expr(s"(${pre}mxy + $pad) div $cellSize"))))
+    val gapx = greatest(lit(0L), col("a_mnx") - col("b_mxx"),
+      col("b_mnx") - col("a_mxx"))
+    val gapy = greatest(lit(0L), col("a_mny") - col("b_mxy"),
+      col("b_mny") - col("a_mxy"))
+    val cand = cover(bb, "ta", "a_", pad = maxGap)
+      .join(cover(bb, "tb", "b_", pad = 0L), Seq("cx", "cy"))
+      .where(col("ta") < col("tb"))
+      .select("ta", "tb", "a_mnx", "a_mxx", "a_mny", "a_mxy",
+        "b_mnx", "b_mxx", "b_mny", "b_mxy")
+      .distinct() // a pair can share several cover cells
+      .where(gapx * gapx + gapy * gapy <= lit(maxGap * maxGap))
+      .select("ta", "tb")
+
+    // both directions; min-per-source-point then max are partial aggs
+    val dp = cand.unionByName(
+      cand.select(col("tb").as("ta"), col("ta").as("tb")))
+    val dm = dp
+      .join(pts.select(col("walker_id").as("ta"), col("seq").as("a_seq"),
+        col("x").as("ax"), col("y").as("ay")), Seq("ta"))
+      .join(pts.select(col("walker_id").as("tb"), col("x").as("bx"),
+        col("y").as("by")), Seq("tb"))
+      .groupBy("ta", "tb", "a_seq")
+      .agg(min((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by"))).as("md"))
+      .groupBy("ta", "tb").agg(max("md").as("h"))
+    dm.select(least(col("ta"), col("tb")).as("track_a"),
+        greatest(col("ta"), col("tb")).as("track_b"), col("h"))
+      .groupBy("track_a", "track_b").agg(max("h").as("hausdorff_sq"))
+      .orderBy(col("hausdorff_sq").asc, col("track_a").asc,
+        col("track_b").asc)
+      .limit(k)
+  }
 }
