@@ -2447,6 +2447,17 @@ object SparkEntry {
       s.read.parquet(out).select(col("text_hash"), col("keep_doc_id"))
         .orderBy("text_hash")
     }),
+    "q157_ssim" -> ((s, d) => {
+      // SSIM verification of the q51 near-dup pairs (round-6): exact
+      // integer factor forms over BT.601 floor-div luma, C1/C2 scaled to
+      // integers by 10^4 (cancels), one IEEE division; pairs and luma both
+      // replayed by the oracle from the pixel dumps.
+      val imgs = synthImages(s, d)
+      val all = imgs.select("image_id", "bytes", "w", "h", "fmt")
+        .unionByName(ImageOps.perturbedDups(s, imgs))
+      val prs = ImageOps.dhashNearDups(s, all, maxHamming = 3)
+      ImageOps.ssimPairs(s, all, prs).orderBy("img_a", "img_b")
+    }),
     "q156_hausdorff" -> ((s, d) => {
       // symmetric trajectory Hausdorff (round-6 engine depth): AABB-gap
       // candidate pairs (cell-cover blocked, exact gap decided), per-pair
@@ -3197,30 +3208,72 @@ object SparkEntry {
       // companions, the SAME 4×16-bit pigeonhole blocking (the bit-string
       // groups partition positions exactly like the engine's shiftright
       // chunks), exact hamming on candidates only.
-      s"""WITH dh_im AS (SELECT i.image_id, i.w, i.h, p.px
-                         FROM ${O.inp("images")} i
-                         JOIN ${O.inp("pixels")} p USING (image_id)
-                         UNION ALL
-                         SELECT image_id, w, h, px FROM ${O.inp("dup_pixels")}),
-          $dhashCtes,
-          g AS (SELECT bits, MIN(image_id) AS rep FROM dh_bits GROUP BY bits),
-          gp AS (SELECT g.rep AS img_a, d.image_id AS img_b, 0 AS hamming
-                 FROM dh_bits d JOIN g USING (bits) WHERE d.image_id <> g.rep),
-          ch AS (SELECT rep, bits, ci.ci AS ci,
-                   substr(bits, ci * 16 + 1, 16) AS chunk
-                 FROM g, range(0, 4) AS ci(ci)),
-          cand AS (SELECT DISTINCT a.rep AS img_a, b.rep AS img_b,
-                     a.bits AS ba, b.bits AS bb
-                   FROM ch a JOIN ch b ON a.ci = b.ci AND a.chunk = b.chunk
-                     AND a.rep < b.rep),
-          hm AS (SELECT img_a, img_b,
-                   len(list_filter(range(1, 65),
-                     hb -> substr(ba, hb, 1) <> substr(bb, hb, 1))) AS hamming
-                 FROM cand)
+      s"""WITH $dupPairCtes
           SELECT img_a, img_b, hamming FROM hm WHERE hamming <= 3
           UNION ALL SELECT img_a, img_b, hamming FROM gp
-          ORDER BY img_a, img_b"""
+          ORDER BY img_a, img_b""",
+    "q157_ssim" ->
+      // the q51 pair chain verbatim, finished with the SSIM replay:
+      // BT.601 floor-div luma per position, exact integer factor forms
+      // (C1/C2 scaled by 10^4 — cancels in the ratio), one double division
+      s"""WITH $dupPairCtes,
+          prs AS (SELECT img_a, img_b FROM hm WHERE hamming <= 3
+                  UNION ALL SELECT img_a, img_b FROM gp),
+          lums AS (SELECT t.img_a, t.img_b,
+                     CAST(SUM(la) AS BIGINT) AS sa,
+                     CAST(SUM(lb) AS BIGINT) AS sb,
+                     CAST(SUM(la*la) AS BIGINT) AS saa,
+                     CAST(SUM(lb*lb) AS BIGINT) AS sbb,
+                     CAST(SUM(la*lb) AS BIGINT) AS sab
+                   FROM (SELECT pr.img_a, pr.img_b,
+                           (299*a.px[j.j*3+1] + 587*a.px[j.j*3+2]
+                             + 114*a.px[j.j*3+3]) // 1000 AS la,
+                           (299*b.px[j.j*3+1] + 587*b.px[j.j*3+2]
+                             + 114*b.px[j.j*3+3]) // 1000 AS lb
+                         FROM prs pr
+                         JOIN dh_im a ON a.image_id = pr.img_a
+                         JOIN dh_im b ON b.image_id = pr.img_b,
+                         range(0, 256) AS j(j)) t
+                   GROUP BY t.img_a, t.img_b),
+          ss AS (SELECT img_a, img_b,
+                   CAST(2*sa*sb*10000 + 65025::BIGINT * 65536 AS DOUBLE) AS num1,
+                   CAST(2*(256*sab - sa*sb)*10000
+                     + 585225::BIGINT * 65536 AS DOUBLE) AS num2,
+                   CAST((sa*sa + sb*sb)*10000
+                     + 65025::BIGINT * 65536 AS DOUBLE) AS den1,
+                   CAST((256*saa - sa*sa + 256*sbb - sb*sb)*10000
+                     + 585225::BIGINT * 65536 AS DOUBLE) AS den2
+                 FROM lums)
+          SELECT img_a, img_b, round(num1*num2/(den1*den2), 6) + 0.0 AS ssim
+          FROM ss ORDER BY img_a, img_b"""
   )
+
+  /** Shared q51/q157 oracle prefix: decoded originals + perturbed dups →
+    * dHash bits → identical-signature rep groups (`gp`) + 4×16-bit
+    * pigeonhole candidates with exact hamming (`hm`) — the engine's
+    * HammingBlocking semantics replayed in SQL.
+    */
+  private def dupPairCtes: String =
+    s"""dh_im AS (SELECT i.image_id, i.w, i.h, p.px
+                  FROM ${O.inp("images")} i
+                  JOIN ${O.inp("pixels")} p USING (image_id)
+                  UNION ALL
+                  SELECT image_id, w, h, px FROM ${O.inp("dup_pixels")}),
+        $dhashCtes,
+        g AS (SELECT bits, MIN(image_id) AS rep FROM dh_bits GROUP BY bits),
+        gp AS (SELECT g.rep AS img_a, d.image_id AS img_b, 0 AS hamming
+               FROM dh_bits d JOIN g USING (bits) WHERE d.image_id <> g.rep),
+        ch AS (SELECT rep, bits, ci.ci AS ci,
+                 substr(bits, ci * 16 + 1, 16) AS chunk
+               FROM g, range(0, 4) AS ci(ci)),
+        cand AS (SELECT DISTINCT a.rep AS img_a, b.rep AS img_b,
+                   a.bits AS ba, b.bits AS bb
+                 FROM ch a JOIN ch b ON a.ci = b.ci AND a.chunk = b.chunk
+                   AND a.rep < b.rep),
+        hm AS (SELECT img_a, img_b,
+                 len(list_filter(range(1, 65),
+                   hb -> substr(ba, hb, 1) <> substr(bb, hb, 1))) AS hamming
+               FROM cand)"""
 
   /** dHash bit-string recomputation CTE chain over a source CTE `dh_im`
     * (image_id, w, h, px) — shared by q50 and q51. Ends with `dh_bits`

@@ -576,6 +576,73 @@ object ImageOps {
       .select(aCol, bCol, "sad", "n_px", "mae_milli")
   }
 
+  /** SSIM (Wang et al. 2004, global window) between candidate image pairs
+    * — the perceptual sibling of [[pairPixelSad]]: a near-dup verifier
+    * that is insensitive to global brightness/contrast shifts where SAD
+    * is not. Computed over integer BT.601 luma (floor-div by 1000, the
+    * q85 convention) with the canonical K1=0.01/K2=0.03/L=255 constants.
+    *
+    * Exactness: the four SSIM factors are EXACT integers — clearing the
+    * n² denominators turns 2μaμb+C1 etc. into integer forms over the raw
+    * sums (Sa, Sb, Saa, Sbb, Sab), with C1/C2 scaled by 10⁴ to stay
+    * integral (65025 = C1·10⁴, 585225 = C2·10⁴; the 10⁴ cancels in the
+    * ratio). One double division at the end, IEEE-deterministic in both
+    * engines. Long-overflow headroom requires w·h ≤ 65536 (256² tiles) —
+    * checked per row.
+    *
+    * Plan shape: per-image luma arrays + (Σl, Σl²) come from ONE typed
+    * decode pass (eager localCheckpoint — the pair join consumes it
+    * twice); only Σ la·lb needs both arrays, one codegen'd
+    * zip_with+aggregate per pair; shuffle_hash hints keep Catalyst from
+    * broadcasting the payload side (the pairPixelSad story). Pairs whose
+    * dimensions differ are dropped (SSIM is undefined there).
+    */
+  def ssimPairs(spark: SparkSession, images: DataFrame, pairs: DataFrame,
+                aCol: String = "img_a", bCol: String = "img_b")
+      : DataFrame = {
+    import spark.implicits._
+    val px = images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions(_.map { case (id, bytes, w, h, fmt) =>
+        require(w.toLong * h <= 65536L,
+          s"ssimPairs: $id is ${w}x$h — factors overflow past 256^2 px")
+        val p = ImageCodec.decode(bytes, fmt, w, h)
+        val n = w * h
+        val lum = new Array[Long](n)
+        var s1 = 0L; var s2 = 0L
+        var j = 0
+        while (j < n) {
+          val l = (299L * (p(3 * j) & 0xFF) + 587L * (p(3 * j + 1) & 0xFF) +
+            114L * (p(3 * j + 2) & 0xFF)) / 1000L
+          lum(j) = l; s1 += l; s2 += l * l; j += 1
+        }
+        (id, lum, s1, s2)
+      }).toDF("image_id", "lum", "s1", "s2")
+      .localCheckpoint()
+    val n2 = col("n") * col("n")
+    val num1 = (lit(2L) * col("sa") * col("sb") * 10000L +
+      lit(65025L) * n2).cast("double")
+    val num2 = (lit(2L) * (col("n") * col("sab") - col("sa") * col("sb")) *
+      10000L + lit(585225L) * n2).cast("double")
+    val den1 = ((col("sa") * col("sa") + col("sb") * col("sb")) * 10000L +
+      lit(65025L) * n2).cast("double")
+    val den2 = ((col("n") * col("saa") - col("sa") * col("sa") +
+      col("n") * col("sbb") - col("sb") * col("sb")) * 10000L +
+      lit(585225L) * n2).cast("double")
+    pairs.select(col(aCol), col(bCol)).hint("shuffle_hash")
+      .join(px.select(col("image_id").as(aCol), col("lum").as("pa"),
+        col("s1").as("sa"), col("s2").as("saa")), Seq(aCol))
+      .join(px.select(col("image_id").as(bCol), col("lum").as("pb"),
+        col("s1").as("sb"), col("s2").as("sbb")).hint("shuffle_hash"),
+        Seq(bCol))
+      .where(size(col("pa")) === size(col("pb")))
+      .withColumn("sab", expr("aggregate(zip_with(pa, pb, " +
+        "(zx, zy) -> zx * zy), CAST(0 AS BIGINT), (za, zv) -> za + zv)"))
+      .withColumn("n", size(col("pa")).cast("long"))
+      .select(col(aCol), col(bCol),
+        (round(num1 * num2 / (den1 * den2), 6) + 0.0).as("ssim"))
+  }
+
   /** Per-image sample table for interpolation ops (q111): anchor point +
     * the raw integer BT.601 luma numerator summed over all pixels — one
     * typed decode pass where the payload lives, slim rows out.
