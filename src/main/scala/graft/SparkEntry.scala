@@ -110,6 +110,30 @@ object SparkEntry {
   private[graft] def dbscanN(sf: Double): Long =
     math.max(160L, (40000 * sf).toLong)
 
+  /** Seeded rating triples for the q158 matrix-factorization gate:
+    * ~1/3 of the user×item grid rated, rating = planted rank-2 integer
+    * micro-unit structure (tu·ti div Scale) + ±10000 micro noise. Values
+    * carried by the dump; the oracle replays TRAINING, never this
+    * generator.
+    */
+  private[graft] def synthRatings(s: SparkSession, nUsers: Long,
+                                  nItems: Long): DataFrame =
+    s.range(nUsers * nItems)
+      .selectExpr(s"id div $nItems AS user_id", s"id % $nItems AS item_id")
+      .where("pmod(xxhash64(user_id, item_id, 55), 3) = 0")
+      .selectExpr("user_id", "item_id",
+        s"""((pmod(xxhash64(user_id, 31), 1000001) - 500000)
+            * (pmod(xxhash64(item_id, 41), 1000001) - 500000)
+          + (pmod(xxhash64(user_id, 32), 1000001) - 500000)
+            * (pmod(xxhash64(item_id, 42), 1000001) - 500000)) div 1000000
+          + pmod(xxhash64(user_id, item_id, 66), 20001) - 10000
+          AS rating""")
+
+  private[graft] def mfUsers(sf: Double): Long =
+    math.max(48L, (6000 * sf).toLong)
+  private[graft] def mfItems(sf: Double): Long =
+    math.max(24L, (3000 * sf).toLong)
+
   /** Seeded walker tracks for the q133 dwell op: 30 s steps, per-walker
     * 20-step blocks where ~1/3 freeze in place (planted stops), positions
     * offset to stay positive (the `div`-vs-`//` floor contract).
@@ -443,6 +467,15 @@ object SparkEntry {
     // q154 DBSCAN point cloud: the dump carries the coordinates, the
     // oracle replays the clustering (all-pairs + recursive CTE)
     w(synthClusterPoints(s, dbscanN(sfOf(sfDir))), "dbscan_points")
+    // q158 MF-GD: ratings + the exact init factor tables the training run
+    // starts from (ivf_centroids precedent) — the oracle replays every GD
+    // iteration relationally from these
+    val mfr = synthRatings(s, mfUsers(sfOf(sfDir)), mfItems(sfOf(sfDir)))
+    w(mfr, "mf_ratings")
+    w(MlOps.mfInit(mfr.select("user_id").distinct(), "user_id", 2, 77L),
+      "mf_u0")
+    w(MlOps.mfInit(mfr.select("item_id").distinct(), "item_id", 2, 1077L),
+      "mf_v0")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -2447,6 +2480,19 @@ object SparkEntry {
       s.read.parquet(out).select(col("text_hash"), col("keep_doc_id"))
         .orderBy("text_hash")
     }),
+    "q158_mf_gd" -> ((s, d) => {
+      // distributed matrix-factorization GD (round-6): rank-2 factor
+      // TABLES (data-sized, never on the driver) updated by one
+      // ratings⋈U⋈V error pass + two map-side-combined groupBys per
+      // iteration, exact integer micro-unit math throughout. Output =
+      // per-item final factors + exact Σ|e| reconstruction error. The
+      // oracle replays all three GD iterations as a relational CTE chain
+      // over the dumped ratings/init tables.
+      val r = synthRatings(s, mfUsers(sfOf(d)), mfItems(sfOf(d)))
+      val (u, v) = MlOps.mfTrain(r, rank = 2, iters = 3, lr = 2L,
+        seed = 77L)
+      MlOps.mfItemSummary(r, u, v).orderBy("item_id")
+    }),
     "q157_ssim" -> ((s, d) => {
       // SSIM verification of the q51 near-dup pairs (round-6): exact
       // integer factor forms over BT.601 floor-div luma, C1/C2 scaled to
@@ -2632,6 +2678,49 @@ object SparkEntry {
     * oracle SQL generator so they can never drift.
     */
   private val bm25Terms = Seq("spark", "vector", "merge")
+
+  /** q158 oracle: the full MF-GD training run replayed relationally —
+    * each iteration is one error CTE (ratings⋈U⋈V) plus per-user and
+    * per-item update CTEs; CTEs referenced by TWO successors are
+    * MATERIALIZED (the q135 recursive-inlining blowup rule).
+    */
+  private def mfOracleSql: String = {
+    val iters = 3
+    val body = (1 to iters).map { i =>
+      s"""e$i AS MATERIALIZED (
+            SELECT r.user_id, r.item_id, u.f0 AS uf0, u.f1 AS uf1,
+                   v.f0 AS vf0, v.f1 AS vf1,
+                   r.rating - (u.f0*v.f0 + u.f1*v.f1) // 1000000 AS e
+            FROM r JOIN u${i - 1} u USING (user_id)
+                   JOIN v${i - 1} v USING (item_id)),
+          u$i AS MATERIALIZED (
+            SELECT user_id,
+              MIN(uf0) + (2 * CAST(SUM((e*vf0)//1000000) AS BIGINT))
+                // COUNT(*) AS f0,
+              MIN(uf1) + (2 * CAST(SUM((e*vf1)//1000000) AS BIGINT))
+                // COUNT(*) AS f1
+            FROM e$i GROUP BY user_id),
+          v$i AS MATERIALIZED (
+            SELECT item_id,
+              MIN(vf0) + (2 * CAST(SUM((e*uf0)//1000000) AS BIGINT))
+                // COUNT(*) AS f0,
+              MIN(vf1) + (2 * CAST(SUM((e*uf1)//1000000) AS BIGINT))
+                // COUNT(*) AS f1
+            FROM e$i GROUP BY item_id)"""
+    }.mkString(",\n          ")
+    s"""WITH r AS (SELECT user_id, item_id, rating
+                   FROM ${O.inp("mf_ratings")}),
+        u0 AS (SELECT * FROM ${O.inp("mf_u0")}),
+        v0 AS (SELECT * FROM ${O.inp("mf_v0")}),
+        $body,
+        ef AS (SELECT r.item_id, v.f0, v.f1,
+                 r.rating - (u.f0*v.f0 + u.f1*v.f1) // 1000000 AS e
+               FROM r JOIN u$iters u USING (user_id)
+                      JOIN v$iters v USING (item_id))
+        SELECT item_id, f0, f1, CAST(SUM(ABS(e)) AS BIGINT) AS abs_err,
+               COUNT(*) AS n_ratings
+        FROM ef GROUP BY item_id, f0, f1 ORDER BY item_id"""
+  }
 
   private def bm25OracleSql: String = {
     val dfs = bm25Terms.indices.map(i =>
@@ -5914,6 +6003,7 @@ object SparkEntry {
          SELECT text_hash,
            arg_min(doc_id, ph * 1099511627776 + doc_id) AS keep_doc_id
          FROM arrivals GROUP BY text_hash ORDER BY text_hash""",
+    "q158_mf_gd" -> mfOracleSql,
     "q156_hausdorff" ->
       // blocking-independent replay: exact AABB-gap candidates all-pairs,
       // then max-of-min integer squared distances in both directions

@@ -162,4 +162,92 @@ object MlOps {
     }
     classes.map(c => c -> LrModel(bias(c), w(c).toSeq, ns(c))).toMap
   }
+
+  /** Deterministic init factors for [[mfTrain]]: per (id, k) micro-unit
+    * values in [-100000, 100000] (±0.1) from the seeded xxhash64 stream.
+    * Exposed so the gate can DUMP the exact init tables the training run
+    * starts from (the ivf_centroids precedent — oracle replays training
+    * FROM the dump; this generator's determinism is spec business).
+    */
+  def mfInit(ids: DataFrame, idCol: String, rank: Int,
+             seed: Long): DataFrame =
+    ids.select(col(idCol) +: (0 until rank).map(k =>
+      (pmod(xxhash64(col(idCol), lit(seed + k)), lit(200001L)) - 100000L)
+        .as(s"f$k")): _*)
+
+  /** Distributed matrix factorization by full-batch gradient descent —
+    * the collaborative-filtering embedding op (user×item ratings → rank-F
+    * factor tables). Unlike [[trainHardSigmoidLr]], the model here is
+    * DATA-sized: factor tables never touch the driver.
+    *
+    * Exact integer micro-unit math, bit-identical at any partitioning:
+    *   pred = (Σ_k u_k·v_k) div Scale, e = r − pred,
+    *   u_k += (lr · Σ_items (e·v_k) div Scale) div cnt(u)   (and V
+    * symmetrically, both from the SAME pre-update error frame — classic
+    * simultaneous full-batch GD). Truncating `div` matches DuckDB `//`
+    * for every sign combination (the q104 rule), so the oracle replays
+    * every iteration as a relational CTE chain over the dumped
+    * ratings/init tables.
+    *
+    * Plan shape: per iteration ONE ratings⋈U⋈V join pass builds the error
+    * frame, then TWO map-side-combined groupBys (by user, by item)
+    * produce the factor updates; updated factor tables are eagerly
+    * localCheckpoint'ed (iterative self-join discipline). Shuffled bytes
+    * per round = ratings keys + 2·F longs per entity — payloads (text,
+    * embeddings) never enter the loop. Overflow headroom: |u|,|v| ≤ ~4e6
+    * micro after updates keeps every per-row term ≤ 2e13, so the Long
+    * gradient sums hold past 4e5 ratings per entity per 2^63.
+    */
+  def mfTrain(ratings: DataFrame, rank: Int = 2, iters: Int = 3,
+              lr: Long = 2L, seed: Long = 77L): (DataFrame, DataFrame) = {
+    require(rank >= 1 && iters >= 0 && lr > 0)
+    val r = ratings.select(col("user_id"), col("item_id"),
+      col("rating").cast("long").as("rating")).localCheckpoint()
+    var u = mfInit(r.select("user_id").distinct(), "user_id", rank, seed)
+      .localCheckpoint()
+    var v = mfInit(r.select("item_id").distinct(), "item_id", rank,
+      seed + 1000L).localCheckpoint()
+    val ks = 0 until rank
+    val dot = ks.map(k => s"uf$k * vf$k").mkString(" + ")
+    for (_ <- 1 to iters) {
+      val e = r
+        .join(u.select(col("user_id") +: ks.map(k =>
+          col(s"f$k").as(s"uf$k")): _*), Seq("user_id"))
+        .join(v.select(col("item_id") +: ks.map(k =>
+          col(s"f$k").as(s"vf$k")): _*), Seq("item_id"))
+        .withColumn("e", expr(s"rating - ($dot) div $Scale"))
+        .localCheckpoint() // consumed by BOTH factor updates
+      def update(keyCol: String, own: String, other: String) = {
+        val aggs = ks.map(k => min(col(s"$own$k")).as(s"p$k")) ++
+          ks.map(k => sum(expr(s"(e * $other$k) div $Scale")).as(s"g$k")) :+
+          count(lit(1)).as("cnt")
+        e.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+          .select(col(keyCol) +: ks.map(k =>
+            (col(s"p$k") + expr(s"($lr * g$k) div cnt")).as(s"f$k")): _*)
+          .localCheckpoint()
+      }
+      u = update("user_id", "uf", "vf")
+      v = update("item_id", "vf", "uf")
+    }
+    (u, v)
+  }
+
+  /** Per-item summary of a trained factorization: final factors joined
+    * with the exact integer Σ|e| reconstruction error over that item's
+    * ratings — the gate-friendly slim output (one row per item).
+    */
+  def mfItemSummary(ratings: DataFrame, u: DataFrame,
+                    v: DataFrame): DataFrame = {
+    val rank = v.columns.count(_.startsWith("f"))
+    val ks = 0 until rank
+    val dot = ks.map(k => s"uf$k * f$k").mkString(" + ")
+    ratings.select(col("user_id"), col("item_id"),
+        col("rating").cast("long").as("rating"))
+      .join(u.select(col("user_id") +: ks.map(k =>
+        col(s"f$k").as(s"uf$k")): _*), Seq("user_id"))
+      .join(v, Seq("item_id"))
+      .withColumn("e", expr(s"rating - ($dot) div $Scale"))
+      .groupBy(col("item_id") +: ks.map(k => col(s"f$k")): _*)
+      .agg(sum(abs(col("e"))).as("abs_err"), count(lit(1)).as("n_ratings"))
+  }
 }
