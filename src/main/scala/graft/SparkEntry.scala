@@ -2480,6 +2480,17 @@ object SparkEntry {
       s.read.parquet(out).select(col("text_hash"), col("keep_doc_id"))
         .orderBy("text_hash")
     }),
+    "q159_douglas_peucker" -> ((s, d) => {
+      // depth-capped Douglas-Peucker track simplification (round-6): 8
+      // breadth-first split rounds at tol=48, exact integer cross²-vs-
+      // tol²·len² deviation tests, smallest-seq tiebreaks; kept points
+      // tagged with their split round. The oracle replays every round as
+      // a CTE pair over the track dump.
+      TrajectoryOps.douglasPeucker(
+        synthTracks(s, math.max(16L, (20000 * sfOf(d)).toLong), 200L),
+        tol = 48L, levels = 8)
+        .orderBy("walker_id", "seq")
+    }),
     "q158_mf_gd" -> ((s, d) => {
       // distributed matrix-factorization GD (round-6): rank-2 factor
       // TABLES (data-sized, never on the driver) updated by one
@@ -2678,6 +2689,62 @@ object SparkEntry {
     * oracle SQL generator so they can never drift.
     */
   private val bm25Terms = Seq("spark", "vector", "merge")
+
+  /** q159 oracle: the depth-capped Douglas-Peucker run replayed round by
+    * round — per round one geometry/argmax CTE pair (ROW_NUMBER over
+    * (lhs DESC, seq ASC) = the engine's max-struct tiebreak) and one
+    * reassignment CTE; state CTEs are MATERIALIZED (each feeds two
+    * successors — the q135 rule). Segments are keyed by (walker_id, s):
+    * left children inherit the parent's s, right children start at the
+    * split — s values stay unique among live segments.
+    */
+  private def dpOracleSql: String = {
+    val levels = 8
+    val tol2 = 48L * 48L
+    val rounds = (1 to levels).map { i =>
+      s"""g$i AS (SELECT p.walker_id, p.seq, p.x, p.y, p.s, p.e,
+              sp.x AS sx, sp.y AS sy, ep.x AS ex, ep.y AS ey
+            FROM p${i - 1} p
+            JOIN pts sp ON sp.walker_id = p.walker_id AND sp.seq = p.s
+            JOIN pts ep ON ep.walker_id = p.walker_id AND ep.seq = p.e),
+          sc$i AS (SELECT *,
+              CASE WHEN len2 = 0 THEN ap2 ELSE cross2 END AS lhs,
+              CASE WHEN len2 = 0 THEN $tol2 ELSE $tol2 * len2 END AS rhs
+            FROM (SELECT *,
+                (ex-sx)*(ex-sx) + (ey-sy)*(ey-sy) AS len2,
+                ((ex-sx)*(y-sy) - (ey-sy)*(x-sx))
+                  * ((ex-sx)*(y-sy) - (ey-sy)*(x-sx)) AS cross2,
+                (x-sx)*(x-sx) + (y-sy)*(y-sy) AS ap2
+              FROM g$i) t),
+          sp$i AS MATERIALIZED (SELECT walker_id, s, seq AS m,
+              x AS mx, y AS my
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY walker_id, s
+                    ORDER BY lhs DESC, seq ASC) AS rn FROM sc$i) t
+            WHERE rn = 1 AND lhs > rhs),
+          p$i AS MATERIALIZED (SELECT p.walker_id, p.seq, p.x, p.y,
+              CASE WHEN p.seq > sp.m THEN sp.m ELSE p.s END AS s,
+              CASE WHEN p.seq < sp.m THEN sp.m ELSE p.e END AS e
+            FROM p${i - 1} p JOIN sp$i sp
+              ON sp.walker_id = p.walker_id AND sp.s = p.s
+            WHERE p.seq <> sp.m)"""
+    }.mkString(",\n        ")
+    s"""WITH pts AS MATERIALIZED (SELECT walker_id, seq, x, y
+              FROM ${O.inp("tracks")}),
+        ends AS (SELECT walker_id, MIN(seq) AS s, MAX(seq) AS e
+                 FROM pts GROUP BY walker_id),
+        p0 AS MATERIALIZED (SELECT p.walker_id, p.seq, p.x, p.y, en.s, en.e
+              FROM pts p JOIN ends en USING (walker_id)
+              WHERE p.seq > en.s AND p.seq < en.e),
+        $rounds
+        SELECT walker_id, seq, x, y, round_added FROM (
+          SELECT p.walker_id, p.seq, p.x, p.y, 0 AS round_added
+          FROM pts p JOIN ends en USING (walker_id)
+          WHERE p.seq = en.s OR p.seq = en.e
+          ${(1 to levels).map(i =>
+            s"UNION ALL SELECT walker_id, m, mx, my, $i FROM sp$i")
+            .mkString("\n          ")}
+        ) ORDER BY walker_id, seq"""
+  }
 
   /** q158 oracle: the full MF-GD training run replayed relationally —
     * each iteration is one error CTE (ratings⋈U⋈V) plus per-user and
@@ -6004,6 +6071,7 @@ object SparkEntry {
            arg_min(doc_id, ph * 1099511627776 + doc_id) AS keep_doc_id
          FROM arrivals GROUP BY text_hash ORDER BY text_hash""",
     "q158_mf_gd" -> mfOracleSql,
+    "q159_douglas_peucker" -> dpOracleSql,
     "q156_hausdorff" ->
       // blocking-independent replay: exact AABB-gap candidates all-pairs,
       // then max-of-min integer squared distances in both directions

@@ -125,4 +125,101 @@ object TrajectoryOps {
         col("track_b").asc)
       .limit(k)
   }
+
+  /** Depth-capped Douglas-Peucker polyline simplification — the classic
+    * track thinning (Douglas & Peucker 1973), run breadth-first for
+    * exactly `levels` split rounds (production systems cap the recursion;
+    * the cap also makes the op replayable as a fixed CTE chain).
+    *
+    * Semantics per round, per active segment (s..e): the interior point
+    * maximizing the squared chord deviation — cross²(s,e,p) compared
+    * against tol²·len²(s,e) in EXACT integers (no division, no sqrt;
+    * degenerate s==e chords compare |sp|² against tol²) — splits the
+    * segment iff strictly above tolerance; ties break to the smallest
+    * seq. Split points are kept (tagged with their round); segments at or
+    * below tolerance retire, dropping their interior points. Track
+    * endpoints are always kept (round 0).
+    *
+    * Plan shape: the loop state is one slim frame (walker, seq, x, y,
+    * segment endpoints) — interior points of live segments only, which
+    * SHRINKS every round (retired segments leave, split points leave);
+    * each round is one map-side-combined argmax aggregate (max of a
+    * (score, -seq) struct) + one broadcast-sized join of the split table
+    * back onto the frame, localCheckpoint'ed (iterative discipline).
+    * Everything is per-walker — no cross-track data motion at all.
+    *
+    * Overflow headroom: per-walker coordinate EXTENT e satisfies
+    * cross² ≤ (2e²)² — extents to ~1.5e4 with tol ≤ 1e3 stay inside
+    * Long; the synth walkers' extent is ~4e3.
+    */
+  def douglasPeucker(tracks: DataFrame, tol: Long, levels: Int): DataFrame = {
+    require(tol >= 0 && levels >= 0)
+    val base = tracks.select(col("walker_id"), col("seq"),
+      col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+      .localCheckpoint()
+    val ends = base.groupBy("walker_id")
+      .agg(min("seq").as("s_seq"), max("seq").as("e_seq"))
+    val ep = base.select(col("walker_id"), col("seq"), col("x"), col("y"))
+    // initial frame: interior points tagged with segment endpoint coords
+    var pts = base.join(ends, Seq("walker_id"))
+      .join(ep.select(col("walker_id"), col("seq").as("s_seq"),
+        col("x").as("sx"), col("y").as("sy")), Seq("walker_id", "s_seq"))
+      .join(ep.select(col("walker_id"), col("seq").as("e_seq"),
+        col("x").as("ex"), col("y").as("ey")), Seq("walker_id", "e_seq"))
+      .where(col("seq") > col("s_seq") && col("seq") < col("e_seq"))
+      .select("walker_id", "seq", "x", "y", "s_seq", "e_seq",
+        "sx", "sy", "ex", "ey")
+      .localCheckpoint()
+    val kept0 = base.join(ends, Seq("walker_id"))
+      .where(col("seq") === col("s_seq") || col("seq") === col("e_seq"))
+      .select(col("walker_id"), col("seq"), col("x"), col("y"),
+        lit(0).as("round_added"))
+    var kept = kept0
+    val lhs = when(col("len2") === 0L, col("ap2")).otherwise(col("cross2"))
+    val rhs = when(col("len2") === 0L, lit(tol * tol))
+      .otherwise(lit(tol * tol) * col("len2"))
+    for (round <- 1 to levels) {
+      val scored = pts
+        .withColumn("len2", (col("ex") - col("sx")) * (col("ex") - col("sx"))
+          + (col("ey") - col("sy")) * (col("ey") - col("sy")))
+        .withColumn("cross2",
+          ((col("ex") - col("sx")) * (col("y") - col("sy")) -
+            (col("ey") - col("sy")) * (col("x") - col("sx"))) *
+          ((col("ex") - col("sx")) * (col("y") - col("sy")) -
+            (col("ey") - col("sy")) * (col("x") - col("sx"))))
+        .withColumn("ap2", (col("x") - col("sx")) * (col("x") - col("sx"))
+          + (col("y") - col("sy")) * (col("y") - col("sy")))
+        .withColumn("lhs", lhs).withColumn("rhs", rhs)
+      val splits = scored
+        .groupBy("walker_id", "s_seq")
+        .agg(max(struct(col("lhs"), (-col("seq")).as("nseq"),
+          col("seq").as("mseq"), col("x").as("mx"), col("y").as("my"),
+          col("rhs").as("mrhs"))).as("m"))
+        .where(col("m.lhs") > col("m.mrhs"))
+        .select(col("walker_id"), col("s_seq"),
+          col("m.mseq").as("m_seq"), col("m.mx").as("m_x"),
+          col("m.my").as("m_y"))
+      kept = kept.unionByName(splits.select(col("walker_id"),
+        col("m_seq").as("seq"), col("m_x").as("x"), col("m_y").as("y"),
+        lit(round).as("round_added")))
+      // reassign interior points of split segments; retire the rest
+      pts = pts.join(splits, Seq("walker_id", "s_seq"))
+        .where(col("seq") =!= col("m_seq"))
+        .select(col("walker_id"), col("seq"), col("x"), col("y"),
+          when(col("seq") > col("m_seq"), col("m_seq"))
+            .otherwise(col("s_seq")).as("s_seq"),
+          when(col("seq") < col("m_seq"), col("m_seq"))
+            .otherwise(col("e_seq")).as("e_seq"),
+          when(col("seq") > col("m_seq"), col("m_x"))
+            .otherwise(col("sx")).as("sx"),
+          when(col("seq") > col("m_seq"), col("m_y"))
+            .otherwise(col("sy")).as("sy"),
+          when(col("seq") < col("m_seq"), col("m_x"))
+            .otherwise(col("ex")).as("ex"),
+          when(col("seq") < col("m_seq"), col("m_y"))
+            .otherwise(col("ey")).as("ey"))
+        .localCheckpoint()
+    }
+    kept
+  }
 }
