@@ -476,6 +476,17 @@ object SparkEntry {
       "mf_u0")
     w(MlOps.mfInit(mfr.select("item_id").distinct(), "item_id", 2, 1077L),
       "mf_v0")
+    // q160 bloom skipping: the file→rows assignment of the hash-partitioned
+    // fixture layout (deterministic — repartition(8, doc_id) hashes), so
+    // the oracle can replay the per-file bloom membership DECISION
+    // relationally (bit P set ⟺ some row hashes to P — no bit arithmetic)
+    val bdir = fixtureDir(s, "graft_q160_data")
+    graft.sources.StatsManifest.write(
+      s.read.parquet(p(sfDir, "documents")).repartition(8, col("doc_id")),
+      bdir, Seq("doc_id"))
+    w(s.read.parquet(bdir)
+      .select(col("_metadata.file_path").as("file"), col("doc_id")),
+      "bloom_files")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -2479,6 +2490,30 @@ object SparkEntry {
       runOnce() // restart: offsets + state recover from the checkpoint
       s.read.parquet(out).select(col("text_hash"), col("keep_doc_id"))
         .orderBy("text_hash")
+    }),
+    "q160_bloom_skip" -> ((s, d) => {
+      // per-file BLOOM skipping (round-6 lakehouse depth): point lookups
+      // on a key UNCORRELATED with the file layout (hash-partitioned —
+      // min/max stats span everything) still open ~1 file via 256-bit
+      // per-file blooms over the cross-engine md5 hash family. The oracle
+      // replays the skipping decision per probe from the dumped file→rows
+      // assignment (membership join, no bit arithmetic) plus the row
+      // counts from documents; false positives replay exactly too.
+      import graft.sources.StatsManifest
+      val dir = fixtureDir(s, "graft_q160_data")
+      val docs = s.read.parquet(p(d, "documents"))
+      StatsManifest.write(docs.repartition(8, col("doc_id")), dir,
+        Seq("doc_id"))
+      StatsManifest.writeBloom(s, dir, "doc_id", bits = 256, k = 3)
+      val probes = Seq(3L, 97L, 250L, 444L, 987654L)
+      val rows = probes.map { pk =>
+        val (df, opened, total) = StatsManifest.bloomPrunedRead(
+          s, dir, "doc_id", pk.toString, bits = 256, k = 3)
+        (pk, df.count(), opened, total)
+      }
+      import s.implicits._
+      rows.toDF("probe_key", "n_rows", "files_opened", "files_total")
+        .orderBy("probe_key")
     }),
     "q159_douglas_peucker" -> ((s, d) => {
       // depth-capped Douglas-Peucker track simplification (round-6): 8
@@ -6072,6 +6107,53 @@ object SparkEntry {
          FROM arrivals GROUP BY text_hash ORDER BY text_hash""",
     "q158_mf_gd" -> mfOracleSql,
     "q159_douglas_peucker" -> dpOracleSql,
+    "q160_bloom_skip" ->
+      // bloom membership DECISION replayed relationally: bit P is set in a
+      // file's bloom ⟺ some row of that file hashes to P, so "all k key
+      // bits present" is a position join + HAVING count(distinct j) = k
+      s"""WITH bf AS (SELECT file, doc_id FROM ${O.inp("bloom_files")}),
+          probes AS (SELECT CAST(pk AS BIGINT) AS probe_key
+                     FROM (VALUES (3), (97), (250), (444), (987654))
+                       AS p(pk)),
+          fpos AS (SELECT DISTINCT file, pos FROM (
+            SELECT file, ${O.md5n("doc_id::VARCHAR || '#bloom0'")} % 256
+              AS pos FROM bf
+            UNION ALL
+            SELECT file, ${O.md5n("doc_id::VARCHAR || '#bloom1'")} % 256
+              FROM bf
+            UNION ALL
+            SELECT file, ${O.md5n("doc_id::VARCHAR || '#bloom2'")} % 256
+              FROM bf) t),
+          kpos AS (
+            SELECT probe_key, 0 AS j,
+              ${O.md5n("probe_key::VARCHAR || '#bloom0'")} % 256 AS pos
+            FROM probes
+            UNION ALL
+            SELECT probe_key, 1,
+              ${O.md5n("probe_key::VARCHAR || '#bloom1'")} % 256 FROM probes
+            UNION ALL
+            SELECT probe_key, 2,
+              ${O.md5n("probe_key::VARCHAR || '#bloom2'")} % 256 FROM probes),
+          hits AS (SELECT k.probe_key, f.file
+                   FROM kpos k JOIN fpos f USING (pos)
+                   GROUP BY k.probe_key, f.file
+                   HAVING COUNT(DISTINCT k.j) = 3),
+          opened AS (SELECT probe_key, COUNT(*) AS files_opened
+                     FROM hits GROUP BY probe_key),
+          nr AS (SELECT p.probe_key,
+                   CAST(COUNT(d.doc_id) AS BIGINT) AS n_rows
+                 FROM probes p LEFT JOIN documents d
+                   ON d.doc_id = p.probe_key
+                 GROUP BY p.probe_key),
+          tot AS (SELECT CAST(COUNT(DISTINCT file) AS BIGINT)
+                    AS files_total FROM bf)
+          SELECT p.probe_key, nr.n_rows,
+            CAST(COALESCE(opened.files_opened, 0) AS BIGINT)
+              AS files_opened,
+            tot.files_total
+          FROM probes p JOIN nr USING (probe_key)
+               LEFT JOIN opened USING (probe_key) CROSS JOIN tot
+          ORDER BY p.probe_key""",
     "q156_hausdorff" ->
       // blocking-independent replay: exact AABB-gap candidates all-pairs,
       // then max-of-min integer squared distances in both directions

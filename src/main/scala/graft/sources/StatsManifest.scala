@@ -344,4 +344,85 @@ object StatsManifest {
       }
     (out, if (nMatched > maxOpenList) total else nMatched, total)
   }
+
+  /** Per-file BLOOM filters over a point-lookup key — the skipping
+    * min/max stats cannot provide when the key is uncorrelated with the
+    * file layout (a hash-partitioned fleet has every file spanning the
+    * whole key range; a Bloom word row per file still prunes a point
+    * lookup to ~1 file + false positives).
+    *
+    * Layout: `bits` bloom bits as `bits/64` BIGINT words per file,
+    * committed to `<dir>_bloom`. Hashes are the engine's cross-engine
+    * 60-bit md5 family (`md5(key || '#bloomJ')` → first 15 hex → BIGINT,
+    * mod bits) so the ORACLE replays the skipping decision relationally:
+    * bit P is set in a file's bloom ⟺ some row of that file hashes to P,
+    * which SQL tests with a position join — no bit arithmetic needed.
+    *
+    * 100 TB notes: the build is ONE read-back aggregate (bit_or partial
+    * aggregates — k·words CASE expressions, map-side combined); the bloom
+    * manifest is file-count-sized metadata (words·8 bytes per file).
+    */
+  def writeBloom(spark: SparkSession, dir: String, keyCol: String,
+                 bits: Int = 256, k: Int = 3): DataFrame = {
+    require(bits > 0 && bits % 64 == 0 && k >= 1)
+    val words = bits / 64
+    val posCols = (0 until k).map(j => pmod(
+      conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(s"#bloom$j"))), 1, 15), 16, 10).cast("long"),
+      lit(bits.toLong)).as(s"pos$j"))
+    val withPos = spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file") +: posCols: _*)
+    val aggs = (0 until words).map { wd =>
+      expr("bit_or(" + (0 until k).map(j =>
+        s"CASE WHEN pos$j div 64 = $wd THEN " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST(pos$j % 64 AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END").mkString(" | ") + ")").as(s"w$wd")
+    }
+    val bloom = withPos.groupBy("file").agg(aggs.head, aggs.tail: _*)
+    bloom.coalesce(1).write.mode("overwrite").parquet(dir + "_bloom")
+    spark.read.parquet(dir + "_bloom")
+  }
+
+  /** The driver-side twin of the bloom hash family: identical md5 string
+    * → first 15 hex chars → BIGINT → mod bits (same value Spark's
+    * conv/substring/md5 chain yields for the same key string).
+    */
+  private[graft] def bloomPositions(key: String, bits: Int,
+                                    k: Int): Seq[Long] =
+    (0 until k).map { j =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key#bloom$j".getBytes("UTF-8"))
+      val hex = d.map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % bits
+    }
+
+  /** Point lookup `keyCol = value` that opens ONLY the files whose bloom
+    * contains all k key bits. Returns (result, filesOpened, filesTotal);
+    * false positives open a file and are removed by the residual
+    * predicate — never wrong, only slightly less skippy. Same bounded
+    * open-list discipline as [[prunedRead]].
+    */
+  def bloomPrunedRead(spark: SparkSession, dir: String, keyCol: String,
+                      value: String, bits: Int = 256, k: Int = 3,
+                      maxOpenList: Long = 100000L)
+      : (DataFrame, Long, Long) = {
+    val bloom = spark.read.parquet(dir + "_bloom")
+    val pred = bloomPositions(value, bits, k).map { p =>
+      (col(s"w${(p / 64).toInt}")
+        .bitwiseAND(lit(1L << (p % 64).toInt))) =!= 0L
+    }.reduce(_ && _)
+    val matched = bloom.where(pred)
+    val nMatched = matched.count()
+    val total = bloom.count()
+    val out =
+      if (nMatched == 0) spark.read.parquet(dir).where(lit(false))
+      else if (nMatched > maxOpenList)
+        spark.read.parquet(dir).where(col(keyCol).cast("string") === value)
+      else {
+        val files = matched.select("file").collect().map(_.getString(0))
+        spark.read.parquet(files.toIndexedSeq: _*)
+          .where(col(keyCol).cast("string") === value)
+      }
+    (out, if (nMatched > maxOpenList) total else nMatched, total)
+  }
 }
