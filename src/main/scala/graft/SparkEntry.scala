@@ -487,6 +487,12 @@ object SparkEntry {
     w(s.read.parquet(bdir)
       .select(col("_metadata.file_path").as("file"), col("doc_id")),
       "bloom_files")
+    // q163 JL sign matrix (literal metadata dumped for the oracle — the
+    // ivf_centroids precedent; generation determinism is JlSpec business)
+    w(s.createDataFrame(for {
+      (row, j) <- AnnOps.jlSigns(64, 8, 7L).zipWithIndex.toSeq
+      (sv, i) <- row.zipWithIndex.toSeq
+    } yield (j, i, sv)).toDF("j", "i", "s"), "jl_signs")
   }
 
   /** Flagship: the SURVEY §7.3 minimum slice — salted PIP spatial join of
@@ -2491,6 +2497,34 @@ object SparkEntry {
       s.read.parquet(out).select(col("text_hash"), col("keep_doc_id"))
         .orderBy("text_hash")
     }),
+    "q161_heavy_hitters" -> ((s, d) => {
+      // EXACT heavy hitters with sketch-bounded state (round-6): one
+      // global Misra-Gries aggregate (k = n/threshold + 1 counters,
+      // map-side-merged) guarantees the candidate set contains every true
+      // heavy hitter; an exact recount of candidates only + the threshold
+      // filter makes the OUTPUT deterministic even though the sketch
+      // internals are order-dependent. Oracle = plain GROUP BY/HAVING.
+      val toks = s.read.parquet(p(d, "documents"))
+        .select(explode(split(col("text"), " ")).as("token"))
+      val thr = toks.count() / 30
+      SketchOps.heavyHitters(toks, "token", thr).orderBy("token")
+    }),
+    "q162_harris" -> ((s, d) => {
+      // Harris corner detection (round-6 image depth): integer Sobel on
+      // floor-div BT.601 luma, 3×3 structure tensor, R = 16·det − trace²
+      // (k = 1/16 integral), strict 3×3 NMS above 1e12. Exact per-image
+      // corner counts + response sums; the oracle replays gradients,
+      // tensors, response and NMS from the pixel dump.
+      ImageOps.harrisCorners(s, synthImages(s, d), threshold = 1000000000000L)
+        .orderBy("image_id")
+    }),
+    "q163_jl_project" -> ((s, d) => {
+      // Johnson–Lindenstrauss ±1 projection (round-6 embedding depth):
+      // 64→8 dims, seeded md5-derived sign matrix as literal metadata
+      // (dumped for the oracle), fixed-order IEEE folds — zero shuffle.
+      AnnOps.jlProject(s.read.parquet(p(d, "embeddings")), dim = 64, m = 8,
+        seed = 7L).orderBy("vec_id", "j")
+    }),
     "q160_bloom_skip" -> ((s, d) => {
       // per-file BLOOM skipping (round-6 lakehouse depth): point lookups
       // on a key UNCORRELATED with the file layout (hash-partitioned —
@@ -2724,6 +2758,52 @@ object SparkEntry {
     * oracle SQL generator so they can never drift.
     */
   private val bm25Terms = Seq("spark", "vector", "merge")
+
+  /** q162 oracle: Harris corners replayed from the pixel dump — Sobel
+    * gradients as direct px-list lookups (one image = one row, the
+    * dhashBoxSum convention), structure tensors via a 3×3 self-join of
+    * the gradient CTE, R = 16·det − trace², strict NMS as NOT EXISTS,
+    * per-image exact aggregates. Margins match the engine: gradients
+    * [1,14], tensors [2,13], verdicts [3,12] on the 16×16 corpus.
+    */
+  private def harrisOracleSql: String = {
+    def lum(x: String, y: String): String =
+      s"((299*px[(($y)*16+($x))*3+1] + 587*px[(($y)*16+($x))*3+2]" +
+        s" + 114*px[(($y)*16+($x))*3+3]) // 1000)"
+    s"""WITH pos AS (SELECT image_id, px, xx.x AS x, yy.y AS y
+                     FROM ${O.inp("pixels")}, range(1,15) AS xx(x),
+                          range(1,15) AS yy(y)),
+        g AS (SELECT image_id, x, y,
+                (${lum("x+1", "y-1")} + 2*${lum("x+1", "y")}
+                 + ${lum("x+1", "y+1")} - ${lum("x-1", "y-1")}
+                 - 2*${lum("x-1", "y")} - ${lum("x-1", "y+1")}) AS gx,
+                (${lum("x-1", "y+1")} + 2*${lum("x", "y+1")}
+                 + ${lum("x+1", "y+1")} - ${lum("x-1", "y-1")}
+                 - 2*${lum("x", "y-1")} - ${lum("x+1", "y-1")}) AS gy
+              FROM pos),
+        st AS (SELECT g1.image_id, g1.x, g1.y,
+                 CAST(SUM(g2.gx*g2.gx) AS BIGINT) AS sxx,
+                 CAST(SUM(g2.gy*g2.gy) AS BIGINT) AS syy,
+                 CAST(SUM(g2.gx*g2.gy) AS BIGINT) AS sxy
+               FROM g g1 JOIN g g2 ON g2.image_id = g1.image_id
+                 AND abs(g2.x-g1.x) <= 1 AND abs(g2.y-g1.y) <= 1
+               WHERE g1.x BETWEEN 2 AND 13 AND g1.y BETWEEN 2 AND 13
+               GROUP BY 1, 2, 3),
+        r AS (SELECT image_id, x, y,
+                16*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) AS rr
+              FROM st),
+        c AS (SELECT r1.image_id, r1.rr FROM r r1
+              WHERE r1.x BETWEEN 3 AND 12 AND r1.y BETWEEN 3 AND 12
+                AND r1.rr > 1000000000000
+                AND NOT EXISTS (SELECT 1 FROM r r2
+                      WHERE r2.image_id = r1.image_id
+                        AND abs(r2.x-r1.x) <= 1 AND abs(r2.y-r1.y) <= 1
+                        AND (r2.x <> r1.x OR r2.y <> r1.y)
+                        AND r2.rr >= r1.rr))
+        SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_corners,
+               CAST(SUM(rr) AS BIGINT) AS sum_r
+        FROM c GROUP BY image_id ORDER BY image_id"""
+  }
 
   /** q159 oracle: the depth-capped Douglas-Peucker run replayed round by
     * round — per round one geometry/argmax CTE pair (ROW_NUMBER over
@@ -6107,6 +6187,30 @@ object SparkEntry {
          FROM arrivals GROUP BY text_hash ORDER BY text_hash""",
     "q158_mf_gd" -> mfOracleSql,
     "q159_douglas_peucker" -> dpOracleSql,
+    "q161_heavy_hitters" ->
+      // the exactness claim IS the oracle: plain GROUP BY ... HAVING over
+      // the token stream (threshold = n div 30, same integer floor)
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+          nn AS (SELECT COUNT(*) // 30 AS thr FROM toks)
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 TRUE AS exact_guarantee
+          FROM toks GROUP BY token
+          HAVING COUNT(*) >= (SELECT thr FROM nn)
+          ORDER BY token""",
+    "q162_harris" -> harrisOracleSql,
+    "q163_jl_project" ->
+      // per-coordinate replay: sign join + ordered list fold (list_reduce
+      // from the first element == Spark's fold from 0.0 — IEEE-identical)
+      s"""WITH sg AS (SELECT j, i, s FROM ${O.inp("jl_signs")}),
+          t AS (SELECT e.vec_id, sg.j, sg.i,
+                  e.embedding[sg.i + 1]::DOUBLE * sg.s AS v
+                FROM embeddings e CROSS JOIN sg),
+          f AS (SELECT vec_id, j,
+                  list_reduce(list(v ORDER BY i), (ja, jb) -> ja + jb) AS y
+                FROM t GROUP BY vec_id, j)
+          SELECT vec_id, CAST(j AS INT) AS j, round(y, 6) + 0.0 AS y
+          FROM f ORDER BY vec_id, j""",
     "q160_bloom_skip" ->
       // bloom membership DECISION replayed relationally: bit P is set in a
       // file's bloom ⟺ some row of that file hashes to P, so "all k key

@@ -468,4 +468,49 @@ object AnnOps {
     Clustering.keepList(embeddings.select(col("vec_id")), edges,
       idCol = "vec_id", aCol = "vec_a", bCol = "vec_b")
   }
+
+
+  /** Seeded ±1 sign matrix for [[jlProject]] — md5-derived (first 15 hex
+    * chars of md5("seed#j#i") parsed as a long, parity picks the sign) so
+    * the matrix is reproducible anywhere; dumped by the gate for the
+    * oracle (ivf_centroids precedent).
+    */
+  def jlSigns(dim: Int, m: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(m, dim) { (j, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed#$j#$i".getBytes("UTF-8"))
+      val hex = d.map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Johnson–Lindenstrauss random projection to `m` dimensions with
+    * seeded ±1 signs (Achlioptas 2003, database-friendly projections):
+    * E‖y‖² = m·‖x‖², pairwise distances preserved within (1±ε) for
+    * m = O(log n / ε²) — the cheap dimensionality reducer in front of
+    * ANN/clustering when 64-dim exact math is overkill.
+    *
+    * Determinism: the sign matrix is literal metadata (no join); each
+    * output coordinate is ONE fixed-order fold over the embedding array
+    * (zip_with + aggregate from 0.0 — IEEE-identical to the oracle's
+    * ordered list_reduce), so values gate bit-for-bit. Unnormalized: the
+    * 1/√m factor is a consumer-side constant (keeps the op
+    * transcendental-free).
+    *
+    * Plan: ZERO-shuffle — m codegen'd folds + one posexplode per row.
+    */
+  def jlProject(embeddings: DataFrame, dim: Int, m: Int,
+                seed: Long = 7L): DataFrame = {
+    require(dim >= 1 && m >= 1)
+    val signs = jlSigns(dim, m, seed)
+    val ys = (0 until m).map { j =>
+      aggregate(
+        zip_with(col("embedding"), typedlit(signs(j).toSeq),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (a, v) => a + v)
+    }
+    embeddings
+      .select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("j", "y")))
+      .select(col("vec_id"), col("j"),
+        (round(col("y"), 6) + 0.0).as("y"))
+  }
 }

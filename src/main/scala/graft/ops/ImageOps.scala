@@ -1512,4 +1512,102 @@ object ImageOps {
         max(col("max_wx")).as("max_wx"), max(col("max_wy")).as("max_wy"),
         sum(col("lum_sum")).as("lum_sum"))
   }
+
+
+  /** Harris corner detection (Harris & Stephens 1988) over the image
+    * corpus — the keypoint sibling of [[hogCells]]: integer Sobel
+    * gradients on floor-div BT.601 luma, 3×3 structure tensor, response
+    * R = 16·det(M) − trace(M)² (k = 1/16 kept integral), corners =
+    * STRICT 3×3 non-max positions above `threshold` (strictness makes
+    * plateaus yield no corner — deterministic without a tiebreak). Border
+    * margins: gradients exist on [1, w−2], tensors on [2, w−3], NMS
+    * verdicts on [3, w−4].
+    *
+    * All math is exact Long arithmetic (luma ≤ 255 keeps R ≤ ~2^48), one
+    * typed decode pass per image — per-row compute, zero shuffle beyond
+    * the final per-image aggregate (which this op emits directly).
+    * Returns one row per image WITH corners: (image_id, n_corners,
+    * sum_r) — sum_r the exact Σ of responses at kept corners.
+    */
+  def harrisCorners(spark: SparkSession, images: DataFrame,
+                    threshold: Long): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .as[(String, Array[Byte], Int, Int, String)]
+      .mapPartitions(_.flatMap { case (id, bytes, w, h, fmt) =>
+        val p = ImageCodec.decode(bytes, fmt, w, h)
+        val lum = new Array[Long](w * h)
+        var i = 0
+        while (i < w * h) {
+          lum(i) = (299L * (p(3 * i) & 0xFF) + 587L * (p(3 * i + 1) & 0xFF)
+            + 114L * (p(3 * i + 2) & 0xFF)) / 1000L
+          i += 1
+        }
+        @inline def l(x: Int, y: Int) = lum(y * w + x)
+        val gx = new Array[Long](w * h)
+        val gy = new Array[Long](w * h)
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            gx(y * w + x) = l(x + 1, y - 1) + 2 * l(x + 1, y) +
+              l(x + 1, y + 1) - l(x - 1, y - 1) - 2 * l(x - 1, y) -
+              l(x - 1, y + 1)
+            gy(y * w + x) = l(x - 1, y + 1) + 2 * l(x, y + 1) +
+              l(x + 1, y + 1) - l(x - 1, y - 1) - 2 * l(x, y - 1) -
+              l(x + 1, y - 1)
+            x += 1
+          }
+          y += 1
+        }
+        val rr = new Array[Long](w * h)
+        y = 2
+        while (y < h - 2) {
+          var x = 2
+          while (x < w - 2) {
+            var sxx = 0L; var syy = 0L; var sxy = 0L
+            var dy = -1
+            while (dy <= 1) {
+              var dx = -1
+              while (dx <= 1) {
+                val g1 = gx((y + dy) * w + x + dx)
+                val g2 = gy((y + dy) * w + x + dx)
+                sxx += g1 * g1; syy += g2 * g2; sxy += g1 * g2
+                dx += 1
+              }
+              dy += 1
+            }
+            rr(y * w + x) = 16L * (sxx * syy - sxy * sxy) -
+              (sxx + syy) * (sxx + syy)
+            x += 1
+          }
+          y += 1
+        }
+        var n = 0L; var sum = 0L
+        y = 3
+        while (y < h - 3) {
+          var x = 3
+          while (x < w - 3) {
+            val r0 = rr(y * w + x)
+            if (r0 > threshold) {
+              var isMax = true
+              var dy = -1
+              while (dy <= 1 && isMax) {
+                var dx = -1
+                while (dx <= 1 && isMax) {
+                  if ((dx != 0 || dy != 0) &&
+                    rr((y + dy) * w + x + dx) >= r0) isMax = false
+                  dx += 1
+                }
+                dy += 1
+              }
+              if (isMax) { n += 1; sum += r0 }
+            }
+            x += 1
+          }
+          y += 1
+        }
+        if (n > 0) Some((id, n, sum)) else None
+      }).toDF("image_id", "n_corners", "sum_r")
+  }
 }

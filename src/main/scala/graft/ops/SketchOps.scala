@@ -196,4 +196,79 @@ object SketchOps {
   /** Exact-integer sketch checksum (Σ all counters = depth × n_updates). */
   def cmsChecksum(sketch: Column): Column =
     aggregate(sketch, lit(0L), (a, c) => a + c)
+
+
+  /** Misra-Gries heavy-hitter counters as a mergeable Aggregator (Misra &
+    * Gries 1982; merge rule from Agarwal et al., "Mergeable Summaries",
+    * PODS 2012): a k-entry counter map per partition, combined map-side.
+    * Invariant after any combine tree: for every token,
+    * true_count − n/(k+1) ≤ counter ≤ true_count — so every token with
+    * true count > n/(k+1) SURVIVES in the final counter set, regardless
+    * of partitioning or arrival order.
+    *
+    * The counter SET is order-dependent (ties evict arbitrarily); the
+    * exactness downstream ops need comes from the superset guarantee, not
+    * the set itself — see [[heavyHitters]].
+    */
+  class MgAgg(k: Int) extends Aggregator[String, Map[String, Long], Seq[String]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+      if (b.contains(t)) b.updated(t, b(t) + 1L)
+      else if (b.size < k) b.updated(t, 1L)
+      else b.flatMap { case (tok, c) =>
+        if (c > 1L) Some(tok -> (c - 1L)) else None }
+    override def merge(x: Map[String, Long],
+                       y: Map[String, Long]): Map[String, Long] = {
+      val sum = y.foldLeft(x) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c) }
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+        sum.flatMap { case (t, c) =>
+          if (c > cut) Some(t -> (c - cut)) else None }
+      }
+    }
+    override def finish(b: Map[String, Long]): Seq[String] =
+      b.keys.toSeq.sorted
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** EXACT heavy hitters (true count ≥ threshold) in two passes over a
+    * token column, with sketch-bounded state: pass 1 is one global
+    * Misra-Gries aggregate whose k = n/threshold + 1 counters guarantee
+    * the candidate set contains every true heavy hitter (the survivors
+    * bound above); pass 2 exactly recounts CANDIDATES ONLY (a literal
+    * isin screen — the map side drops everything else, so the exchange
+    * carries at most k distinct keys) and filters to the threshold.
+    *
+    * The output is therefore deterministic and engine-exact even though
+    * the sketch internals are order-dependent — the oracle is a plain
+    * GROUP BY ... HAVING. `exact_guarantee` carries the precondition
+    * threshold·(k+1) > n (pinned TRUE by the gate).
+    *
+    * 100 TB notes: candidate state is k entries per partition, the
+    * recount shuffles ≤ k keys; contrast q73's count-min (fixed-width,
+    * but approximate) — this op trades a second pass for exactness.
+    */
+  def heavyHitters(tokens: DataFrame, tokenCol: String,
+                   threshold: Long, maxK: Int = 65536): DataFrame = {
+    require(threshold >= 1)
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val toks = tokens.select(col(tokenCol).as("token")).localCheckpoint()
+    val n = toks.count()
+    val k = math.min(maxK.toLong, n / threshold + 1L).toInt
+    require(threshold * (k + 1L) > n,
+      s"k=$k counters cannot guarantee threshold=$threshold at n=$n " +
+        s"(raise maxK past ${n / threshold + 1})")
+    val cand = toks.select(udaf(new MgAgg(k), Encoders.STRING)
+      .apply(col("token")).as("cand")).head().getSeq[String](0)
+    toks.where(col("token").isin(cand: _*))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+      .withColumn("exact_guarantee", lit(threshold * (k + 1L) > n))
+  }
 }
