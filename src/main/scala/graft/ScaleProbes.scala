@@ -42,8 +42,12 @@ object ScaleProbes {
       if (!sel(name)) return
       small() // warm-up: JIT + codegen + page cache
       spark.catalog.clearCache()
-      val s1 = (1 to reps).map(_ => { val t = timeOnce(small); spark.catalog.clearCache(); t }).min
-      val s2 = (1 to reps).map(_ => { val t = timeOnce(big); spark.catalog.clearCache(); t }).min
+      // ops that localCheckpoint intermediates (dbscan pairs, clustering
+      // frontiers) leave dead RDD storage until a GC lets ContextCleaner
+      // reap it — force one between legs so the big leg starts clean
+      def reap(): Unit = System.gc()
+      val s1 = (1 to reps).map(_ => { val t = timeOnce(small); spark.catalog.clearCache(); reap(); t }).min
+      val s2 = (1 to reps).map(_ => { val t = timeOnce(big); spark.catalog.clearCache(); reap(); t }).min
       val r1 = n1 / s1; val r2 = n2 / s2
       println(f"[scale] op=$name n1=$n1 sec1=$s1%.2f rps1=${r1.toLong} " +
         f"n2=$n2 sec2=$s2%.2f rps2=${r2.toLong} ratio=${r2 / r1}%.3f")
@@ -278,6 +282,127 @@ object ScaleProbes {
       val merges = ops.BpeTokenizer.trainLocal(vocab, 8000)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scale] op=bpe_train_local vocab=1000000 merges=${merges.length} sec=$sec%.1f")
+    }
+
+    // ================= round-6 ops (q154-q163) =================
+
+    // ---- q154 DBSCAN: 1M vs 10M points, density held CONSTANT ----
+    // clusters of 10 points in ±30 boxes on a 200-spaced center grid that
+    // GROWS with n (pair cardinality O(n) at every scale; a fixed domain
+    // would measure density blowup, not the op — the winnowing lesson).
+    // 10 pts/box ≈ 2-5 eps-neighbors each (> minPts=4 for the box core) —
+    // GPS-fix-like density; 40/box made the checkpointed pair stream ~25×n
+    // rows and starved execution memory at the 10M leg
+    def dbPts(n: Long) = {
+      val nc = n / 10
+      val g = math.ceil(math.sqrt(nc.toDouble)).toLong
+      val d = spark.range(0L, n, 1L, 64).select(
+        col("id").as("point_id"),
+        (pmod(col("id"), lit(nc)) % g * 200L + 100L +
+          pmod(xxhash64(col("id"), lit(1L)), lit(61L)) - 30L).as("x"),
+        (expr(s"(id % $nc) div $g") * 200L + 100L +
+          pmod(xxhash64(col("id"), lit(2L)), lit(61L)) - 30L).as("y"))
+        .localCheckpoint(true)
+      d.count(); d
+    }
+    if (sel("dbscan")) {
+      val p1 = dbPts(1000000L); val p2 = dbPts(10000000L)
+      pair("dbscan", 1000000L, 10000000L)(
+        () => ops.Dbscan.dbscan(p1, 25L, 4)
+          .agg(count(lit(1)), countDistinct(col("cluster"))).head())(
+        () => ops.Dbscan.dbscan(p2, 25L, 4)
+          .agg(count(lit(1)), countDistinct(col("cluster"))).head())
+    }
+
+    // ---- q159 Douglas-Peucker: 1M vs 10M track points ----
+    if (sel("douglas")) {
+      val t1 = SparkEntry.synthTracks(spark, 5000L, 200L)
+        .repartition(64).localCheckpoint(true)
+      val t2 = SparkEntry.synthTracks(spark, 50000L, 200L)
+        .repartition(64).localCheckpoint(true)
+      t1.count(); t2.count()
+      pair("douglas_peucker", 1000000L, 10000000L)(
+        () => ops.TrajectoryOps.douglasPeucker(t1, 48L, 8)
+          .agg(count(lit(1))).head())(
+        () => ops.TrajectoryOps.douglasPeucker(t2, 48L, 8)
+          .agg(count(lit(1))).head())
+    }
+
+    // ---- q161 exact heavy hitters: 10M vs 100M tokens ----
+    // quadratic-skew stream: token (h² div 1024) for h ~ U[0,1024) —
+    // density ∝ 1/√t, a handful of true heavy hitters at thr = n/50.
+    // Input lands as tmpfs PARQUET, not heap checkpoint storage: 110M
+    // deserialized string rows as RDD storage squeezed the unified pool
+    // and the big leg measured eviction, not the sketch
+    def hhToks(n: Long) = {
+      val path = s"/dev/shm/graft_probe_tmp/hh_$n"
+      spark.range(0L, n, 1L, 64)
+        .withColumn("h", pmod(xxhash64(col("id"), lit(3L)), lit(1024L)))
+        .select(concat(lit("t"), expr("(h * h) div 1024")).as("token"))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    if (sel("heavy_hitters")) {
+      val h1 = hhToks(10000000L); val h2 = hhToks(100000000L)
+      pair("heavy_hitters", 10000000L, 100000000L)(
+        () => assert(ops.SketchOps.heavyHitters(h1, "token", 10000000L / 50)
+          .count() >= 1))(
+        () => assert(ops.SketchOps.heavyHitters(h2, "token", 100000000L / 50)
+          .count() >= 1))
+    }
+
+    // ---- q155 TF-IDF pairs: 50k vs 500k docs (stride corpus — df ≤ ~9,
+    // so the posting join's Σdf² stays O(n)) ----
+    if (sel("tfidf")) {
+      pair("tfidf_pairs", 50000L, 500000L)(
+        () => ops.TextOps.tfidfCosinePairs(w1, 100).count())(
+        () => ops.TextOps.tfidfCosinePairs(w2, 100).count())
+    }
+
+    // ---- q156 Hausdorff: 1M vs 10M track points, start-domain GROWN
+    // with √walkers so candidate-pair density is constant. Center spacing
+    // 600 vs track extent ≤ ~398 ⇒ in-row neighbor gap ~200 ≤ maxGap 300:
+    // every track really enters ~2 full |A|·|B| pair evaluations (an 800
+    // spacing left the gap screen rejecting EVERYTHING — the probe then
+    // timed the blocking join alone; require(>0) pins against that) ----
+    def hwTracks(nW: Long) = {
+      val g = math.ceil(math.sqrt(nW.toDouble)).toLong
+      val d = spark.range(0L, nW * 200L, 1L, 64).select(
+        expr("id div 200").as("walker_id"), (col("id") % 200L).as("seq"))
+        .select(col("walker_id"), col("seq"),
+          (col("walker_id") % g * 600L + 1000L +
+            pmod(xxhash64(col("walker_id"), col("seq"), lit(5L)),
+              lit(21L)) * col("seq") / 10L).cast("long").as("x"),
+          (expr(s"(walker_id div $g)") * 600L + 1000L +
+            pmod(xxhash64(col("walker_id"), col("seq"), lit(6L)),
+              lit(21L)) * col("seq") / 10L).cast("long").as("y"))
+        .localCheckpoint(true)
+      d.count(); d
+    }
+    if (sel("hausdorff")) {
+      val h1 = hwTracks(5000L); val h2 = hwTracks(50000L)
+      pair("hausdorff", 1000000L, 10000000L)(
+        () => require(ops.TrajectoryOps.hausdorffPairs(h1, 4L, 300L, 1024L, 50)
+          .count() > 0, "degenerate hausdorff probe: 0 pairs"))(
+        () => require(ops.TrajectoryOps.hausdorffPairs(h2, 4L, 300L, 1024L, 50)
+          .count() > 0, "degenerate hausdorff probe: 0 pairs"))
+    }
+
+    // ---- q158 MF-GD: 1M vs 10M ratings (100k vs 1M users × ~10) ----
+    if (sel("mf_gd")) {
+      def ratings(nu: Long) = {
+        val d = SparkEntry.synthRatings(spark, nu, nu / 10)
+          .repartition(64).localCheckpoint(true)
+        (d.count(), d)
+      }
+      // the rated grid is nu × nu/10 at 1/3 fill → ratings ≈ nu²/30
+      val (n1, r1) = ratings(5500L)  // ≈1.0M
+      val (n2, r2) = ratings(17400L) // ≈10.1M
+      pair("mf_gd", n1, n2)(
+        () => { val (u, v) = ops.MlOps.mfTrain(r1, 2, 3, 2L, 5L)
+          u.agg(count(lit(1))).head(); v.agg(count(lit(1))).head(); () })(
+        () => { val (u, v) = ops.MlOps.mfTrain(r2, 2, 3, 2L, 5L)
+          u.agg(count(lit(1))).head(); v.agg(count(lit(1))).head(); () })
     }
 
     spark.stop()
