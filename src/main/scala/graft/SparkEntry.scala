@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2524,6 +2524,68 @@ object SparkEntry {
       // (dumped for the oracle), fixed-order IEEE folds — zero shuffle.
       AnnOps.jlProject(s.read.parquet(p(d, "embeddings")), dim = 64, m = 8,
         seed = 7L).orderBy("vec_id", "j")
+    }),
+    "q164_dead_kernels" -> ((s, d) => {
+      // O-31 point_inside + O-34 collinear — the reference's two DEAD
+      // kernels, implemented and gated for 100% §2 coverage: point_inside
+      // is a centroid passthrough (the Th_Fr rewrite), collinear ships
+      // bug-for-bug (signed `cross < 1e-12`, col_ref) alongside the
+      // intended abs() predicate (col_fix). See DeadKernelsExpr.
+      import graft.expr.KernelFunctions._
+      val (ok, _) = ObjPipeline.validated(synthSurfaces(s, d))
+      ObjPipeline.withoutOpenings(ok)
+        .select(col("surface_id"), dead_kernels(col("ext")).as("dk"))
+        .select(col("surface_id"),
+          (round(col("dk.pix"), 6) + lit(0.0)).as("pi_x"),
+          (round(col("dk.piy"), 6) + lit(0.0)).as("pi_y"),
+          (round(col("dk.piz"), 6) + lit(0.0)).as("pi_z"),
+          col("dk.col_ref").as("col_ref"),
+          col("dk.col_fix").as("col_fix"))
+        .orderBy("surface_id")
+    }),
+    "q165_triangles" -> ((s, d) => {
+      // exact per-vertex triangle counting (round-6 graph depth): the
+      // compact-forward degree orientation over an md5-derived community
+      // graph (8-node communities with 3 random in-community edges each +
+      // 1 global edge — triangle-rich like a real similarity graph). The
+      // oracle enumerates triangles with the naive ordered 3-join (same
+      // set, blocking-independent) — the degree-orientation plan must
+      // reproduce it exactly.
+      val docs = s.read.parquet(p(d, "documents")).select("doc_id")
+      val nodes = ObjPipeline.assignOrdinals(docs.select(col("doc_id"),
+          lit("all").as("cls"),
+          struct(col("doc_id").as("h"), col("doc_id").as("doc_id"))
+            .as("first_seen")))
+        .select(col("doc_id"), (col("ordinal") - 1).cast("long").as("ord"))
+        .localCheckpoint()
+      val n = nodes.count()
+      def h(k: Column): Column =
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("@tri"), k.cast("string"))), 1, 15), 16, 10).cast("long")
+      val edges = nodes
+        .select(col("ord"), col("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+        .select(col("ord").as("ea"),
+          when(col("k") < 3,
+            pmod(col("ord") - pmod(col("ord"), lit(8L))
+              + pmod(h(col("k")), lit(8L)), lit(n)))
+          .otherwise(pmod(h(col("k")), lit(n))).as("eb"))
+      Clustering.triangleCounts(edges, "ea", "eb")
+        .join(nodes, col("v") === col("ord"))
+        .select(col("doc_id"), col("n_tri"))
+        .orderBy("doc_id")
+    }),
+    "q166_jaccard_join" -> ((s, d) => {
+      // EXACT word-set Jaccard similarity join (round-6): prefix-filtered
+      // AllPairs/PPJoin — the guaranteed-complete counterpart to the
+      // MinHash (q21) / SimHash (q22) probabilistic paths, integer
+      // cross-multiplied threshold at 19/20. The oracle is blocking-
+      // independent: the naive shared-token all-pairs join must yield the
+      // same pair set — a prefix too short (missed pairs) or an ordinal
+      // bug breaks row counts, not just hashes.
+      TextOps.jaccardJoin(s.read.parquet(p(d, "documents")),
+          simNum = 19L, simDen = 20L)
+        .orderBy("doc_a", "doc_b")
     }),
     "q160_bloom_skip" -> ((s, d) => {
       // per-file BLOOM skipping (round-6 lakehouse depth): point lookups
@@ -6211,6 +6273,74 @@ object SparkEntry {
                 FROM t GROUP BY vec_id, j)
           SELECT vec_id, CAST(j AS INT) AS j, round(y, 6) + 0.0 AS y
           FROM f ORDER BY vec_id, j""",
+    "q164_dead_kernels" ->
+      // centroid over the FULL cleaned ring (closure included — same sum
+      // order as Geom.centroid, bit-identical IEEE before the round);
+      // collinear replayed both ways: the reference's signed compare and
+      // the abs() repair
+      s"""WITH $thematicCte
+          SELECT surface_id,
+            round(list_aggregate(list_transform(c, p -> p.x), 'sum')
+              / len(c), 6) + 0.0 AS pi_x,
+            round(list_aggregate(list_transform(c, p -> p.y), 'sum')
+              / len(c), 6) + 0.0 AS pi_y,
+            round(list_aggregate(list_transform(c, p -> p.z), 'sum')
+              / len(c), 6) + 0.0 AS pi_z,
+            ((c[2].x - c[1].x) * (c[3].y - c[1].y)
+              - (c[3].x - c[1].x) * (c[2].y - c[1].y)) < 1e-12 AS col_ref,
+            abs((c[2].x - c[1].x) * (c[3].y - c[1].y)
+              - (c[3].x - c[1].x) * (c[2].y - c[1].y)) < 1e-12 AS col_fix
+          FROM th ORDER BY surface_id""",
+    "q165_triangles" ->
+      // blocking-independent replay: the naive ordered 3-join enumerates
+      // each triangle once as x < y < z over the SAME canonical edge set —
+      // the engine's degree-oriented wedge plan must produce the same
+      // per-corner counts
+      s"""WITH nodes AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY doc_id) - 1 AS ord
+                         FROM documents),
+          n AS (SELECT COUNT(*) AS n FROM nodes),
+          raw AS (SELECT nd.ord AS ea,
+                    CASE WHEN k.k < 3 THEN
+                      ((nd.ord - nd.ord % 8)
+                        + ${O.md5n("nd.doc_id::VARCHAR || '@tri' || k.k")}
+                          % 8) % (SELECT n FROM n)
+                    ELSE ${O.md5n("nd.doc_id::VARCHAR || '@tri' || k.k")}
+                      % (SELECT n FROM n) END AS eb
+                  FROM nodes nd
+                  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k),
+          e AS (SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
+                FROM raw WHERE ea <> eb),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM e e1
+                  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+          corners AS (SELECT x AS v FROM tri
+                      UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri),
+          ct AS (SELECT v, COUNT(*) AS n_tri FROM corners GROUP BY v)
+          SELECT nd.doc_id, CAST(ct.n_tri AS BIGINT) AS n_tri
+          FROM ct JOIN nodes nd ON ct.v = nd.ord
+          ORDER BY nd.doc_id""",
+    "q166_jaccard_join" ->
+      // blocking-independent: ALL pairs sharing a word, exact integer
+      // threshold overlap·(den+num) ≥ num·(sa+sb) ⟺ J ≥ num/den — the
+      // engine's prefix filter must lose nothing
+      s"""WITH tk AS (SELECT doc_id,
+                        unnest(list_distinct(string_split(text, ' '))) AS w
+                      FROM documents),
+          sz AS (SELECT doc_id, COUNT(*) AS sz FROM tk GROUP BY doc_id),
+          ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS overlap
+                 FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+          SELECT ov.doc_a, ov.doc_b, CAST(ov.overlap AS BIGINT) AS overlap,
+            CAST(sa.sz AS BIGINT) AS sa, CAST(sb.sz AS BIGINT) AS sb,
+            round(ov.overlap / (sa.sz + sb.sz - ov.overlap), 6) + 0.0 AS jac
+          FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a
+                  JOIN sz sb ON sb.doc_id = ov.doc_b
+          WHERE ov.overlap * 39 >= (sa.sz + sb.sz) * 19
+          ORDER BY ov.doc_a, ov.doc_b""",
     "q160_bloom_skip" ->
       // bloom membership DECISION replayed relationally: bit P is set in a
       // file's bloom ⟺ some row of that file hashes to P, so "all k key

@@ -344,7 +344,8 @@ object GeomFunctions {
     "plane_probe" -> (es => PlaneProbeExpr(es.head)),
     "pca_resid" -> (es => PcaResidExpr(es.head)),
     "weighted_centroid" -> (es => WeightedCentroidExpr(es.head)),
-    "tri_align" -> (es => TriAlignExpr(es(0), es(1))))
+    "tri_align" -> (es => TriAlignExpr(es(0), es(1))),
+    "dead_kernels" -> (es => DeadKernelsExpr(es.head)))
 
   /** Register every expression for SQL use (`SELECT ear_clip(ext, holes)…`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -181,6 +181,47 @@ case class TriAlignExpr(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** O-31 + O-34 — the reference's two dead kernels, implemented for 100%
+  * §2 coverage and exercised under the gate (q164).
+  *
+  * point_inside (polygon3dmodule.py:352-358): after the Th_Fr rewrite it
+  * is a centroid passthrough (shapely Point(centroid).coords), so pi_* =
+  * the arithmetic-mean centroid of the ring — closure point included,
+  * the Geom.centroid contract.
+  *
+  * collinear (polygon3dmodule.py:200-204): 2D cross of (p1−p0, p2−p0)
+  * compared to 1e-12. `col_ref` preserves the reference's SIGNED compare
+  * (`cross < 1e-12` — true for ANY clockwise turn, the documented bug
+  * that got it disabled); `col_fix` is the intended `abs(cross) < 1e-12`.
+  * Both are gated so the oracle pins the bug-for-bug behavior AND the
+  * repaired predicate.
+  */
+case class DeadKernelsExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback with GraftExpectsInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(ringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("pix", DoubleType, nullable = false),
+    StructField("piy", DoubleType, nullable = false),
+    StructField("piz", DoubleType, nullable = false),
+    StructField("col_ref", BooleanType, nullable = false),
+    StructField("col_fix", BooleanType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val r = toRing(v.asInstanceOf[ArrayData])
+    val c = Geom.centroid(r)
+    if (r.length < 3)
+      new GenericInternalRow(Array[Any](c.x, c.y, c.z, false, false))
+    else {
+      val x1 = r(1).x - r(0).x; val y1 = r(1).y - r(0).y
+      val x2 = r(2).x - r(0).x; val y2 = r(2).y - r(0).y
+      val cross = x1 * y2 - x2 * y1
+      new GenericInternalRow(Array[Any](c.x, c.y, c.z,
+        cross < 1e-12, math.abs(cross) < 1e-12))
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object KernelFunctions {
   private def col(e: Expression): Column = Bridge.column(e)
   private def x(c: Column): Expression = Bridge.expression(c)
@@ -192,4 +233,5 @@ object KernelFunctions {
   def weighted_centroid(ring: Column): Column = col(WeightedCentroidExpr(x(ring)))
   def tri_align(ext: Column, holes: Column): Column =
     col(TriAlignExpr(x(ext), x(holes)))
+  def dead_kernels(ring: Column): Column = col(DeadKernelsExpr(x(ring)))
 }

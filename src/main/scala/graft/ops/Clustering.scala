@@ -221,4 +221,59 @@ object Clustering {
     }
     dist.select(col("v"), col("dist"))
   }
+
+  /** Exact per-vertex triangle counts — the compact-forward / degree-
+    * orientation algorithm (Chiba–Nishizeki / Schank–Wagner, public):
+    * orient every undirected edge from its (degree, id)-smaller endpoint
+    * to the larger, enumerate wedges as self-join pairs of OUT-edges
+    * sharing their apex, and close each wedge against the canonical edge
+    * table. The apex of a triangle is its unique (degree, id)-minimum
+    * corner, so every triangle is generated exactly once — no dedup pass.
+    *
+    * 100 TB shape: degree orientation bounds every out-degree by
+    * O(√m), so the wedge self-join — the only super-linear site — emits
+    * Σ outdeg² = O(m^1.5) rows worst-case and far fewer on real
+    * power-law graphs (the heavy hub's edges all point INTO it, so the
+    * hub never fans out wedges — the skew story handled by construction,
+    * not salting). Everything else is hash equi-joins and one
+    * map-side-combined count; per-vertex output only for corners of ≥1
+    * triangle (join back against the vertex table for zeros).
+    *
+    * Returns (`v`, `n_tri`), one row per vertex appearing in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String = "a",
+                     bCol: String = "b"): DataFrame = {
+    // canonical undirected edge set: a < b, loops dropped, deduped —
+    // reused by the orientation AND as the wedge-closing probe side
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient by the total order (deg, v): src strictly smaller
+    val or = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint() // reused: both wedge sides
+    // wedges (u, w) with u < w out of a shared apex; closing edge is then
+    // canonical (u, w) — one equi-join against e decides it
+    val wedges = or.select(col("src"), col("dst").as("u"))
+      .join(or.select(col("src"), col("dst").as("w")), Seq("src"))
+      .where(col("u") < col("w"))
+    val tris = wedges
+      .join(e, wedges("u") === e("a") && wedges("w") === e("b"))
+      .select(col("src"), col("u"), col("w"))
+    tris.select(explode(array(col("src"), col("u"), col("w"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+  }
 }

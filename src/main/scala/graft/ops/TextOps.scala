@@ -270,6 +270,79 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** EXACT word-set Jaccard similarity join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008,
+    * public): every pair with J(A,B) ≥ simNum/simDen, guaranteed complete
+    * — the exact counterpart to the probabilistic MinHash/SimHash paths.
+    *
+    * Plan: distinct (doc, word) postings once; global word order = (df
+    * asc, word asc) — rarest first — assigned by the DISTRIBUTED two-pass
+    * ordinal pattern (no single-reducer sort); each doc keeps only its
+    * first p = |d| − ceil(t·|d|) + 1 words in that order as its PREFIX
+    * (pigeonhole: two sets meeting t must share a prefix token); the
+    * candidate join runs over prefix postings only, then ONE join back
+    * through the full postings computes exact overlaps for candidates
+    * only. The threshold test is INTEGER cross-multiplication —
+    * overlap·(den+num) ≥ num·(|a|+|b|) ⟺ J ≥ num/den — so the decision
+    * is exact; the reported jaccard is one IEEE division, display-only.
+    *
+    * 100 TB shape: prefixes are rare-word-dominated by construction (a
+    * stopword lands in a prefix only for a doc that is almost all
+    * stopwords), so candidate cardinality tracks Σ prefix-df² over RARE
+    * words — the documented PPJoin bound — not corpus²; everything else
+    * is hash equi-joins + map-side-combined counts on slim columns.
+    */
+  def jaccardJoin(documents: DataFrame, simNum: Long,
+                  simDen: Long): DataFrame = {
+    require(simNum > 0 && simNum <= simDen, "threshold in (0, 1]")
+    val post = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .distinct().localCheckpoint() // reused: df, prefixes, overlap verify
+    val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint() // reused: both sides of the verify
+    // global rarity rank via the distributed ordinal pattern
+    val ranks = ObjPipeline.assignOrdinals(
+        post.groupBy("w").agg(count(lit(1)).as("df"))
+          .select(col("w"), lit("all").as("cls"),
+            struct(col("df"), col("w")).as("first_seen")))
+      .select(col("w"), col("ordinal").cast("long").as("rk"))
+    val ranked = post.join(ranks, Seq("w"))
+    // prefix length p = sz − ceil(num·sz/den) + 1, exact integer ceil
+    val win = Window.partitionBy("doc_id").orderBy("rk")
+    val prefixes = ranked.join(sizes, Seq("doc_id"))
+      .withColumn("rn", row_number().over(win))
+      .where(col("rn") <= col("sz")
+        - floorDiv(col("sz") * simNum + (simDen - 1), lit(simDen)) + 1L)
+      .select(col("doc_id"), col("rk"))
+    val cand = prefixes.select(col("doc_id").as("doc_a"), col("rk"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("rk")), Seq("rk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact overlap for candidates only: two hash joins through postings
+    val overlap = cand
+      .join(post.select(col("doc_id").as("doc_a"), col("w")), Seq("doc_a"))
+      .join(post.select(col("doc_id").as("doc_b"), col("w")),
+        Seq("doc_b", "w"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
+    overlap
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
+        Seq("doc_b"))
+      .where(col("overlap") * (simDen + simNum)
+        >= (col("sa") + col("sb")) * simNum)
+      .select(col("doc_a"), col("doc_b"), col("overlap"), col("sa"),
+        col("sb"),
+        (round(col("overlap")
+          / (col("sa") + col("sb") - col("overlap")), 6) + 0.0).as("jac"))
+  }
+
+  /** Exact integer floor(a/d) for non-negative operands < 2^53 —
+    * Column./ is double division, exact there (the q128 discipline).
+    */
+  private def floorDiv(a: Column, d: Column): Column =
+    (a / d).cast("long")
+
   /** RAG chunking (the op between a filtered corpus and an embedding
     * index): split each document into `window`-token chunks advancing by
     * `step` tokens (overlap = window − step keeps sentence context across

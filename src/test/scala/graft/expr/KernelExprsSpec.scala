@@ -94,16 +94,36 @@ class KernelExprsSpec extends AnyFunSuite {
     assert(!Geom.compareNormals(n, nnRev))
   }
 
+  test("dead_kernels: point_inside = centroid; collinear bug-for-bug + fixed") {
+    // sq (closed, CCW): centroid = (0.4, 0.4, 0); first corner turns LEFT
+    // (cross = +1) → the reference's signed compare is false, abs false
+    val r = df(sq).select(dead_kernels(col("ext"))).head().getStruct(0)
+    assert(math.abs(r.getDouble(0) - 0.4) < 1e-12 &&
+      math.abs(r.getDouble(1) - 0.4) < 1e-12 && r.getDouble(2) === 0.0)
+    assert(!r.getBoolean(3) && !r.getBoolean(4))
+    // clockwise first corner: cross = −1 → the REFERENCE bug calls it
+    // "collinear" (signed < 1e-12); the fixed predicate does not
+    val cw = Seq(Pt(0, 0, 0), Pt(0, 1, 0), Pt(1, 1, 0), Pt(1, 0, 0), Pt(0, 0, 0))
+    val c = df(cw).select(dead_kernels(col("ext"))).head().getStruct(0)
+    assert(c.getBoolean(3) && !c.getBoolean(4))
+    // genuinely collinear first three points: both predicates agree (true)
+    val lin = Seq(Pt(0, 0, 0), Pt(1, 0, 0), Pt(2, 0, 0), Pt(1, 1, 0), Pt(0, 0, 0))
+    val l = df(lin).select(dead_kernels(col("ext"))).head().getStruct(0)
+    assert(l.getBoolean(3) && l.getBoolean(4))
+  }
+
   test("kernels are SQL-registered (GraftExtensions injection)") {
     df(sq).createOrReplaceTempView("kx")
     val out = spark.sql(
       """SELECT edge_kernel(ext).dot AS d, area_2d(ext) AS a,
                 plane_probe(ext).pc AS pc, pca_resid(ext) AS r,
                 weighted_centroid(ext).x AS wx,
-                tri_align(ext, holes).n_tris AS t
+                tri_align(ext, holes).n_tris AS t,
+                dead_kernels(ext).pix AS px
          FROM kx""").head()
     assert(out.getDouble(0) === 1.0 && out.getDouble(1) === 1.0 &&
       out.getDouble(2) === 1.0 && out.getDouble(3) < 1e-9 &&
-      out.getDouble(4) === 0.5 && out.getLong(5) === 2L)
+      out.getDouble(4) === 0.5 && out.getLong(5) === 2L &&
+      out.getDouble(6) === 0.4)
   }
 }
