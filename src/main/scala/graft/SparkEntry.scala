@@ -2587,6 +2587,65 @@ object SparkEntry {
           simNum = 19L, simDen = 20L)
         .orderBy("doc_a", "doc_b")
     }),
+    "q167_integral_image" -> ((s, d) => {
+      // distributed integral image (summed-area table) over the stitched
+      // mosaic + O(1) box-filter sums (round-6 image depth): one typed
+      // decode pass builds per-tile local SATs; three slim band tables
+      // (cumulative rows/cols/totals) close the cross-tile carry through
+      // PrefixSum.runningSum; each of the 25 md5-derived query boxes
+      // resolves as 4 signed SAT corner lookups. The oracle sums the RAW
+      // dumped pixels inside each box directly — blocking-independent:
+      // the SAT is proven by its defining property, not replayed.
+      val side = mosaicSide(sfOf(d)); val W = side * 16
+      def hm(tag: String, m: Long): Column =
+        pmod(conv(substring(md5(concat(col("id").cast("string"),
+          lit(tag))), 1, 15), 16, 10).cast("long"), lit(m))
+      val boxes = s.range(0, 25).select(col("id").as("box_id"),
+          hm("#bx0", W.toLong).as("x0"), hm("#by0", W.toLong).as("y0"),
+          hm("#bxw", 31L).as("bw"), hm("#byh", 31L).as("bh"))
+        .select(col("box_id"), col("x0"), col("y0"),
+          least(col("x0") + col("bw"), lit((W - 1).toLong)).as("x1"),
+          least(col("y0") + col("bh"), lit((W - 1).toLong)).as("y1"))
+      ImageOps.integralBoxSums(s, Synth.mosaicTiles(s, side), boxes)
+        .join(boxes, Seq("box_id"))
+        .select(col("box_id"), col("x0"), col("y0"), col("x1"),
+          col("y1"), col("box_sum"))
+        .orderBy("box_id")
+    }),
+    "q168_kcore" -> ((s, d) => {
+      // k-core decomposition (round-6 graph depth): iterative peel to
+      // fixpoint over an md5 community graph with HETEROGENEOUS density
+      // (communities get 2/3/4 in-community edges by community index, so
+      // k=4 peels six rounds deep and still leaves survivors — both
+      // halves of the semantics exercised). The oracle replays 8
+      // MATERIALIZED peel rounds (fixpoint at 6 on this corpus; peeling
+      // is monotone, extra rounds are no-ops).
+      val docs = s.read.parquet(p(d, "documents")).select("doc_id")
+      val nodes = ObjPipeline.assignOrdinals(docs.select(col("doc_id"),
+          lit("all").as("cls"),
+          struct(col("doc_id").as("h"), col("doc_id").as("doc_id"))
+            .as("first_seen")))
+        .select(col("doc_id"), (col("ordinal") - 1).cast("long").as("ord"))
+        .localCheckpoint()
+      val n = nodes.count()
+      def h(k: Column): Column =
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("@kc"), k.cast("string"))), 1, 15), 16, 10).cast("long")
+      val edges = nodes
+        .select(col("ord"), col("doc_id"),
+          explode(sequence(lit(0), lit(4))).as("k"))
+        .select(col("ord").as("ea"),
+          when(col("k") < lit(2L) + pmod(expr("ord div 8"), lit(3L)),
+            pmod(col("ord") - pmod(col("ord"), lit(8L))
+              + pmod(h(col("k")), lit(8L)), lit(n)))
+          .when(col("k") === 4, pmod(h(col("k")), lit(n)))
+          .otherwise(lit(null)).as("eb"))
+        .where(col("eb").isNotNull)
+      Clustering.kCore(edges, k = 4, aCol = "ea", bCol = "eb")
+        .join(nodes, col("v") === col("ord"))
+        .select(col("doc_id"), col("deg"))
+        .orderBy("doc_id")
+    }),
     "q160_bloom_skip" -> ((s, d) => {
       // per-file BLOOM skipping (round-6 lakehouse depth): point lookups
       // on a key UNCORRELATED with the file layout (hash-partitioned —
@@ -6341,6 +6400,75 @@ object SparkEntry {
                   JOIN sz sb ON sb.doc_id = ov.doc_b
           WHERE ov.overlap * 39 >= (sa.sz + sb.sz) * 19
           ORDER BY ov.doc_a, ov.doc_b""",
+    "q168_kcore" -> {
+      // 8 peel rounds as MATERIALIZED CTE pairs (each round references its
+      // predecessor three times — default inlining would expand 3^8-fold,
+      // the q135 lesson); round 8 ≡ fixpoint on this corpus
+      val rounds = (1 to 8).map { i =>
+        val prev = if (i == 1) "e0" else s"e${i - 1}"
+        s"""d$i AS MATERIALIZED (SELECT a FROM $prev
+                GROUP BY a HAVING COUNT(*) >= 4),
+          e$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+                JOIN d$i x ON e.a = x.a JOIN d$i y ON e.b = y.a)"""
+      }.mkString(",\n          ")
+      s"""WITH nodes AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY doc_id) - 1 AS ord
+                         FROM documents),
+          n AS (SELECT COUNT(*) AS n FROM nodes),
+          raw AS (SELECT nd.ord AS ea,
+                    CASE WHEN k.k < 2 + (nd.ord // 8) % 3 THEN
+                      ((nd.ord - nd.ord % 8)
+                        + ${O.md5n("nd.doc_id::VARCHAR || '@kc' || k.k")}
+                          % 8) % (SELECT n FROM n)
+                    WHEN k.k = 4 THEN
+                      ${O.md5n("nd.doc_id::VARCHAR || '@kc' || k.k")}
+                      % (SELECT n FROM n)
+                    ELSE NULL END AS eb
+                  FROM nodes nd
+                  CROSS JOIN (SELECT unnest(range(0, 5)) AS k) k),
+          e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM
+                 (SELECT ea AS a, eb AS b FROM raw WHERE eb IS NOT NULL
+                  UNION ALL
+                  SELECT eb, ea FROM raw WHERE eb IS NOT NULL)
+               WHERE a <> b),
+          $rounds
+          SELECT nd.doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM e8 JOIN nodes nd ON e8.a = nd.ord
+          GROUP BY nd.doc_id
+          ORDER BY nd.doc_id"""
+    },
+    "q167_integral_image" ->
+      // blocking-independent: Σ raw luma over each box straight from the
+      // pixel dump — the engine's SAT decomposition (local + row band +
+      // col band + corner, 4 signed corners) must reproduce the defining
+      // property. W derives from the dump (16·(max tile_x + 1)).
+      s"""WITH dims AS (SELECT 16 * (MAX(tile_x) + 1) AS wd
+                        FROM ${O.inp("mosaic_pixels")}),
+          px AS (SELECT tile_x*16 + (j.j % 16) AS wx,
+                   tile_y*16 + (j.j // 16) AS wy,
+                   (299*px[j.j*3+1] + 587*px[j.j*3+2]
+                     + 114*px[j.j*3+3]) // 1000 AS l
+                 FROM ${O.inp("mosaic_pixels")}, range(0,256) j(j)),
+          bx AS (SELECT i AS box_id,
+                   ${O.md5n("i::VARCHAR || '#bx0'")}
+                     % (SELECT wd FROM dims) AS x0,
+                   ${O.md5n("i::VARCHAR || '#by0'")}
+                     % (SELECT wd FROM dims) AS y0,
+                   least(${O.md5n("i::VARCHAR || '#bx0'")}
+                       % (SELECT wd FROM dims)
+                     + ${O.md5n("i::VARCHAR || '#bxw'")} % 31,
+                     (SELECT wd FROM dims) - 1) AS x1,
+                   least(${O.md5n("i::VARCHAR || '#by0'")}
+                       % (SELECT wd FROM dims)
+                     + ${O.md5n("i::VARCHAR || '#byh'")} % 31,
+                     (SELECT wd FROM dims) - 1) AS y1
+                 FROM (SELECT unnest(range(0, 25)) AS i))
+          SELECT bx.box_id, bx.x0, bx.y0, bx.x1, bx.y1,
+            CAST(SUM(px.l) AS BIGINT) AS box_sum
+          FROM bx JOIN px ON px.wx BETWEEN bx.x0 AND bx.x1
+                         AND px.wy BETWEEN bx.y0 AND bx.y1
+          GROUP BY 1, 2, 3, 4, 5
+          ORDER BY box_id""",
     "q160_bloom_skip" ->
       // bloom membership DECISION replayed relationally: bit P is set in a
       // file's bloom ⟺ some row of that file hashes to P, so "all k key

@@ -222,6 +222,45 @@ object Clustering {
     dist.select(col("v"), col("dist"))
   }
 
+  /** k-core decomposition (round 6): the maximal subgraph in which every
+    * vertex keeps degree ≥ k, by iterative peeling (Matula–Beck /
+    * Batagelj–Zaveršnik, public) — the standard "strip spam shells off
+    * the link graph" curation signal. Returns (`v`, `deg`) for the
+    * vertices of the k-core with their WITHIN-CORE degrees.
+    *
+    * Plan shape: the symmetric edge frame SHRINKS monotonically — per
+    * round one map-side-combined degree count, one semi-join style
+    * double filter (both endpoints surviving), one localCheckpoint to
+    * truncate the self-referencing lineage; round count ≤ peel depth
+    * (≤ longest degeneracy chain, small on real graphs). Payloads never
+    * enter the loop; change detection compares shrinking edge counts —
+    * O(1) driver state. Peeling is monotone, so extra rounds past the
+    * fixpoint are no-ops — the property the gate oracle's fixed-depth
+    * CTE replay relies on.
+    */
+  def kCore(edges: DataFrame, k: Int, aCol: String = "a",
+            bCol: String = "b", maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .where(col("a") =!= col("b"))
+    var sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var m = sym.count()
+    var round = 0
+    var changed = m > 0
+    while (changed && round < maxRounds) {
+      val keep = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k.toLong).select("a")
+      val pruned = sym.join(keep, Seq("a"))
+        .join(keep.select(col("a").as("b")), Seq("b"))
+        .select(col("a"), col("b")).localCheckpoint()
+      val m2 = pruned.count()
+      changed = m2 < m
+      sym = pruned; m = m2; round += 1
+    }
+    sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Exact per-vertex triangle counts — the compact-forward / degree-
     * orientation algorithm (Chiba–Nishizeki / Schank–Wagner, public):
     * orient every undirected edge from its (degree, id)-smaller endpoint

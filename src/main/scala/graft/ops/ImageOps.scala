@@ -1610,4 +1610,116 @@ object ImageOps {
         if (n > 0) Some((id, n, sum)) else None
       }).toDF("image_id", "n_corners", "sum_r")
   }
+
+  /** Distributed integral image (summed-area table) over the stitched
+    * tile mosaic, answering box-filter sums in O(1) lookups per box
+    * (Crow 1984 / Viola–Jones, public) — q167.
+    *
+    * Architecture (the 100 TB story): ONE typed decode pass computes each
+    * tile's LOCAL inclusive SAT over integer BT.601 luma (exact Long
+    * math); the cross-tile carry decomposes into three SLIM band tables —
+    * per-tile cumulative row sums (tileH rows/tile), cumulative column
+    * sums (tileW rows/tile), and tile totals — each turned into exclusive
+    * prefixes along the tile grid by [[PrefixSum.runningSum]] (the
+    * library-wide two-pass pattern: no single-reducer window, offsets
+    * O(partitions × tile-rows) on the driver). A global SAT probe at
+    * world (X, Y) is then
+    *     local(tx,ty)[x,y] + leftBand(tx,ty)[y] + topBand(tx,ty)[x]
+    *       + corner(tx,ty)
+    * and a box sum is the classic 4-corner signed SAT combination — per
+    * QUERY cost is 4 slim hash-join lookups regardless of box area, so a
+    * billion-pixel mosaic serves box filters at constant per-query cost.
+    * Pixel payloads never enter any exchange: the 256-long local SATs
+    * stay keyed by (tx, ty) and only 16-long band rows shuffle.
+    *
+    * `boxes` needs (box_id, x0, y0, x1, y1), inclusive world-pixel
+    * coordinates INSIDE the mosaic with x0 ≤ x1, y0 ≤ y1. Returns
+    * (box_id, box_sum) — the exact Σ luma over the box.
+    */
+  def integralBoxSums(spark: SparkSession, tiles: DataFrame,
+                      boxes: DataFrame, tileW: Int = 16,
+                      tileH: Int = 16): DataFrame = {
+    import spark.implicits._
+    val n = tileW * tileH
+    val sat = tiles.select("bytes", "w", "h", "fmt", "tile_x", "tile_y")
+      .as[(Array[Byte], Int, Int, String, Int, Int)]
+      .mapPartitions(rows => rows.map { case (bytes, w, h, fmt, tx, ty) =>
+        // same fail-fast as morphology: a divergent tile size would
+        // silently misattribute world coordinates
+        require(w == tileW && h == tileH,
+          s"integral: tile ($tx,$ty) is ${w}x$h, expected ${tileW}x$tileH")
+        val px = ImageCodec.decode(bytes, fmt, w, h)
+        val s = new Array[Long](n)
+        var y = 0
+        while (y < h) {
+          var rowAcc = 0L; var x = 0
+          while (x < w) {
+            val j = y * w + x
+            rowAcc += (299 * (px(3 * j) & 0xFF) + 587 * (px(3 * j + 1) & 0xFF)
+              + 114 * (px(3 * j + 2) & 0xFF)) / 1000
+            s(j) = rowAcc + (if (y > 0) s(j - w) else 0L)
+            x += 1
+          }
+          y += 1
+        }
+        (tx, ty, s)
+      }).toDF("tx", "ty", "sat")
+      .localCheckpoint() // reused: corner lookups + three band tables
+    // cumulative row-band: crow[r] = Σ tile rows 0..r (all columns)
+    val crow = sat.select(col("tx"), col("ty"),
+        posexplode(expr(s"transform(sequence(0, ${tileH - 1}), " +
+          s"r -> element_at(sat, r * $tileW + $tileW))")))
+      .toDF("tx", "ty", "r", "crow")
+    val lb = PrefixSum.runningSum(crow, Seq("ty", "r"), Seq("tx"),
+        col("crow"), "cum")
+      .select(col("tx"), col("ty"), col("r"),
+        (col("cum") - col("crow")).as("lb"))
+    // cumulative col-band: ccol[c] = Σ tile cols 0..c (all rows)
+    val ccol = sat.select(col("tx"), col("ty"),
+        posexplode(expr(s"transform(sequence(0, ${tileW - 1}), " +
+          s"c -> element_at(sat, ${(tileH - 1) * tileW} + c + 1))")))
+      .toDF("tx", "ty", "c", "ccol")
+    val tb = PrefixSum.runningSum(ccol, Seq("tx", "c"), Seq("ty"),
+        col("ccol"), "cum")
+      .select(col("tx"), col("ty"), col("c"),
+        (col("cum") - col("ccol")).as("tb"))
+    // corner block: CB(tx,ty) = Σ totals over tx'<tx AND ty'<ty — two
+    // chained exclusive prefixes (tx within ty, then ty within tx)
+    val tot = sat.select(col("tx"), col("ty"),
+      expr(s"element_at(sat, $n)").as("t"))
+    val pfx = PrefixSum.runningSum(tot, Seq("ty"), Seq("tx"), col("t"), "cum")
+      .select(col("tx"), col("ty"), (col("cum") - col("t")).as("p"))
+    val cb = PrefixSum.runningSum(pfx, Seq("tx"), Seq("ty"), col("p"), "cum")
+      .select(col("tx"), col("ty"), (col("cum") - col("p")).as("cb"))
+    // 4 signed SAT corners per box; corners off the top/left edge are
+    // SAT ≡ 0 and drop out here
+    val corners = boxes.select(col("box_id"), explode(array(
+        struct(lit(1L).as("sgn"), col("x1").cast("long").as("X"),
+          col("y1").cast("long").as("Y")),
+        struct(lit(-1L).as("sgn"), (col("x0") - 1).cast("long").as("X"),
+          col("y1").cast("long").as("Y")),
+        struct(lit(-1L).as("sgn"), col("x1").cast("long").as("X"),
+          (col("y0") - 1).cast("long").as("Y")),
+        struct(lit(1L).as("sgn"), (col("x0") - 1).cast("long").as("X"),
+          (col("y0") - 1).cast("long").as("Y")))).as("k"))
+      .select(col("box_id"), col("k.sgn").as("sgn"), col("k.X").as("X"),
+        col("k.Y").as("Y"))
+      .where(col("X") >= 0 && col("Y") >= 0)
+      .select(col("box_id"), col("sgn"),
+        (col("X") / tileW).cast("int").as("tx"),
+        (col("Y") / tileH).cast("int").as("ty"),
+        pmod(col("X"), lit(tileW.toLong)).cast("int").as("x"),
+        pmod(col("Y"), lit(tileH.toLong)).cast("int").as("y"))
+    val sVal = corners
+      .withColumn("r", col("y")).withColumn("c", col("x"))
+      .join(sat, Seq("tx", "ty"))
+      .withColumn("local", expr(s"element_at(sat, y * $tileW + x + 1)"))
+      .join(lb, Seq("tx", "ty", "r"))
+      .join(tb, Seq("tx", "ty", "c"))
+      .join(cb, Seq("tx", "ty"))
+      .select(col("box_id"),
+        (col("sgn") * (col("local") + col("lb") + col("tb") + col("cb")))
+          .as("v"))
+    sVal.groupBy("box_id").agg(sum(col("v")).as("box_sum"))
+  }
 }
