@@ -388,6 +388,87 @@ object ScaleProbes {
           .count() > 0, "degenerate hausdorff probe: 0 pairs"))
     }
 
+    // ---- q165 triangle counting: 1M vs 10M vertices, 8-node communities
+    // (3 in-community + 1 global edge per vertex — triangle count O(n),
+    // degree-bounded wedge fan-out) ----
+    def triEdges(n: Long) = {
+      val d = spark.range(0L, n * 4L, 1L, 64).select(
+        expr("id div 4").as("ea"), (col("id") % 4L).as("k"))
+        .select(col("ea"),
+          when(col("k") < 3,
+            expr("ea - ea % 8") + pmod(xxhash64(col("ea"), col("k")), lit(8L)))
+          .otherwise(pmod(xxhash64(col("ea"), col("k")), lit(n))).as("eb"))
+        .localCheckpoint(true)
+      d.count(); d
+    }
+    if (sel("triangles")) {
+      val t1 = triEdges(1000000L); val t2 = triEdges(10000000L)
+      pair("triangles", 1000000L, 10000000L)(
+        () => require(ops.Clustering.triangleCounts(t1, "ea", "eb")
+          .count() > 0))(
+        () => require(ops.Clustering.triangleCounts(t2, "ea", "eb")
+          .count() > 0))
+    }
+
+    // ---- q168 k-core: same communities, heterogeneous density (2/3/4
+    // in-community edges by community index), k=4 — peel depth stays
+    // constant as n grows because communities are independent ----
+    def kcEdges(n: Long) = {
+      // tmpfs parquet, not heap checkpoint storage (the heavy_hitters
+      // lesson): 40M deserialized rows rooted for the whole probe would
+      // fight the peel rounds for heap
+      val path = s"/dev/shm/graft_probe_tmp/kc_$n"
+      spark.range(0L, n * 5L, 1L, 64).select(
+        expr("id div 5").as("ea"), (col("id") % 5L).as("k"))
+        .select(col("ea"),
+          when(col("k") < lit(2L) + pmod(expr("ea div 8"), lit(3L)),
+            expr("ea - ea % 8") + pmod(xxhash64(col("ea"), col("k")), lit(8L)))
+          .when(col("k") === 4L, pmod(xxhash64(col("ea"), col("k")), lit(n)))
+          .otherwise(lit(null)).as("eb"))
+        .where(col("eb").isNotNull)
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    if (sel("kcore")) {
+      val k1 = kcEdges(1000000L); val k2 = kcEdges(10000000L)
+      pair("kcore", 1000000L, 10000000L)(
+        () => require(ops.Clustering.kCore(k1, 4, "ea", "eb").count() > 0))(
+        () => require(ops.Clustering.kCore(k2, 4, "ea", "eb").count() > 0))
+    }
+
+    // ---- q166 exact Jaccard join: the winnowing corpus (3 exact copies
+    // per text, unbounded vocabulary ⇒ scale-independent pair density) ----
+    if (sel("jaccard_join")) {
+      pair("jaccard_join", 50000L, 500000L)(
+        () => require(ops.TextOps.jaccardJoin(w1, 9L, 10L).count() > 0))(
+        () => require(ops.TextOps.jaccardJoin(w2, 9L, 10L).count() > 0))
+    }
+
+    // ---- q167 integral image: 16M vs 156M pixels (250² vs 780² tiles),
+    // 1000 query boxes both legs — times the SAT build + carry prefixes ----
+    if (sel("integral")) {
+      def mos(side: Int) = {
+        val d = graft.model.Synth.mosaicTiles(spark, side)
+          .repartition(64).localCheckpoint(true)
+        d.count(); d
+      }
+      val m1 = mos(250); val m2 = mos(780)
+      def boxes(side: Int) = {
+        val W = side * 16
+        spark.range(0L, 1000L, 1L, 4).select(col("id").as("box_id"),
+          pmod(xxhash64(col("id"), lit(11L)), lit((W - 120).toLong)).as("x0"),
+          pmod(xxhash64(col("id"), lit(12L)), lit((W - 120).toLong)).as("y0"))
+          .select(col("box_id"), col("x0"), col("y0"),
+            (col("x0") + 100L).as("x1"), (col("y0") + 100L).as("y1"))
+      }
+      val b1 = boxes(250); val b2 = boxes(780)
+      pair("integral", 250L * 250 * 256, 780L * 780 * 256)(
+        () => require(ops.ImageOps.integralBoxSums(spark, m1, b1)
+          .count() == 1000L))(
+        () => require(ops.ImageOps.integralBoxSums(spark, m2, b2)
+          .count() == 1000L))
+    }
+
     // ---- q158 MF-GD: 1M vs 10M ratings (100k vs 1M users × ~10) ----
     if (sel("mf_gd")) {
       def ratings(nu: Long) = {

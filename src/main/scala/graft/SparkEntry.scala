@@ -2646,6 +2646,54 @@ object SparkEntry {
         .select(col("doc_id"), col("deg"))
         .orderBy("doc_id")
     }),
+    "q169_stream_outer_join" -> ((s, d) => {
+      // LEFT OUTER stream-stream interval join under the gate (round-6
+      // streaming depth): a view with no click in its 120-min horizon
+      // emits null-padded — but only once the WATERMARK proves no match
+      // can arrive. Replay protocol: the events file is batch 1; a
+      // far-future sentinel pair (user −1, both sides) is a SECOND file
+      // (maxFilesPerTrigger=1 + later mod time), so its batch advances
+      // the watermark past every real horizon and the trailing no-data
+      // batch flushes all outer state. Result ≡ the relational LEFT
+      // JOIN, sentinel self-match filtered by key.
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = s.read.parquet(p(d, "events"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q169").toString
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      Thread.sleep(1000) // sentinel file must carry a LATER mod time
+      val sent = ev.agg(max("ts").as("m"))
+        .select(explode(array(lit("view"), lit("click")))
+          .as("event_type"),
+          (col("m") + expr("INTERVAL 30 DAYS")).as("ts"))
+        .withColumn("event_id",
+          when(col("event_type") === "view", -2L).otherwise(-1L))
+        .withColumn("user_id", lit(-1L))
+      val rest = ev.columns
+        .filterNot(Set("event_id", "user_id", "event_type", "ts"))
+      rest.foldLeft(sent)((df, c) =>
+          df.withColumn(c, lit(null).cast(ev.schema(c).dataType)))
+        .select(ev.columns.map(col): _*)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      def side(t: String) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in").where(col("event_type") === t)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val qn = "q169_outer_sink"
+      s.catalog.dropTempView(qn)
+      val q = graft.streaming.StreamingIngest
+        .intervalJoinOuter(side("view"), side("click"),
+          horizonMinutes = 120)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // unmatched → −1, not NULL (the q126 canon convention: a nullable
+      // long column hashes as NaN/None inconsistently across engines)
+      s.table(qn).where(col("user_id") >= 0L)
+        .select(col("user_id"), col("view_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .orderBy("view_id", "click_id")
+    }),
     "q160_bloom_skip" -> ((s, d) => {
       // per-file BLOOM skipping (round-6 lakehouse depth): point lookups
       // on a key UNCORRELATED with the file layout (hash-partitioned —
@@ -6400,6 +6448,17 @@ object SparkEntry {
                   JOIN sz sb ON sb.doc_id = ov.doc_b
           WHERE ov.overlap * 39 >= (sa.sz + sb.sz) * 19
           ORDER BY ov.doc_a, ov.doc_b""",
+    "q169_stream_outer_join" ->
+      // the streaming LEFT OUTER interval join must equal the relational
+      // one — the sentinel protocol guarantees every unmatched view's
+      // state expired (and flushed) before the query terminated
+      """SELECT v.user_id, v.event_id AS view_id,
+           COALESCE(c.event_id, -1) AS click_id
+         FROM events v LEFT JOIN events c ON c.user_id = v.user_id
+          AND c.event_type = 'click'
+          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 120 MINUTE
+         WHERE v.event_type = 'view'
+         ORDER BY view_id, click_id""",
     "q168_kcore" -> {
       // 8 peel rounds as MATERIALIZED CTE pairs (each round references its
       // predecessor three times — default inlining would expand 3^8-fold,

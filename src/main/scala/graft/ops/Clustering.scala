@@ -243,17 +243,39 @@ object Clustering {
     require(k >= 1, "k must be >= 1")
     val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") =!= col("b"))
-    var sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+    // each round's frame is localCheckpoint'ed (plan truncation — the
+    // peel references its predecessor three times, so an unpinned plan
+    // tree grows 3^rounds) and the PREVIOUS round's blocks are freed
+    // explicitly once the new round materializes: a deep peel would
+    // otherwise hold every round's storage until a GC happens to run
+    // (the kNN-ladder unpersist discipline, reached here through
+    // getPersistentRDDs because localCheckpoint exposes no handle)
+    val sc = edges.sparkSession.sparkContext
+    var liveIds = Set.empty[Int]
+    def ckpt(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      // SERIALIZED storage: a deserialized 2-long row costs ~5× its
+      // UnsafeRow bytes in heap — at 10M-vertex peels that difference is
+      // the difference between fitting and a task-level heap OOM
+      val out = df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val added = sc.getPersistentRDDs.keySet.toSet -- before
+      liveIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
+      liveIds = added
+      out
+    }
+    var sym = ckpt(
+      e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))).distinct())
     var m = sym.count()
     var round = 0
     var changed = m > 0
     while (changed && round < maxRounds) {
       val keep = sym.groupBy("a").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k.toLong).select("a")
-      val pruned = sym.join(keep, Seq("a"))
+      val pruned = ckpt(sym.join(keep, Seq("a"))
         .join(keep.select(col("a").as("b")), Seq("b"))
-        .select(col("a"), col("b")).localCheckpoint()
+        .select(col("a"), col("b")))
       val m2 = pruned.count()
       changed = m2 < m
       sym = pruned; m = m2; round += 1

@@ -306,14 +306,19 @@ object TextOps {
           .select(col("w"), lit("all").as("cls"),
             struct(col("df"), col("w")).as("first_seen")))
       .select(col("w"), col("ordinal").cast("long").as("rk"))
-    val ranked = post.join(ranks, Seq("w"))
+    // ranks and sizes are DATA-sized (vocab / corpus cardinality) — the
+    // shuffle_hash hints keep the planner from ever electing to
+    // broadcast them (the q157/zonalStats discipline; an unbounded-vocab
+    // corpus makes the rank table millions of rows)
+    val ranked = post.join(ranks.hint("shuffle_hash"), Seq("w"))
     // prefix length p = sz − ceil(num·sz/den) + 1, exact integer ceil
     val win = Window.partitionBy("doc_id").orderBy("rk")
-    val prefixes = ranked.join(sizes, Seq("doc_id"))
+    val prefixes = ranked.join(sizes.hint("shuffle_hash"), Seq("doc_id"))
       .withColumn("rn", row_number().over(win))
       .where(col("rn") <= col("sz")
         - floorDiv(col("sz") * simNum + (simDen - 1), lit(simDen)) + 1L)
       .select(col("doc_id"), col("rk"))
+      .localCheckpoint() // feeds BOTH sides of the candidate self-join
     val cand = prefixes.select(col("doc_id").as("doc_a"), col("rk"))
       .join(prefixes.select(col("doc_id").as("doc_b"), col("rk")), Seq("rk"))
       .where(col("doc_a") < col("doc_b"))
@@ -325,10 +330,10 @@ object TextOps {
         Seq("doc_b", "w"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
     overlap
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
-        Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .where(col("overlap") * (simDen + simNum)
         >= (col("sa") + col("sb")) * simNum)
       .select(col("doc_a"), col("doc_b"), col("overlap"), col("sa"),

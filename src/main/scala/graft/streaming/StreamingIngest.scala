@@ -140,4 +140,37 @@ object StreamingIngest {
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }
+
+  /** LEFT OUTER stream-stream interval join (round 6) — the stateful
+    * shape [[intervalJoin]] cannot express: a view with NO click inside
+    * its horizon must still emit, null-padded, and in a stream that can
+    * only happen once the watermark proves no matching click can ever
+    * arrive. State is evicted (and the outer row emitted) when the
+    * watermark passes view_ts + horizon; until then the row waits in the
+    * join state store — bounded by (watermark delay + horizon) of stream
+    * volume, never stream length.
+    *
+    * Determinism protocol (the q169 gate): outer rows flush only on a
+    * micro-batch AFTER the watermark advances past them, so the replay
+    * feeds a far-future SENTINEL row on both sides in a SECOND batch
+    * (maxFilesPerTrigger=1) — every real view then expires before the
+    * query terminates and the result equals the relational LEFT JOIN
+    * exactly. The sentinel pair joins itself and is filtered by key
+    * afterwards.
+    */
+  def intervalJoinOuter(views: DataFrame, clicks: DataFrame,
+                        horizonMinutes: Int,
+                        watermark: String = "1 hour"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"), col("user_id"),
+      col("ts").as("view_ts")).withWatermark("view_ts", watermark)
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c, expr(
+      s"""user_id = click_user AND
+          click_ts >= view_ts AND
+          click_ts <= view_ts + interval $horizonMinutes minutes"""),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
 }

@@ -128,4 +128,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"payload side must never broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"\n$p")
   }
+
+  test("triangleCounts: every join is an equi-join (no theta fallback)") {
+    // the naive formulation (join on a<b range predicates) degrades to a
+    // nested-loop; the degree-oriented plan must stay hash/merge-joinable
+    val edges = (0L until 60L).flatMap(i => Seq((i, (i + 1) % 60),
+      (i, (i + 7) % 60))).toDF("a", "b")
+    val p = plan(Clustering.triangleCounts(edges))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
+
+  test("jaccardJoin: candidate generation stays equi-joined") {
+    val p = plan(TextOps.jaccardJoin(docs, 1L, 2L))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
+
+  test("integralBoxSums: SAT payloads never shuffle — corner lookups " +
+      "broadcast into the tile side") {
+    val tiles = graft.model.Synth.mosaicTiles(spark, 3)
+    val boxes = Seq((0L, 1L, 1L, 30L, 30L), (1L, 5L, 9L, 20L, 44L))
+      .toDF("box_id", "x0", "y0", "x1", "y1")
+    val p = plan(ImageOps.integralBoxSums(spark, tiles, boxes))
+    // the 256-long local SATs are the payload: the corner probes (4 rows
+    // per box) must broadcast, so no exchange ever carries `sat`
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"corner probes should broadcast into the SAT side:\n$p")
+  }
 }

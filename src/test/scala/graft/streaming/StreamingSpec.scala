@@ -140,4 +140,40 @@ class StreamingSpec extends AnyFunSuite {
     // 01:00 → no) and 21 (+61min → yes)
     assert(got === Set((10L, 20L), (11L, 21L)))
   }
+
+  test("intervalJoinOuter: unmatched views flush null-padded once the " +
+      "watermark passes their horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val vm = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cm = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamingIngest.intervalJoinOuter(
+        vm.toDF().toDF("event_id", "user_id", "ts"),
+        cm.toDF().toDF("event_id", "user_id", "ts"), horizonMinutes = 120)
+      .writeStream.format("memory").queryName("ivouter")
+      .outputMode("append").start()
+    // user 1: view 10 matched by click 20; user 2: view 11 NEVER matched;
+    // user 3: view 12's only click is past the horizon → unmatched
+    vm.addData((10L, 1L, t("2026-01-01 00:00:00")),
+      (11L, 2L, t("2026-01-01 00:05:00")),
+      (12L, 3L, t("2026-01-01 00:10:00")))
+    cm.addData((20L, 1L, t("2026-01-01 00:30:00")),
+      (21L, 3L, t("2026-01-01 05:00:00")))
+    q.processAllAvailable()
+    // BEFORE the watermark moves, only the inner match may have emitted
+    val early = spark.sql("select view_id from ivouter where click_id is null")
+    assert(early.count() === 0L, "outer rows must wait for the watermark")
+    // sentinel batch on BOTH sides pushes the watermark past every horizon
+    vm.addData((90L, -1L, t("2026-02-01 00:00:00")))
+    cm.addData((91L, -1L, t("2026-02-01 00:00:00")))
+    q.processAllAvailable()
+    val got = spark.sql(
+        "select view_id, click_id from ivouter where user_id >= 0")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    q.stop()
+    assert(got === Set((10L, 20L), (11L, -1L), (12L, -1L)))
+  }
 }
