@@ -2694,6 +2694,18 @@ object SparkEntry {
           coalesce(col("click_id"), lit(-1L)).as("click_id"))
         .orderBy("view_id", "click_id")
     }),
+    "q170_hough_lines" -> ((s, d) => {
+      // Hough line detection over the stitched mosaic (round-6 image
+      // depth): integer Sobel edge pixels vote into a 12-angle (θ, ρ)
+      // accumulator (cos/sin as 2^10-scaled integer literals, ρ floor
+      // exact — power-of-two divisor); top-25 cells under a total order.
+      // The mosaic's 4-px block structure makes grid lines the expected
+      // winners. The oracle recomputes edges from the pixel dump with
+      // the q162 list-lookup Sobel and embeds the SAME angle integers.
+      ImageOps.houghLines(s, Synth.mosaicTiles(s, mosaicSide(sfOf(d))),
+          gradThr = 60L, nTheta = 12, k = 25)
+        .orderBy(col("votes").desc, col("k"), col("rho"))
+    }),
     "q160_bloom_skip" -> ((s, d) => {
       // per-file BLOOM skipping (round-6 lakehouse depth): point lookups
       // on a key UNCORRELATED with the file layout (hash-partitioned —
@@ -2935,6 +2947,38 @@ object SparkEntry {
     * per-image exact aggregates. Margins match the engine: gradients
     * [1,14], tensors [2,13], verdicts [3,12] on the 16×16 corpus.
     */
+  /** q170 oracle: same interior Sobel (list lookups into the tile's own
+    * px — all 9 taps in-tile), same 2^10 angle integers (embedded from
+    * ImageOps.houghAngles, the single source of truth), same exact
+    * power-of-two ρ floor, same total order.
+    */
+  private def houghOracleSql: String = {
+    def lum(x: String, y: String): String =
+      s"((299*px[(($y)*16+($x))*3+1] + 587*px[(($y)*16+($x))*3+2]" +
+        s" + 114*px[(($y)*16+($x))*3+3]) // 1000)"
+    val vals = ImageOps.houghAngles(12)
+      .map { case (i, c, s) => s"($i, $c, $s)" }.mkString(", ")
+    s"""WITH pos AS (SELECT tile_x, tile_y, px, xx.x AS x, yy.y AS y
+                     FROM ${O.inp("mosaic_pixels")},
+                          range(1,15) AS xx(x), range(1,15) AS yy(y)),
+        g AS (SELECT tile_x*16 + x AS wx, tile_y*16 + y AS wy,
+                (${lum("x+1", "y-1")} + 2*${lum("x+1", "y")}
+                 + ${lum("x+1", "y+1")} - ${lum("x-1", "y-1")}
+                 - 2*${lum("x-1", "y")} - ${lum("x-1", "y+1")}) AS gx,
+                (${lum("x-1", "y+1")} + 2*${lum("x", "y+1")}
+                 + ${lum("x+1", "y+1")} - ${lum("x-1", "y-1")}
+                 - 2*${lum("x", "y-1")} - ${lum("x+1", "y-1")}) AS gy
+              FROM pos),
+        e AS (SELECT wx, wy FROM g WHERE gx*gx + gy*gy > 3600),
+        a AS (SELECT * FROM (VALUES $vals) AS t(k, c, s)),
+        v AS (SELECT a.k,
+                CAST(floor((e.wx*a.c + e.wy*a.s) / 1024.0) AS BIGINT) AS rho,
+                COUNT(*) AS votes
+              FROM e CROSS JOIN a GROUP BY 1, 2)
+        SELECT CAST(k AS INT) AS k, rho, CAST(votes AS BIGINT) AS votes
+        FROM v ORDER BY votes DESC, k, rho LIMIT 25"""
+  }
+
   private def harrisOracleSql: String = {
     def lum(x: String, y: String): String =
       s"((299*px[(($y)*16+($x))*3+1] + 587*px[(($y)*16+($x))*3+2]" +
@@ -6459,6 +6503,7 @@ object SparkEntry {
           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 120 MINUTE
          WHERE v.event_type = 'view'
          ORDER BY view_id, click_id""",
+    "q170_hough_lines" -> houghOracleSql,
     "q168_kcore" -> {
       // 8 peel rounds as MATERIALIZED CTE pairs (each round references its
       // predecessor three times — default inlining would expand 3^8-fold,

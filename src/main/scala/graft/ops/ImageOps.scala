@@ -1722,4 +1722,79 @@ object ImageOps {
           .as("v"))
     sVal.groupBy("box_id").agg(sum(col("v")).as("box_sum"))
   }
+
+  /** Hough line detection over the stitched tile mosaic (round 6) —
+    * Duda–Hart 1972 (public): interior-pixel integer Sobel edges vote
+    * into a quantized (θ, ρ) accumulator; the top-k cells are the
+    * detected lines. θ takes `nTheta` steps over [0°, 180°) with cos/sin
+    * as 2¹⁰-scaled integer literals; ρ = floor((wx·c + wy·s) / 1024) —
+    * the divisor is a power of two, so the one double division (and its
+    * floor) is EXACT.
+    *
+    * Plan shape: ONE typed decode pass emits edge world-pixels only
+    * (tile interiors — all 9 Sobel taps live in the same tile, no halo
+    * exchange; the one-pixel tile ring casts no votes, a documented and
+    * oracle-mirrored contract). Votes = edges × nTheta literal angle
+    * rows (a generate, not a join); the accumulator is ONE map-side-
+    * combined count over slim (k, ρ) keys; top-k is TakeOrdered under a
+    * total order (votes DESC, k, ρ). Pixels never shuffle.
+    */
+  def houghLines(spark: SparkSession, tiles: DataFrame, gradThr: Long,
+                 nTheta: Int, k: Int, tileW: Int = 16,
+                 tileH: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(gradThr > 0 && nTheta >= 1 && k >= 1)
+    val edges = tiles.select("bytes", "w", "h", "fmt", "tile_x", "tile_y")
+      .as[(Array[Byte], Int, Int, String, Int, Int)]
+      .mapPartitions(rows => rows.flatMap {
+        case (bytes, w, h, fmt, tx, ty) =>
+          require(w == tileW && h == tileH,
+            s"hough: tile ($tx,$ty) is ${w}x$h, expected ${tileW}x$tileH")
+          val px = ImageCodec.decode(bytes, fmt, w, h)
+          val lum = new Array[Int](w * h)
+          var j = 0
+          while (j < w * h) {
+            lum(j) = (299 * (px(3 * j) & 0xFF) + 587 * (px(3 * j + 1) & 0xFF)
+              + 114 * (px(3 * j + 2) & 0xFF)) / 1000
+            j += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = lum((y - 1) * w + x + 1) + 2 * lum(y * w + x + 1) +
+                lum((y + 1) * w + x + 1) - lum((y - 1) * w + x - 1) -
+                2 * lum(y * w + x - 1) - lum((y + 1) * w + x - 1)
+              val gy = lum((y + 1) * w + x - 1) + 2 * lum((y + 1) * w + x) +
+                lum((y + 1) * w + x + 1) - lum((y - 1) * w + x - 1) -
+                2 * lum((y - 1) * w + x) - lum((y - 1) * w + x + 1)
+              if (gx.toLong * gx + gy.toLong * gy > gradThr * gradThr)
+                out += ((tx.toLong * tileW + x, ty.toLong * tileH + y))
+              x += 1
+            }
+            y += 1
+          }
+          out
+      }).toDF("wx", "wy")
+    val av = houghAngles(nTheta).map { case (i, c, s) =>
+      struct(lit(i).as("k"), lit(c).as("c"), lit(s).as("s"))
+    }
+    edges.select(col("wx"), col("wy"), explode(array(av: _*)).as("a"))
+      .select(col("a.k").as("k"),
+        floor((col("wx") * col("a.c") + col("wy") * col("a.s")) / 1024.0)
+          .cast("long").as("rho"))
+      .groupBy("k", "rho").agg(count(lit(1)).as("votes"))
+      .orderBy(col("votes").desc, col("k"), col("rho")).limit(k)
+  }
+
+  /** The shared θ table: (index, round(cos·2¹⁰), round(sin·2¹⁰)) over
+    * [0°, 180°) — the gate oracle embeds the SAME integers as literals.
+    */
+  def houghAngles(nTheta: Int): Seq[(Int, Int, Int)] =
+    (0 until nTheta).map { i =>
+      val th = math.Pi * i / nTheta
+      (i, math.round(math.cos(th) * 1024).toInt,
+        math.round(math.sin(th) * 1024).toInt)
+    }
 }
