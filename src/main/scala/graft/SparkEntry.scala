@@ -2694,6 +2694,21 @@ object SparkEntry {
           coalesce(col("click_id"), lit(-1L)).as("click_id"))
         .orderBy("view_id", "click_id")
     }),
+    "q171_rrf_fusion" -> ((s, d) => {
+      // reciprocal-rank fusion (round-6 retrieval depth): two BM25
+      // rankers over distinct query-term sets fused by integer
+      // micro-unit 10^9 div (60 + rank) contributions — multi-query
+      // expansion fusion, the pipeline between per-query retrieval and
+      // a re-ranker. Each ranker ships its top-100 only; the fusion is
+      // union + one map-side-combined sum + TakeOrdered.
+      val docs = s.read.parquet(p(d, "documents"))
+      val a = TextOps.bm25TopK(docs, bm25Terms, k = 100)
+        .select("doc_id", "rank")
+      val b = TextOps.bm25TopK(docs, rrfTermsB, k = 100)
+        .select("doc_id", "rank")
+      TextOps.rrfFuse(Seq(a, b), k0 = 60L, k = 20)
+        .orderBy(col("rrf_u").desc, col("doc_id"))
+    }),
     "q170_hough_lines" -> ((s, d) => {
       // Hough line detection over the stitched mosaic (round-6 image
       // depth): integer Sobel edge pixels vote into a 12-angle (θ, ρ)
@@ -3117,28 +3132,57 @@ object SparkEntry {
         FROM ef GROUP BY item_id, f0, f1 ORDER BY item_id"""
   }
 
-  private def bm25OracleSql: String = {
-    val dfs = bm25Terms.indices.map(i =>
-      s"CAST(SUM(CASE WHEN list_contains(tk, '${bm25Terms(i)}') THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+  /** BM25 score + rank CTE chain for `terms`, CTE names suffixed `sfx`
+    * (assumes CTE `t(doc_id, tk)` in scope) — mirrors bm25TopK op-for-op
+    * with k1=1.2, b=0.75: Lucene +1 idf with rounded ln, tf as a list
+    * filter, left-assoc contribution chain. Shared by q76 and q171.
+    */
+  private def bm25RankCtes(terms: Seq[String], sfx: String): String = {
+    val dfs = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN list_contains(tk, '${terms(i)}') THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
       .mkString(", ")
-    // mirrors bm25TopK op-for-op with k1=1.2, b=0.75: Lucene +1 idf with
-    // rounded ln, tf as a list filter, left-assoc contribution chain
-    val contrib = bm25Terms.zipWithIndex.map { case (t, i) =>
-      s"""(round(ln(1.0 + (s.n - s.df$i + 0.5) / (s.df$i + 0.5)), 6)
+    val contrib = terms.zipWithIndex.map { case (t, i) =>
+      s"""(round(ln(1.0 + (s$sfx.n - s$sfx.df$i + 0.5) / (s$sfx.df$i + 0.5)), 6)
          |  * ((len(list_filter(tk, x -> x = '$t'))::DOUBLE * 2.2)
          |     / (len(list_filter(tk, x -> x = '$t'))::DOUBLE
          |        + 1.2 * (0.25 + (0.75 * len(tk)::DOUBLE)
-         |                 / (s.sumdl::DOUBLE / s.n::DOUBLE)))))""".stripMargin
+         |                 / (s$sfx.sumdl::DOUBLE / s$sfx.n::DOUBLE)))))""".stripMargin
     }.mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-       | s AS (SELECT COUNT(*)::BIGINT AS n, CAST(SUM(len(tk)) AS BIGINT) AS sumdl,
+    s"""s$sfx AS (SELECT COUNT(*)::BIGINT AS n, CAST(SUM(len(tk)) AS BIGINT) AS sumdl,
        |        $dfs FROM t),
-       | sc AS (SELECT doc_id, round($contrib, 6) + 0.0 AS score FROM t, s),
-       | rk AS (SELECT doc_id, score,
+       | sc$sfx AS (SELECT doc_id, round($contrib, 6) + 0.0 AS score FROM t, s$sfx),
+       | rk$sfx AS (SELECT doc_id, score,
        |          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-       |        FROM sc)
-       | SELECT doc_id, score, rank FROM rk WHERE rank <= 10 ORDER BY doc_id""".stripMargin
+       |        FROM sc$sfx)""".stripMargin
   }
+
+  private def bm25OracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       | ${bm25RankCtes(bm25Terms, "")}
+       | SELECT doc_id, score, rank FROM rk WHERE rank <= 10 ORDER BY doc_id""".stripMargin
+
+  /** q171 second query's terms — distinct lexical angle for the fusion. */
+  private val rrfTermsB = Seq("scan", "batch", "window")
+
+  /** q171 oracle: both BM25 rank chains (the SHARED generator — q76's
+    * oracle and this one cannot drift apart), integer micro-unit RRF
+    * contributions (10⁹ // (60 + rank), positive operands ⇒ DuckDB //
+    * ≡ Spark div), fused top-20 under the same total order.
+    */
+  private def rrfOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       | ${bm25RankCtes(bm25Terms, "A")},
+       | ${bm25RankCtes(rrfTermsB, "B")},
+       | u AS (SELECT doc_id, 1000000000 // (60 + rank) AS contrib
+       |       FROM rkA WHERE rank <= 100
+       |       UNION ALL
+       |       SELECT doc_id, 1000000000 // (60 + rank)
+       |       FROM rkB WHERE rank <= 100),
+       | f AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS rrf_u,
+       |         CAST(COUNT(*) AS BIGINT) AS n_rankers
+       |       FROM u GROUP BY doc_id)
+       | SELECT doc_id, rrf_u, n_rankers FROM f
+       | ORDER BY rrf_u DESC, doc_id LIMIT 20""".stripMargin
 
   /** q73 probe tokens — driver-known literals on BOTH sides (the engine's
     * cmsEstimate indices and the oracle's cell joins are generated from
@@ -6503,6 +6547,7 @@ object SparkEntry {
           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 120 MINUTE
          WHERE v.event_type = 'view'
          ORDER BY view_id, click_id""",
+    "q171_rrf_fusion" -> rrfOracleSql,
     "q170_hough_lines" -> houghOracleSql,
     "q168_kcore" -> {
       // 8 peel rounds as MATERIALIZED CTE pairs (each round references its

@@ -585,6 +585,32 @@ object TextOps {
         Window.orderBy(col("score").desc, col("doc_id").asc)))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009, public) — the standard
+    * way a retrieval pipeline combines rankers (multi-query expansion,
+    * BM25 + dense, …): fused(d) = Σ_r 1/(k0 + rank_r(d)) over the
+    * rankers that returned d. Contributions are INTEGER micro-units
+    * (10⁹ div (k0 + rank)) so the fusion sum is order-independent and
+    * engine-exact; ties break on doc_id.
+    *
+    * Scale shape: each ranker ships only its top-k rows (rank windows in
+    * this library run post-TakeOrdered), so the fusion input is
+    * rankers × k rows — one union + one map-side-combined sum + one
+    * TakeOrdered, nothing corpus-sized.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Long = 60L,
+              k: Int = 20): DataFrame = {
+    require(rankings.nonEmpty && k0 >= 0 && k >= 1)
+    rankings
+      .map(_.select(col("doc_id"), col("rank").cast("long").as("rank")))
+      .reduce(_.unionByName(_))
+      .select(col("doc_id"),
+        expr(s"1000000000 div (${k0} + rank)").as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("rrf_u"),
+        count(lit(1)).as("n_rankers"))
+      .orderBy(col("rrf_u").desc, col("doc_id")).limit(k)
+  }
+
   /** Unigram language-model quality score (the CCNet-style perplexity
     * filter, one model order down): train token unigram probabilities on the
     * corpus itself, then score each document by its mean token log-prob.
