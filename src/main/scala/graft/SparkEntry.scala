@@ -2694,6 +2694,18 @@ object SparkEntry {
           coalesce(col("click_id"), lit(-1L)).as("click_id"))
         .orderBy("view_id", "click_id")
     }),
+    "q172_grouped_ols" -> ((s, d) => {
+      // exact per-group OLS trend (round-6 analytics depth): slope of
+      // event value over event time per event_type — micro-unit y,
+      // min-centered epoch-µs x, DECIMAL(38,0)/HUGEINT exact sums, one
+      // IEEE division per group. The oracle replays the identical
+      // 128-bit integer forms.
+      val ev = s.read.parquet(p(d, "events")).select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("xus"),
+        round(col("value") * 1000000.0, 0).cast("long").as("yu"))
+      MlOps.groupedOls(ev, "event_type", "xus", "yu")
+        .orderBy("event_type")
+    }),
     "q171_rrf_fusion" -> ((s, d) => {
       // reciprocal-rank fusion (round-6 retrieval depth): two BM25
       // rankers over distinct query-term sets fused by integer
@@ -6547,6 +6559,30 @@ object SparkEntry {
           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 120 MINUTE
          WHERE v.event_type = 'view'
          ORDER BY view_id, click_id""",
+    "q172_grouped_ols" ->
+      // same micro-unit quantization, same min-centering, HUGEINT exact
+      // sums ≡ Spark DECIMAL(38,0), same exact-int→double cast (both
+      // round-to-nearest from the same 128-bit value), one division
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS xus,
+             CAST(round(value * 1000000.0, 0) AS BIGINT) AS yu
+           FROM events),
+         m AS (SELECT event_type, MIN(xus) AS x0 FROM e GROUP BY 1),
+         c AS (SELECT e.event_type, (e.xus - m.x0) AS xp, e.yu AS yp
+               FROM e JOIN m USING (event_type)),
+         a AS (SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(xp) AS BIGINT) AS sx,
+                 CAST(SUM(yp) AS BIGINT) AS sy,
+                 SUM(xp::HUGEINT * yp) AS sxy,
+                 SUM(xp::HUGEINT * xp) AS sxx
+               FROM c GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(sy // n AS BIGINT) AS mean_yu,
+           CASE WHEN (n::HUGEINT * sxx - sx::HUGEINT * sx) = 0 THEN NULL
+                ELSE round((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+                       / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE, 9)
+                     + 0.0
+           END AS slope
+         FROM a ORDER BY event_type""",
     "q171_rrf_fusion" -> rrfOracleSql,
     "q170_hough_lines" -> houghOracleSql,
     "q168_kcore" -> {

@@ -236,6 +236,43 @@ object MlOps {
     * with the exact integer Σ|e| reconstruction error over that item's
     * ratings — the gate-friendly slim output (one row per item).
     */
+  /** Exact per-group OLS trend (round 6): the "slope of value over time
+    * per segment" analytics staple, in ONE map-side-combined aggregate
+    * per group with EXACT sums — x is centered on the group minimum so
+    * Σx·y and Σx² fit DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), the
+    * numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² stay exact
+    * 128-bit integers on both engines, each casts to double with the
+    * SAME round-to-nearest, and the slope is ONE IEEE division. Nothing
+    * is corpus-shuffled except the tiny per-group sums; the min-x table
+    * broadcasts.
+    *
+    * `x` and `y` must be integer (long) columns — quantize doubles to
+    * micro-units upstream (the q70 rule). Returns one row per group:
+    * (key, n, mean_yu = Σy div n, slope = round(Δy/Δx, 9), null when
+    * the group's x is constant).
+    */
+  def groupedOls(df: DataFrame, key: String, x: String,
+                 y: String): DataFrame = {
+    val mins = df.groupBy(key).agg(min(col(x)).as("__x0"))
+    val c = df.join(broadcast(mins), Seq(key))
+      .select(col(key), (col(x) - col("__x0")).as("xp"), col(y).as("yp"))
+    val agg = c.groupBy(key).agg(
+      count(lit(1)).as("n"),
+      sum(col("xp")).as("sx"),
+      sum(col("yp")).as("sy"),
+      sum(expr("CAST(xp AS DECIMAL(38,0)) * yp")).as("sxy"),
+      sum(expr("CAST(xp AS DECIMAL(38,0)) * xp")).as("sxx"))
+    agg.select(col(key), col("n"),
+      expr("sy div n").as("mean_yu"),
+      when(expr("CAST(n AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx") === 0, lit(null))
+        .otherwise(round(
+          expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+            .cast("double") /
+          expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+            .cast("double"), 9) + lit(0.0)).as("slope"))
+  }
+
   def mfItemSummary(ratings: DataFrame, u: DataFrame,
                     v: DataFrame): DataFrame = {
     val rank = v.columns.count(_.startsWith("f"))
