@@ -24,6 +24,20 @@ case class TileEncodeExpr(bytes: Expression, w: Expression, h: Expression,
     extends Expression with CodegenFallback with GraftExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(bytes, w, h, fmt, cell)
+
+  /** Declared NON-deterministic (r7, guide §4.4) although the codec is a
+    * pure function: it stops the optimizer from DUPLICATING the expression.
+    * With the deterministic default, a psnr filter pushed below the
+    * projection re-evaluated the whole decode→crop→encode→verify chain a
+    * second time per row (two tileencodeexpr nodes in the round-6 tiling
+    * plan: one in the pushed Filter, one in the Project), and
+    * CollapseProject re-inlined one evaluation per referenced struct field
+    * when the struct was flattened pre-exchange. Non-determinism forbids
+    * both rewrites, so the codec runs exactly once per row; values are
+    * unchanged (the function really is pure).
+    */
+  override lazy val deterministic: Boolean = false
+
   override def graftInputTypes: Seq[DataType] =
     Seq(BinaryType, IntegerType, IntegerType, StringType, LongType)
   override def dataType: DataType = StructType(Seq(

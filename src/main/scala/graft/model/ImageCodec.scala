@@ -69,6 +69,12 @@ object ImageCodec {
     * than their content.
     */
   def psnr(a: Array[Byte], b: Array[Byte], n: Int): Double = {
+    // r7 fast path: the lossless pipelines compare byte-identical buffers
+    // (often the SAME buffer for raw tiles) — identity and the vectorized
+    // Arrays.equals range intrinsic decide se == 0 without the scalar
+    // double loop. Semantically unchanged: equal prefix ⟺ se == 0 ⟺ +∞.
+    if ((a eq b) || java.util.Arrays.equals(a, 0, n, b, 0, n))
+      return Double.PositiveInfinity
     var se = 0.0
     var i = 0
     while (i < n) {

@@ -184,6 +184,7 @@ object PngCodec {
     var off = 0
     val inflater = inflaters.get()
     inflater.reset()
+    var usedInflater = false
     var done = false
     // single pass: IHDR sizes the raw buffer, IDAT chunks feed the inflater
     // INCREMENTALLY (no concatenated-idat copy, no BAOS)
@@ -209,11 +210,46 @@ object PngCodec {
         raw = s.raw
       } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
         require(raw != null, "IDAT before IHDR")
-        inflater.setInput(bytes, pos + 8, len)
-        var n = 1
-        while (n > 0 && off < rawLen) {
-          n = inflater.inflate(raw, off, rawLen - off)
-          off += n
+        // r7 fast path: our own small-raster encodes are all-STORED zlib
+        // streams (encodeStoredInPlace). Parsing RFC 1951 stored blocks is
+        // a header walk + arraycopy — skipping two Inflater JNI round
+        // trips per image in the tiling hot path. Deflater output shares
+        // the 0x78 0x01 header at BEST_SPEED but uses huffman blocks
+        // (BTYPE != 0), which aborts cleanly into the Inflater fallback.
+        var fast = false
+        if (off == 0 && !usedInflater && len >= 2 &&
+            bytes(pos + 8) == 0x78.toByte && bytes(pos + 9) == 0x01.toByte) {
+          var p = pos + 10
+          val end = pos + 8 + len
+          var isFinal = false
+          var ok = true
+          while (ok && !isFinal && off < rawLen) {
+            if (p + 5 > end) ok = false
+            else {
+              val hdr = bytes(p)
+              if ((hdr & 6) != 0) ok = false // BTYPE != 00: not stored
+              else {
+                isFinal = (hdr & 1) == 1
+                val blen = (bytes(p + 1) & 0xFF) | ((bytes(p + 2) & 0xFF) << 8)
+                if (p + 5 + blen > end || off + blen > rawLen) ok = false
+                else {
+                  System.arraycopy(bytes, p + 5, raw, off, blen)
+                  off += blen
+                  p += 5 + blen
+                }
+              }
+            }
+          }
+          if (ok && off == rawLen) fast = true else off = 0
+        }
+        if (!fast) {
+          usedInflater = true
+          inflater.setInput(bytes, pos + 8, len)
+          var n = 1
+          while (n > 0 && off < rawLen) {
+            n = inflater.inflate(raw, off, rawLen - off)
+            off += n
+          }
         }
       } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
         done = true

@@ -39,15 +39,28 @@ object AnnOps {
 
   /** Exact cosine top-k of each query vector (queries = vec_id ∈ queryIds)
     * against the corpus. Query side is broadcast — no corpus shuffle at all.
+    *
+    * r7: the double-cast arrays and the two norm folds are PRECOMPUTED once
+    * per row on each side instead of once per (corpus, query) PAIR — the
+    * per-pair work drops from 3 array folds + 4 transforms to 1 zip_with
+    * fold + 1 multiply + 1 divide. Bit-identical result: the same IEEE
+    * fold over the same doubles, evaluated in a projection instead of
+    * inside the pair expression (cos = dot(ad, bd) / (norm(ad)·norm(bd))
+    * with identical operand values and operation order).
     */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val ed = transform(col("embedding"), _.cast("double"))
+    val corpus = embeddings
+      .select(col("vec_id"), ed.as("ed"))
+      .withColumn("nd", norm(col("ed")))
     val q = embeddings.where(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), ed.as("qd"))
+      .withColumn("nq", norm(col("qd")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    embeddings.crossJoin(broadcast(q))
+    corpus.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .withColumn("cos", dot(col("ed"), col("qd")) / (col("nd") * col("nq")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos"))

@@ -71,18 +71,24 @@ object Clustering {
       val nbr = sym
         .join(labels.select(col("v").as("a"), col("l").as("al")), Seq("a"))
         .groupBy(col("b").as("v")).agg(min(col("al")).as("nl"))
+      // r7: carry the round's starting label `l` through l1/next instead of
+      // re-joining `labels` at the end — one fewer shuffle join per round,
+      // identical labels and identical `changed` counts. l1 is checkpointed
+      // once so its self-join (the pointer jump) reads materialized blocks
+      // instead of recomputing the neighbor aggregation for each side.
       val l1 = labels.join(nbr, Seq("v"), "left")
-        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l1"))
+        .select(col("v"), col("l"),
+          least(col("l"), coalesce(col("nl"), col("l"))).as("l1"))
+        .localCheckpoint()
       // pointer jump: adopt the label OF the label (labels are vertex ids,
       // so l1 self-joins as the lookup table)
-      val next = l1
+      val stamped = l1
         .join(l1.select(col("v").as("lv"), col("l1").as("ll")),
           col("l1") === col("lv"), "left")
-        .select(col("v"), least(col("l1"), coalesce(col("ll"), col("l1"))).as("l_new"))
-      val stamped = next
-        .join(labels, Seq("v"))
-        .select(col("v"), col("l_new").as("l"),
-          (col("l_new") =!= col("l")).as("changed"))
+        .select(col("v"),
+          least(col("l1"), coalesce(col("ll"), col("l1"))).as("l"),
+          (least(col("l1"), coalesce(col("ll"), col("l1"))) =!= col("l"))
+            .as("changed"))
         .localCheckpoint() // eager: truncates the self-referencing lineage
       changed = stamped.where(col("changed")).count()
       labels = stamped.drop("changed")

@@ -70,9 +70,18 @@ object HammingBlocking {
         "hot — use a wider signature or a different blocking scheme")
     val spark = sigs.sparkSession
     val zero = if (longHamming) lit(0L) else lit(0)
+    // r7: checkpoint the slim (id, sig) table and the distinct-signature
+    // reps — `s` is referenced twice and `reps` four times (group pairs,
+    // both chunk self-join sides, the bucket histogram), and each
+    // reference used to re-evaluate the caller's signature expression
+    // (SimHashExpr / dHash) over the full corpus: five corpus passes for
+    // one query. With the checkpoints the corpus is scanned ONCE; every
+    // downstream consumer re-reads 16-byte rows.
     val s = sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+      .localCheckpoint()
     // one representative per distinct signature (min id — deterministic)
     val reps = s.groupBy(col("sig")).agg(min(col("id")).as("rep"))
+      .localCheckpoint()
     // identical-signature groups: member→rep edges, hamming 0
     val groupPairs = s.join(reps, Seq("sig"))
       .where(col("id") =!= col("rep"))

@@ -58,20 +58,28 @@ object ImageOps {
   def cellRangeBoundaries(imagesWithCells: DataFrame, buckets: Int,
                           level: Int = SpatialOps.JoinLevel,
                           maxCells: Long = 1L << 16): (Array[Long], Int) = {
-    // one pruned scan of the corpus; the approx-distinct probe(s) and the
-    // final histogram all run over this ~8-bytes-per-row cache instead of
-    // re-scanning the (payload-heavy) source per pass
-    val cellsOnly = imagesWithCells.select(col("cell_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r7: ONE pruned scan of the corpus total (was: a persist of the
+    // cell_id column + one approx-distinct probe pass + one histogram
+    // pass). Aggregate per finest-level cell first; coarsening to the
+    // parent level is then a ROLLUP OF THE AGGREGATE (distinct-cell-sized,
+    // orders of magnitude smaller than the corpus), so probing for the
+    // level that fits under maxCells re-aggregates metadata, never
+    // re-scans rows. Coarsening a parent-level histogram from the
+    // finest-level one is exact: parentCell(parentCell(c, d1), d2) =
+    // parentCell(c, d1 + d2) (Morton-prefix bit math) and counts add.
+    var hist0 = imagesWithCells
+      .groupBy(col("cell_id").as("pcell")).agg(count(lit(1)).as("count"))
+      .localCheckpoint() // reused: the fit probe + each rollup + collect
     var delta = 0
-    while (level - delta > 0 &&
-      cellsOnly
-        .select(approx_count_distinct(parentCell(col("cell_id"), level, delta)).as("n"))
-        .head().getLong(0) > maxCells) delta += 1
-    val hist = cellsOnly
-      .groupBy(parentCell(col("cell_id"), level, delta).as("pcell")).count()
-      .orderBy("pcell").collect()
-    cellsOnly.unpersist(blocking = false)
+    while (level - delta > 0 && hist0.count() > maxCells) {
+      delta += 1
+      val next = hist0
+        .groupBy(parentCell(col("pcell"), level - delta + 1, 1).as("pcell"))
+        .agg(sum(col("count")).as("count"))
+        .localCheckpoint()
+      hist0 = next
+    }
+    val hist = hist0.orderBy("pcell").collect()
     val total = hist.iterator.map(_.getLong(1)).sum.toDouble
     val bounds = Array.newBuilder[Long]
     var n = 0
@@ -113,21 +121,32 @@ object ImageOps {
     val (bounds, delta) = cellRangeBoundaries(imagesWithCells, buckets)
     // the codec runs as a Catalyst expression in ONE projection directly
     // under the exchange (no typed-encoder ser/de — measured 3.7 s of pure
-    // tuple decoding at 4M rows × 32c); the struct is flattened AFTER the
-    // shuffle so CollapseProject cannot re-inline the codec per field
+    // tuple decoding at 4M rows × 32c). r7: the struct is flattened BEFORE
+    // the shuffle — TileEncodeExpr is now declared non-deterministic, so
+    // CollapseProject cannot re-inline the codec per extracted field (the
+    // round-6 reason for flattening after), and with flat columns under
+    // the exchange the optimizer can COLUMN-PRUNE what a consumer does not
+    // read: a metrics/count consumer ships (bucket, psnr) through the
+    // exchange instead of the tile payload, while a sink consumer still
+    // ships everything it writes. Non-determinism also stops filter
+    // pushdown from duplicating the codec below the projection (the
+    // round-6 plan evaluated tileencodeexpr TWICE per row: once in the
+    // pushed psnr Filter, once in the Project).
     imagesWithCells
       .select(col("image_id"), col("cell_id"), col("fmt"), col("caption"),
         tile_encode(col("bytes"), col("w"), col("h"), col("fmt"),
           col("cell_id")).as("t"))
-      .repartition(
-        range_bucket(parentCell(col("cell_id"), SpatialOps.JoinLevel, delta),
-          bounds.toSeq) * salt +
-          pmod(xxhash64(col("image_id")), lit(salt.toLong)).cast("int"))
       .select(col("image_id"), col("cell_id"),
         col("t.tile_bytes").as("tile_bytes"),
         col("t.tw").as("tile_w"), col("t.th").as("tile_h"),
         col("fmt"), col("caption"), col("t.psnr").as("psnr"),
-        col("caption").isNotNull.as("caption_ok"))
+        col("caption").isNotNull.as("caption_ok"),
+        (range_bucket(parentCell(col("cell_id"), SpatialOps.JoinLevel, delta),
+          bounds.toSeq) * salt +
+          pmod(xxhash64(col("image_id")), lit(salt.toLong)).cast("int"))
+          .as("__bucket"))
+      .repartition(col("__bucket"))
+      .drop("__bucket")
       .as[TileRow]
   }
 

@@ -169,14 +169,20 @@ object ObjPipeline {
     *         triangle consumers), material (nullable, `-a` lineage)
     */
   def dictionaryEncode(corners: DataFrame): (DataFrame, DataFrame) = {
+    // r7: checkpoint the corner table — it feeds BOTH the first-seen
+    // vertex aggregation and the face-side ordinal re-attach join, and
+    // each reference used to recompute the whole upstream chain
+    // (clean → validate → anti-join → ear-clip → double explode). One
+    // compute, two slim re-reads.
+    val corners0 = corners.localCheckpoint()
     val seq = struct(col("building_ord"), col("poly_ord"), col("tri_idx"), col("corner"))
-    val firstSeen = corners
+    val firstSeen = corners0
       .groupBy(col("cls"), col("v.x").as("x"), col("v.y").as("y"), col("v.z").as("z"))
       .agg(min(seq).as("first_seen"))
     val ordinals = assignOrdinals(firstSeen)
     val vertices = ordinals.select(col("cls"), col("ordinal"),
       col("x"), col("y"), col("z"))
-    val c = corners.as("c")
+    val c = corners0.as("c")
     val o = ordinals.drop("first_seen").as("o")
     val indexed = c.join(o,
       col("c.cls") === col("o.cls") &&

@@ -45,8 +45,14 @@ object PrefixSum {
                  cumName: String = "cum"): DataFrame = {
     require(orderCols.nonEmpty, "runningSum needs at least one order column")
     val keyCols = (groupCols ++ orderCols).map(col)
-    val sorted = df
-      .withColumn("__v", value.cast("long"))
+    // r7: checkpoint the INPUT before the range exchange. RangePartitioner
+    // SAMPLES its child with a full evaluation pass (a reservoir per
+    // partition still computes every row), so an expensive child (a BPE
+    // encode, the OBJ corner chain) used to run twice — once for the
+    // sample, once for the exchange. The checkpoint makes both passes
+    // re-reads of slim materialized blocks.
+    val pre = df.withColumn("__v", value.cast("long")).localCheckpoint()
+    val sorted = pre
       .repartitionByRange(keyCols: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()

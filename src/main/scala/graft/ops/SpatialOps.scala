@@ -75,13 +75,23 @@ object SpatialOps {
     */
   def spatialJoin(imagesWithCells: DataFrame, triCells: DataFrame,
                   salt: Int = 1): DataFrame = {
-    val probe = imagesWithCells
-      .withColumn("salt", pmod(xxhash64(col("image_id")), lit(salt.toLong)).cast("int"))
-    val build = triCells
-      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
-    probe.join(build, Seq("cell_id", "salt"))
-      .where(pip_contains(col("anchor_x"), col("anchor_y"), col("tri")))
-      .drop("salt")
+    // salt = 1 fast path (r7): pmod(xxhash64(id), 1) is constantly 0 and
+    // explode(sequence(0, 0)) replicates nothing — the salt column is pure
+    // per-row overhead (an xxhash64 per probe row plus a second join key)
+    // that the optimizer cannot fold away. Join on cell_id alone; output
+    // rows are identical (salt was dropped anyway).
+    if (salt <= 1) {
+      imagesWithCells.join(triCells, Seq("cell_id"))
+        .where(pip_contains(col("anchor_x"), col("anchor_y"), col("tri")))
+    } else {
+      val probe = imagesWithCells
+        .withColumn("salt", pmod(xxhash64(col("image_id")), lit(salt.toLong)).cast("int"))
+      val build = triCells
+        .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+      probe.join(build, Seq("cell_id", "salt"))
+        .where(pip_contains(col("anchor_x"), col("anchor_y"), col("tri")))
+        .drop("salt")
+    }
   }
 
   /** Per-cell join-output materialization counts (O-47) — the north rule's
@@ -151,6 +161,16 @@ object SpatialOps {
     val centsAtLevel = cents
       .select(col("surface_id"), col("cx"), col("cy"),
         parentCellCol(col("knn_cell"), baseLevel, roundLevel).as("round_cell"))
+    // dist < safe pre-filter (r7): provably result-identical top-k pruning.
+    // A probe RESOLVES iff its k-th candidate distance is strictly below
+    // `safe`; the k smallest distances of the unfiltered set are then all
+    // < safe, so top-k over {dist < safe} equals top-k overall for every
+    // resolved probe, and ≥k surviving candidates ⟺ kth < safe — the
+    // resolution decision is unchanged too (unresolved probes' rows are
+    // never used; safe = ∞ in the whole-domain round keeps everything).
+    // Effect: the window/sort input drops from |covered centroids| (~100
+    // rows/probe) to the few candidates actually inside the explored
+    // square — ~10-20× less sorted+shuffled volume, zero result change.
     probes
       .withColumn("safe", safe)
       .withColumn("round_cell", explode(cell_cover(
@@ -158,6 +178,7 @@ object SpatialOps {
         col("anchor_x") + reach, col("anchor_y") + reach, lit(roundLevel))))
       .join(centsAtLevel, Seq("round_cell"))
       .withColumn("dist", sqrt(dx * dx + dy * dy))
+      .where(col("dist") < col("safe"))
   }
 
   /** Top-k per probe over candidate rows. Window variant (fastest on
@@ -284,8 +305,6 @@ object SpatialOps {
         .where((col("n") >= k && col("kth") < col("safe_min")) ||
           col("safe_min") === lit(Double.MaxValue))
         .select(col("image_id"))
-      results += ranked.join(doneIds, Seq("image_id"), "left_semi")
-        .join(meta, Seq("surface_id")).select(out: _*)
       // localCheckpoint (not persist): each straggler set derives from the
       // previous round's full plan, so lineage must be TRUNCATED per round
       // or the logical tree compounds ~3× per round (3^9 nodes by the
@@ -294,6 +313,21 @@ object SpatialOps {
       remaining = remaining.join(doneIds, Seq("image_id"), "left_anti")
         .localCheckpoint() // eager: materializes AND truncates lineage
       nRemaining = remaining.count()
+      // r7: the round's resolved rows = ranked MINUS the new straggler set
+      // (ranked only holds probes probed this round, so anti-join against
+      // `remaining` ≡ semi-join against doneIds — same rows). The straggler
+      // set is checkpointed, tiny, and EXACTLY COUNTED (nRemaining), so it
+      // broadcasts under a measured gate instead of shuffling the k·|done|
+      // ranked rows by image_id for a semi-join; past the gate (a
+      // pathological straggler flood) the plain shuffle anti-join stands.
+      val resolvedFrom =
+        if (nRemaining <= 4000000L && nRemaining > 0)
+          ranked.join(broadcast(remaining.select(col("image_id"))),
+            Seq("image_id"), "left_anti")
+        else if (nRemaining == 0L) ranked
+        else ranked.join(remaining.select(col("image_id")),
+          Seq("image_id"), "left_anti")
+      results += resolvedFrom.join(meta, Seq("surface_id")).select(out: _*)
       ladder += KnnRound(roundNo, roundLevel, reach, nRemaining,
         (System.nanoTime() - tRound) / 1e9)
       if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))

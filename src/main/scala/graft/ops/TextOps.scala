@@ -211,15 +211,29 @@ object TextOps {
 
   def minhashNearDups(documents: DataFrame, k: Int = 3, bands: Int = 8,
                       rows: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val banded = minhashBandTable(documents, k, bands, rows)
+    // r7 plan hygiene (guide §1/§2.3): the round-6 plan evaluated
+    // MinHashBandsExpr over the whole corpus TWICE (once per self-join
+    // side) and the shingle projection over the whole corpus twice more
+    // (once per verify-join side) — four full text passes. Now: the slim
+    // (doc_id, band_idx, band_hash) table is computed once and
+    // localCheckpoint'ed (truncates both self-join sides to a re-read);
+    // the candidate pair set is checkpointed (reused three times); and
+    // shingle sets are computed ONLY for documents that appear in some
+    // candidate pair — the left_semi join keeps the shingle projection
+    // above it, so the corpus-wide text pass shrinks to the candidate set.
+    // One full text pass total. Results identical: same candidates, same
+    // exact-Jaccard verification.
+    val banded = minhashBandTable(documents, k, bands, rows).localCheckpoint()
     val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // exact verification: join candidate ids back to per-doc shingle sets
-    val sh = documents.select(col("doc_id"),
-      array_distinct(shingles(col("text"), k)).as("sh"))
+      .select("doc_a", "doc_b").distinct().localCheckpoint()
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // exact verification: shingle sets for candidate docs only
+    val sh = documents.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(shingles(col("text"), k)).as("sh"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -104,10 +104,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val df = HammingBlocking.nearDupPairs(sigs, "doc_id", "sim",
       "doc_a", "doc_b", maxHamming = 3)
     val p = df.queryExecution.optimizedPlan.toString
-    // both chunk-join inputs must sit above the min-id Aggregate (the
-    // identical-signature pre-aggregation) — the hot-bucket defense
-    assert("Aggregate".r.findAllIn(p).size >= 2,
-      s"chunk join consumes un-aggregated signatures:\n$p")
+    // r7: the (id, sig) table and the min-id rep table are materialized
+    // once (localCheckpoint — one corpus pass total), so every chunk-join
+    // input reads the MATERIALIZED rep table (LogicalRDD), never the raw
+    // signature input — the hot-bucket defense, now with the
+    // identical-signature pre-aggregation guaranteed already computed
+    assert("LogicalRDD".r.findAllIn(p).size >= 2,
+      s"chunk join consumes un-materialized signatures:\n$p")
+    assert(!p.contains("LocalRelation"),
+      s"raw signature input leaked past the checkpoint:\n$p")
   }
 
   test("clustering round: equi-joins only — no cartesian/nested-loop, " +
