@@ -67,19 +67,27 @@ object ImageOps {
     // re-scans rows. Coarsening a parent-level histogram from the
     // finest-level one is exact: parentCell(parentCell(c, d1), d2) =
     // parentCell(c, d1 + d2) (Morton-prefix bit math) and counts add.
-    var hist0 = imagesWithCells
+    require(maxCells < Int.MaxValue, "maxCells must fit a driver collect")
+    // finest-level histogram: the ONLY corpus pass, checkpointed as slim
+    // (cell, count) rows (≤ 4^level of them, distributed — never collected
+    // raw). Each level probe is then a rollup of that aggregate with the
+    // driver collect capped at maxCells + 1 rows by the limit — one
+    // bounded job answers both "does this level fit?" and "what is the
+    // histogram?", at any corpus size, with no corpus re-scan per level.
+    val hist0 = imagesWithCells
       .groupBy(col("cell_id").as("pcell")).agg(count(lit(1)).as("count"))
-      .localCheckpoint() // reused: the fit probe + each rollup + collect
-    var delta = 0
-    while (level - delta > 0 && hist0.count() > maxCells) {
-      delta += 1
-      val next = hist0
-        .groupBy(parentCell(col("pcell"), level - delta + 1, 1).as("pcell"))
+      .localCheckpoint()
+    def histAt(d: Int): Array[org.apache.spark.sql.Row] =
+      hist0
+        .groupBy(parentCell(col("pcell"), level, d).as("pcell"))
         .agg(sum(col("count")).as("count"))
-        .localCheckpoint()
-      hist0 = next
+        .orderBy("pcell").limit(maxCells.toInt + 1).collect()
+    var delta = 0
+    var hist = histAt(0)
+    while (level - delta > 0 && hist.length > maxCells) {
+      delta += 1
+      hist = histAt(delta)
     }
-    val hist = hist0.orderBy("pcell").collect()
     val total = hist.iterator.map(_.getLong(1)).sum.toDouble
     val bounds = Array.newBuilder[Long]
     var n = 0

@@ -89,8 +89,13 @@ object PlanDump {
           col("cx"), col("cy"), lit(SpatialOps.KnnLevel)))
       import org.apache.spark.sql.expressions.Window
       val reach = graft.geom.Cells.sizeAt(SpatialOps.KnnLevel) / 2
+      // mirror knnAssignExact's round 0: one level finer than the base
+      // grid (tight cover), slim projection before the window
+      val round0Level =
+        math.min(SpatialOps.KnnLevel + 1, graft.geom.Cells.MaxLevel)
       val cands = SpatialOps.knnRoundCandidates(probes, cents, reach,
-        SpatialOps.KnnLevel, SpatialOps.KnnLevel)
+        round0Level, SpatialOps.KnnLevel)
+        .select(col("image_id"), col("surface_id"), col("dist"), col("safe"))
       val w = Window.partitionBy(col("image_id"))
         .orderBy(col("dist").asc, col("surface_id").asc)
       cands.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)

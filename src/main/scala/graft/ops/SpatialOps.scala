@@ -158,9 +158,17 @@ object SpatialOps {
     // lineage columns (building_id, surface_class) re-attach AFTER top-k
     // prunes ~100 candidates/probe down to k (the sort/exchange then moves
     // ~40% fewer bytes; the re-join exchanges only k·|probes| rows)
+    // r7: roundLevel may now be FINER than the centroid base level (the
+    // round-0 tight cover below) — re-encode the centroid key at the round
+    // level then (36k-row projection, not a corpus cost); coarser levels
+    // keep the parent bit shift.
+    val roundKey =
+      if (roundLevel <= baseLevel)
+        parentCellCol(col("knn_cell"), baseLevel, roundLevel)
+      else cell_encode(col("cx"), col("cy"), lit(roundLevel))
     val centsAtLevel = cents
       .select(col("surface_id"), col("cx"), col("cy"),
-        parentCellCol(col("knn_cell"), baseLevel, roundLevel).as("round_cell"))
+        roundKey.as("round_cell"))
     // dist < safe pre-filter (r7): provably result-identical top-k pruning.
     // A probe RESOLVES iff its k-th candidate distance is strictly below
     // `safe`; the k smallest distances of the unfiltered set are then all
@@ -188,7 +196,14 @@ object SpatialOps {
     * crosses a real network (documented cluster path; output equality
     * asserted in PipelineSpec).
     */
-  private def knnTopK(cands: DataFrame, k: Int, useAgg: Boolean): DataFrame =
+  private def knnTopK(cands0: DataFrame, k: Int, useAgg: Boolean): DataFrame = {
+    // r7 (guide §2.3: explicit project before the exchange): only the four
+    // columns the top-k consumes enter the sort + window shuffle — the
+    // probe anchors, centroid coords and the join cell would otherwise
+    // ride along (the optimizer does not always insert the pruning
+    // projection below a Window).
+    val cands = cands0.select(col("image_id"), col("surface_id"),
+      col("dist"), col("safe"))
     if (useAgg) {
       val topk = udaf(new graft.ops.TopKCandAgg(k),
         org.apache.spark.sql.Encoders.product[KnnCand])
@@ -209,6 +224,7 @@ object SpatialOps {
         .select(col("image_id"), col("rk"), col("surface_id"),
           col("dist"), col("safe"))
     }
+  }
 
   /** One ladder round of the last [[knnAssignExact]] run: round index
     * (-1 = the capped-rounds whole-domain finisher), cell level, reach in
@@ -291,7 +307,18 @@ object SpatialOps {
     var roundNo = 0
     while (roundNo < rounds && nRemaining > 0) {
       val tRound = System.nanoTime()
-      val roundLevel = math.max(0, level - 2 * math.max(0, roundNo - 1))
+      // r7: round 0 probes at ONE LEVEL FINER than the base grid — the
+      // cover of [anchor ± half a base cell] at half-size cells is a ~3×3
+      // key set whose union square is ~(1.5 base cells)² instead of the
+      // (2 base cells)² of the base-level 2×2 cover, so the bulk round
+      // enumerates ~45% fewer (probe, centroid) pairs and the explored
+      // border sits closer (safe still ≥ reach: xlo = floor((x−r)/s)·s
+      // ≤ x−r for any cell size s, so correctness and the resolve rule
+      // are untouched — only how much is explored per round changes,
+      // which the exactness proof already parameterizes over).
+      val roundLevel =
+        if (roundNo == 0) math.min(level + 1, graft.geom.Cells.MaxLevel)
+        else math.max(0, level - 2 * (roundNo - 1))
       val ranked = knnTopK(
         knnRoundCandidates(remaining, cents, reach, roundLevel, level),
         k, useAgg).persist(StorageLevel.MEMORY_AND_DISK)
