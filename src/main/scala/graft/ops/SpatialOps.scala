@@ -285,7 +285,11 @@ object SpatialOps {
     val autoRounds = (math.ceil(
       math.log(world / cellSize) / math.log(4.0)).toInt + 3).max(2)
     val rounds = if (maxRounds > 0) maxRounds else autoRounds
-    val cents = surfaceCentroids(surfaces, level)
+    // r7: one slim (surface_id, lineage, cx, cy, cell) table, checkpointed —
+    // every round's candidate broadcast and every per-round meta re-attach
+    // used to re-scan the surfaces source and re-run the centroid folds
+    // (~2 scans per round). The table is one row per surface.
+    val cents = surfaceCentroids(surfaces, level).localCheckpoint()
     // lineage columns re-attach AFTER top-k (see knnRoundCandidates): the
     // meta side is one row per surface, joined against only k·|done| rows
     val meta = cents.select(col("surface_id"), col("building_id"),
