@@ -358,7 +358,11 @@ object SpatialOps {
         else if (nRemaining == 0L) ranked
         else ranked.join(remaining.select(col("image_id")),
           Seq("image_id"), "left_anti")
-      results += resolvedFrom.join(meta, Seq("surface_id")).select(out: _*)
+      // meta (lineage) re-attaches ONCE over the final union, not per
+      // round — joining after the union is row-identical (an equi-join
+      // distributes over union) and builds one broadcast instead of one
+      // per round.
+      results += resolvedFrom
       ladder += KnnRound(roundNo, roundLevel, reach, nRemaining,
         (System.nanoTime() - tRound) / 1e9)
       if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
@@ -379,12 +383,16 @@ object SpatialOps {
         knnRoundCandidates(remaining, cents, world, 0, level),
         k, useAgg).persist(StorageLevel.MEMORY_AND_DISK)
       rankedCaches += ranked
-      results += ranked.join(meta, Seq("surface_id")).select(out: _*)
+      results += ranked
       if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
         System.err.println(f"[knn] capped-rounds finisher (whole domain) " +
           f"stragglers $nRemaining t=${System.nanoTime() / 1e9}%.2f")
     }
-    val union = results.reduce(_.unionByName(_))
+    val union = results
+      .map(_.select(col("image_id"), col("rk"), col("surface_id"),
+        col("dist"), col("safe")))
+      .reduce(_.unionByName(_))
+      .join(meta, Seq("surface_id")).select(out: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     union.count() // materialize so every per-round cache can be freed NOW
     if (nRemaining > 0) // finisher executes AT the union, so its sec spans both
