@@ -68,25 +68,31 @@ object ImageOps {
     // finest-level one is exact: parentCell(parentCell(c, d1), d2) =
     // parentCell(c, d1 + d2) (Morton-prefix bit math) and counts add.
     require(maxCells < Int.MaxValue, "maxCells must fit a driver collect")
-    // finest-level histogram: the ONLY corpus pass, checkpointed as slim
-    // (cell, count) rows (≤ 4^level of them, distributed — never collected
-    // raw). Each level probe is then a rollup of that aggregate with the
-    // driver collect capped at maxCells + 1 rows by the limit — one
-    // bounded job answers both "does this level fit?" and "what is the
-    // histogram?", at any corpus size, with no corpus re-scan per level.
-    val hist0 = imagesWithCells
-      .groupBy(col("cell_id").as("pcell")).agg(count(lit(1)).as("count"))
-      .localCheckpoint()
-    def histAt(d: Int): Array[org.apache.spark.sql.Row] =
-      hist0
-        .groupBy(parentCell(col("pcell"), level, d).as("pcell"))
-        .agg(sum(col("count")).as("count"))
-        .orderBy("pcell").limit(maxCells.toInt + 1).collect()
+    // Common case (the finest-level histogram fits under maxCells): ONE
+    // job — corpus aggregation, TakeOrdered capped at maxCells + 1 rows,
+    // collect. The limit bounds the driver at any corpus size, so the
+    // same job answers "does this level fit?" and "what is the
+    // histogram?". Rare case (a continental domain overflows the cap):
+    // aggregate the finest level ONCE into a checkpoint of slim
+    // (cell, count) rows and coarsen by rolling up that aggregate —
+    // metadata-sized rollups, no corpus re-scan per level probe.
     var delta = 0
-    var hist = histAt(0)
-    while (level - delta > 0 && hist.length > maxCells) {
-      delta += 1
-      hist = histAt(delta)
+    var hist = imagesWithCells
+      .groupBy(col("cell_id").as("pcell")).agg(count(lit(1)).as("count"))
+      .orderBy("pcell").limit(maxCells.toInt + 1).collect()
+    if (hist.length > maxCells && level > 0) {
+      val hist0 = imagesWithCells
+        .groupBy(col("cell_id").as("pcell")).agg(count(lit(1)).as("count"))
+        .localCheckpoint()
+      def histAt(d: Int): Array[org.apache.spark.sql.Row] =
+        hist0
+          .groupBy(parentCell(col("pcell"), level, d).as("pcell"))
+          .agg(sum(col("count")).as("count"))
+          .orderBy("pcell").limit(maxCells.toInt + 1).collect()
+      while (level - delta > 0 && hist.length > maxCells) {
+        delta += 1
+        hist = histAt(delta)
+      }
     }
     val total = hist.iterator.map(_.getLong(1)).sum.toDouble
     val bounds = Array.newBuilder[Long]
