@@ -38,15 +38,23 @@ object MergeOps {
   def scd2Apply(current: DataFrame, updates: DataFrame, key: String,
                 payload: String, ts: Long): DataFrame = {
     val open = current.where(col("is_current"))
+    // r7 (the groupedOls lesson, round-6 verdict #1): no forced broadcast
+    // of table-sized sides. `open` is the ENTIRE current version set —
+    // broadcasting it caps the op at the 8 GB ceiling; a plain equi-join
+    // always works and AQE still broadcasts whichever side is actually
+    // small. `changed` (update-batch-sized, the incremental unit) is
+    // checkpointed once instead of being recomputed for the close/keep
+    // joins.
     val changed = updates.alias("u")
-      .join(broadcast(open.select(col(key), md5(col(payload)).as("__ph"))
-        .alias("c")), Seq(key), "left")
+      .join(open.select(col(key), md5(col(payload)).as("__ph"))
+        .alias("c"), Seq(key), "left")
       .where(col("__ph").isNull || col("__ph") =!= md5(col(s"u.$payload")))
       .select(col(key), col(s"u.$payload").as(payload))
-    val closed = open.join(broadcast(changed.select(key)), Seq(key))
+      .localCheckpoint()
+    val closed = open.join(changed.select(key), Seq(key))
       .select(col(key), col(payload), col("valid_from"),
         lit(ts).as("valid_to"), lit(false).as("is_current"))
-    val keptOpen = open.join(broadcast(changed.select(key)), Seq(key),
+    val keptOpen = open.join(changed.select(key), Seq(key),
       "left_anti")
     val history = current.where(!col("is_current"))
     val opened = changed.select(col(key), col(payload),

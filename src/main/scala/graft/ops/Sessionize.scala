@@ -106,7 +106,9 @@ object Sessionize {
       .agg(expr("min(us) div 604800000000").as("cohort_week"))
     val active = e.select(col("user_id"),
       expr("us div 604800000000").as("week")).distinct()
-    active.join(broadcast(cohort), Seq("user_id"))
+    // r7: no forced broadcast — the cohort table is one row per USER
+    // (data-sized at web scale); AQE broadcasts it when actually small.
+    active.join(cohort, Seq("user_id"))
       .where(col("week") >= col("cohort_week"))
       .groupBy(col("cohort_week"),
         (col("week") - col("cohort_week")).as("week_offset"))

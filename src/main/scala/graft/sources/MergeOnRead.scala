@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   * driver-side row work. Delete files live under `<dir>/_deletes` (the
   * underscore prefix hides them from the plain data scan, the same
   * convention Spark itself uses for `_SUCCESS`/`_metadata`) and carry
-  * their sequence as a column. The merge-on-read is ONE broadcast
+  * their sequence as a column. The merge-on-read is ONE
   * anti-join: equality on the key plus the `del.seq > row.seq` residual —
-  * delete sets are metadata-scale next to the data (Iceberg's own design
-  * assumption), so the 100 TB plan touches each data row once with zero
-  * shuffle of the data side. `compactAway` folds the deletes in by
+  * delete sets are usually metadata-scale next to the data (Iceberg's own
+  * design assumption), and AQE broadcasts the log when it measures small,
+  * so the common 100 TB plan touches each data row once with zero shuffle
+  * of the data side — while a mass-delete log past the broadcast ceiling
+  * degrades to a shuffle join instead of failing (r7). `compactAway` folds the deletes in by
   * rewriting — after it, reads need no join at all.
   */
 object MergeOnRead {
@@ -95,7 +97,11 @@ object MergeOnRead {
     if (!fs.exists(delDir)) return data
     val dels = spark.read.parquet(delDir.toString)
       .select(col(keyCol).as("__dk"), col("seq").as("__dseq"))
-    data.join(broadcast(dels),
+    // r7: no forced broadcast of the delete log — a mass-delete log is
+    // data-sized and a forced broadcast fails at the 8 GB ceiling; the
+    // plain anti-join (equi on key + seq residual) always works and AQE
+    // broadcasts the log at runtime when it is actually small.
+    data.join(dels,
       data(keyCol) === col("__dk") && col("__dseq") > col("src_seq"),
       "left_anti")
   }
@@ -134,7 +140,7 @@ object MergeOnRead {
     val dels = spark.read.parquet(delDir.toString)
       .where(col("seq") <= asOfSeq)
       .select(col(keyCol).as("__dk"), col("seq").as("__dseq"))
-    data.join(broadcast(dels),
+    data.join(dels,
       data(keyCol) === col("__dk") && col("__dseq") > col("src_seq"),
       "left_anti")
   }
